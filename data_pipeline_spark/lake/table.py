@@ -1,0 +1,308 @@
+"""Url-hash-bucketed lake table with atomic snapshot commits.
+
+This container image ships no Iceberg/Delta jars, so the engine provides the
+Iceberg semantics it needs itself, scoped to exactly what the CDC workload
+requires (the north_star's MERGE INTO target):
+
+* **Atomic commits** — data files are written to a fresh per-commit
+  directory, then a snapshot JSON and finally the ``_CURRENT`` pointer are
+  swapped via ``os.replace`` (atomic on POSIX). Readers resolve ``_CURRENT``
+  once and only ever see a complete snapshot — the reference's
+  "single PUT replaces torn DELETE+POST" lesson
+  (reference: operator-tools/_migrate_catalog/runner.py:126-156).
+* **Incremental writes** — a commit rewrites only the hash buckets its
+  source batch touches; untouched buckets' files are carried forward by
+  reference in the new snapshot (reference analog: incremental tree sync
+  uploads only new/changed objects, scripts/ingest_v1_s1_rtc.py:467-527).
+* **Commit-level idempotency** — every commit carries a ``commit_key``
+  (e.g. ``epoch=<n>`` from foreachBatch); replaying an already-applied key
+  is a no-op. This is the exactly-once keystone
+  (reference analog: time-key dedup making re-runs converge,
+  scripts/ingest_v1_s1_rtc.py:125-127).
+* **Schema evolution** — each snapshot pins a schema version; add-column /
+  type-widen create a new schema version without rewriting data. Old files
+  are read with their write-schema and aligned (missing → NULL, widened →
+  cast) at scan time, exactly Iceberg's lazy evolution
+  (reference analog: read-time self-healing of missing coords,
+  scripts/ingest_v1_s1_rtc.py:404-465).
+
+Concurrency model: ONE writer per table (the reference serializes writers
+with an Argo per-tile mutex, scripts/ingest_v1_s1_rtc.py:43-46; here the
+single Structured-Streaming query is the writer). A compare-and-swap check
+on ``_CURRENT`` turns racing writers into loud failures instead of lost
+updates.
+
+Scale notes (100 TB / 1000 executors): bucket count is a table property
+(default 64 here, thousands there); the per-commit file listing is
+O(touched buckets); the snapshot JSON is O(total files) and would graduate
+to avro manifests à la Iceberg — the commit protocol itself is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CURRENT_FILE = "_CURRENT"
+SNAPSHOT_DIR = "_snapshots"
+DATA_DIR = "data"
+BUCKET_COL = "__bucket"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced ``_CURRENT`` since this commit started."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_version: int
+    schemas: dict[str, list[list[str]]]  # schema_version -> [[name, ddl], ...]
+    n_buckets: int
+    key: str
+    buckets: dict[str, list[dict[str, Any]]]  # bucket -> [{path, schema_version}]
+    commits: dict[str, int] = field(default_factory=dict)  # commit_key -> version
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        return Snapshot(**json.loads(s))
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """A url-keyed, hash-bucketed table of parquet files + snapshot log."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- creation / snapshot plumbing ------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: list[tuple[str, str]],
+        key: str = "url",
+        n_buckets: int = 64,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, SNAPSHOT_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_version=0,
+            schemas={"0": [[n, d] for n, d in schema]},
+            n_buckets=n_buckets,
+            key=key,
+            buckets={str(b): [] for b in range(n_buckets)},
+            commits={},
+            summary={"op": "create"},
+        )
+        t = LakeTable(spark, root)
+        t._write_snapshot(snap, expect_parent=None)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, CURRENT_FILE))
+
+    def current(self) -> Snapshot:
+        with open(os.path.join(self.root, CURRENT_FILE)) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.root, SNAPSHOT_DIR, name)) as f:
+            return Snapshot.from_json(f.read())
+
+    def snapshot_log(self) -> list[Snapshot]:
+        d = os.path.join(self.root, SNAPSHOT_DIR)
+        out = []
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    out.append(Snapshot.from_json(f.read()))
+        return out
+
+    def _write_snapshot(self, snap: Snapshot, expect_parent: int | None) -> None:
+        cur_path = os.path.join(self.root, CURRENT_FILE)
+        if expect_parent is not None:
+            with open(cur_path) as f:
+                cur_name = f.read().strip()
+            if cur_name != f"v{expect_parent:08d}.json":
+                raise ConcurrentCommitError(
+                    f"expected parent v{expect_parent}, _CURRENT is {cur_name}"
+                )
+        name = f"v{snap.version:08d}.json"
+        _atomic_write(os.path.join(self.root, SNAPSHOT_DIR, name), snap.to_json())
+        _atomic_write(cur_path, name)
+
+    # -- schema -----------------------------------------------------------
+
+    def schema_fields(self, snap: Snapshot, schema_version: int | None = None) -> list[tuple[str, str]]:
+        sv = snap.schema_version if schema_version is None else schema_version
+        return [(n, d) for n, d in snap.schemas[str(sv)]]
+
+    def spark_schema(self, snap: Snapshot, schema_version: int | None = None) -> T.StructType:
+        ddl = ", ".join(f"{n} {d}" for n, d in self.schema_fields(snap, schema_version))
+        return T.StructType.fromDDL(ddl)
+
+    def evolve_schema(
+        self,
+        add_columns: dict[str, str] | None = None,
+        widen: dict[str, str] | None = None,
+        commit_key: str | None = None,
+    ) -> Snapshot:
+        """Add-column / type-widen as a metadata-only commit (no data rewrite)."""
+        snap = self.current()
+        fields = dict(self.schema_fields(snap))
+        for n, d in (widen or {}).items():
+            if n not in fields:
+                raise KeyError(f"widen: no such column {n}")
+            fields[n] = d
+        for n, d in (add_columns or {}).items():
+            if n in fields:
+                raise KeyError(f"add_columns: column exists {n}")
+            fields[n] = d
+        new_sv = snap.schema_version + 1
+        schemas = dict(snap.schemas)
+        schemas[str(new_sv)] = [[n, d] for n, d in fields.items()]
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_version=new_sv,
+            schemas=schemas,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            buckets=snap.buckets,
+            commits=dict(snap.commits),
+            summary={"op": "evolve", "add": add_columns or {}, "widen": widen or {}},
+        )
+        if commit_key:
+            new.commits[commit_key] = new.version
+        self._write_snapshot(new, expect_parent=snap.version)
+        return new
+
+    # -- read path ----------------------------------------------------------
+
+    def bucket_expr(self, snap: Snapshot, key_col: str | None = None) -> F.Column:
+        """Deterministic bucket id: pmod(xxhash64(key), n_buckets) — the
+        url-hash-bucketed layout the north_star mandates. xxhash64 is
+        JVM-side, codegen'd, seed-stable across Spark versions."""
+        return F.pmod(F.xxhash64(F.col(key_col or snap.key)), F.lit(snap.n_buckets))
+
+    def read(
+        self,
+        buckets: set[int] | None = None,
+        snap: Snapshot | None = None,
+    ) -> DataFrame:
+        """Scan the table (optionally pruned to a set of buckets).
+
+        Files are grouped by their write-schema version; each group is read
+        with that exact schema (no inference) and aligned to the current
+        schema: missing columns → typed NULL, widened columns → cast.
+        """
+        snap = snap or self.current()
+        groups: dict[int, list[str]] = {}
+        for b, entries in snap.buckets.items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for e in entries:
+                groups.setdefault(e["schema_version"], []).append(
+                    os.path.join(self.root, e["path"])
+                )
+        cur_fields = self.schema_fields(snap)
+        if not groups:
+            return self.spark.createDataFrame([], self.spark_schema(snap))
+        parts = []
+        for sv, files in sorted(groups.items()):
+            df = self.spark.read.schema(self.spark_schema(snap, sv)).parquet(*files)
+            have = set(df.columns)
+            parts.append(
+                df.select(
+                    *[
+                        (F.col(n).cast(d) if n in have else F.lit(None).cast(d)).alias(n)
+                        for n, d in cur_fields
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- write path ---------------------------------------------------------
+
+    def is_committed(self, commit_key: str) -> bool:
+        return commit_key in self.current().commits
+
+    def commit_buckets(
+        self,
+        df: DataFrame,
+        touched: set[int],
+        commit_key: str,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Replace the contents of ``touched`` buckets with ``df`` atomically.
+
+        ``df`` must already be the full desired content of those buckets and
+        must carry only current-schema columns. Rows are routed to bucket
+        directories by the key hash; a shuffle on the bucket id keeps one
+        writer task per bucket (AQE coalesces small ones).
+        """
+        snap = self.current()
+        if commit_key in snap.commits:
+            return snap  # idempotent replay — exactly-once keystone
+        version = snap.version + 1
+        rel_dir = os.path.join(DATA_DIR, f"v{version:08d}")
+        out_dir = os.path.join(self.root, rel_dir)
+        cur_cols = [n for n, _ in self.schema_fields(snap)]
+        (
+            df.select(*cur_cols)
+            .withColumn(BUCKET_COL, self.bucket_expr(snap))
+            .repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_buckets = dict(snap.buckets)
+        for b in touched:
+            bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            files = []
+            if os.path.isdir(bdir):
+                files = [
+                    {
+                        "path": os.path.join(rel_dir, f"{BUCKET_COL}={b}", fn),
+                        "schema_version": snap.schema_version,
+                    }
+                    for fn in sorted(os.listdir(bdir))
+                    if fn.endswith(".parquet")
+                ]
+            new_buckets[str(b)] = files
+        new = Snapshot(
+            version=version,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            buckets=new_buckets,
+            commits={**snap.commits, commit_key: version},
+            summary={"op": "merge", "touched": sorted(touched), **(summary or {})},
+        )
+        self._write_snapshot(new, expect_parent=snap.version)
+        return new

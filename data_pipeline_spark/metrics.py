@@ -1,0 +1,91 @@
+"""Sidecar metrics table: per-commit + per-partition (bucket) lineage.
+
+Reference behavior: every pipeline run appends one JSONL audit record per
+item plus a run summary with a reconciliation invariant
+(reference: scripts/cleanup_expired_items.py:110-127,302-317;
+operator-tools/_migrate_catalog/migrations/stamp_expires.py:78-142 asserts
+``stamped == modified + failed``). Here the analog is an append-only parquet
+sidecar next to the lake table:
+
+* ``commits``  — one row per commit: key, version, rows, wall ms, extractor
+  version (the pinned-writer lesson, scripts/s1_store_meta.py:1-38).
+* ``lineage``  — one row per (commit, bucket): file count, row count, bytes —
+  read from parquet footers, no Spark job.
+
+Reconciliation invariant carried over: for every merge commit,
+``sum(lineage.rows of touched buckets) == table rows in those buckets``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_pipeline_spark.extraction import EXTRACTOR_VERSION
+from data_pipeline_spark.lake.table import LakeTable, Snapshot
+
+METRICS_DIR = "_metrics"
+
+
+def _append(root: str, sub: str, table: pa.Table) -> None:
+    d = os.path.join(root, METRICS_DIR, sub)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, f"{uuid.uuid4().hex}.parquet"))
+
+
+def record_commit(
+    table: LakeTable,
+    snap: Snapshot,
+    commit_key: str,
+    wall_ms: float,
+    batch_rows: int | None,
+) -> None:
+    touched = set(snap.summary.get("touched", []))
+    lineage_rows: list[dict] = []
+    for b in sorted(touched):
+        entries = snap.buckets.get(str(b), [])
+        rows = 0
+        bytes_ = 0
+        for e in entries:
+            p = os.path.join(table.root, e["path"])
+            rows += pq.read_metadata(p).num_rows
+            bytes_ += os.path.getsize(p)
+        lineage_rows.append(
+            {
+                "commit_key": commit_key,
+                "version": snap.version,
+                "bucket": b,
+                "files": len(entries),
+                "rows": rows,
+                "bytes": bytes_,
+            }
+        )
+    if lineage_rows:
+        _append(table.root, "lineage", pa.Table.from_pylist(lineage_rows))
+    _append(
+        table.root,
+        "commits",
+        pa.Table.from_pylist(
+            [
+                {
+                    "commit_key": commit_key,
+                    "version": snap.version,
+                    "ts_unix_ms": int(time.time() * 1000),
+                    "wall_ms": float(wall_ms),
+                    "batch_rows": batch_rows,
+                    "touched_buckets": len(touched),
+                    "extractor_version": EXTRACTOR_VERSION,
+                }
+            ]
+        ),
+    )
+
+
+def read_metrics(table: LakeTable, sub: str = "commits"):
+    """Metrics as a Spark DataFrame (for queries / assertions)."""
+    d = os.path.join(table.root, METRICS_DIR, sub)
+    return table.spark.read.parquet(d)

@@ -1,0 +1,81 @@
+"""Batch CDC replay: change log → extraction → MERGE → final table.
+
+The end-to-end path of SURVEY.md §7.1; the streaming wrapper in
+``streaming/pipeline.py`` drives exactly this batch core from foreachBatch
+(the reference's per-item Argo loop collapsed into one declarative plan;
+reference: scripts/run_ingest_register.py:67-161).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_spark import changelog as cl
+from data_pipeline_spark.extraction import extract_text
+from data_pipeline_spark.lake.merge import MergeStats, merge_into
+from data_pipeline_spark.lake.table import LakeTable
+from data_pipeline_spark import metrics as metrics_mod
+
+# Current table schema, v0 (pre-evolution): input_hint columns + lsn.
+TABLE_SCHEMA_V0: list[tuple[str, str]] = [
+    ("url", "string"),
+    ("lsn", "bigint"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+]
+
+
+def ensure_table(
+    spark: SparkSession, root: str, n_buckets: int = 64
+) -> LakeTable:
+    if LakeTable.exists(root):
+        return LakeTable(spark, root)
+    return LakeTable.create(spark, root, TABLE_SCHEMA_V0, key="url", n_buckets=n_buckets)
+
+
+def apply_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    commit_key: str,
+    record_metrics: bool = True,
+    with_stats: bool = False,
+) -> MergeStats:
+    """One micro-batch: vectorized extraction → MERGE, idempotent by key."""
+    t0 = time.monotonic()
+    enriched = batch.withColumn("text", extract_text("html"))
+    stats = merge_into(table, enriched, commit_key, with_stats=with_stats)
+    if record_metrics and stats.applied:
+        metrics_mod.record_commit(
+            table,
+            table.current(),
+            commit_key,
+            wall_ms=(time.monotonic() - t0) * 1000.0,
+            batch_rows=stats.batch_rows,
+        )
+    return stats
+
+
+def replay(
+    spark: SparkSession,
+    sf_dir: str,
+    table_root: str,
+    n_batches: int = 4,
+    n_buckets: int = 64,
+    record_metrics: bool = True,
+) -> LakeTable:
+    """Replay the full synthetic change log in LSN-ordered micro-batches."""
+    table = ensure_table(spark, table_root, n_buckets)
+    log = cl.changelog(spark, sf_dir)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    span = (hi - lo + 1 + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        batch = log.filter(
+            (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
+        )
+        apply_batch(table, batch, commit_key=f"replay-{i}", record_metrics=record_metrics)
+    return table

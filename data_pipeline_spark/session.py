@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is the test harness; the configs are chosen so the same code path
+is correct on a 1000-executor cluster: AQE on (runtime re-plan + skew-join
+split), shuffle partitions sized to parallelism, UTC session timezone (the
+reference's canonical-timestamp lesson, scripts/s3_item_cleanup.py:38-42),
+Arrow enabled for the vectorized UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "data_pipeline_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``shuffle_partitions`` defaults to ``2 * parallelism`` — enough slices to
+    keep every core busy through AQE coalescing without tiny-partition
+    overhead at test scale. On a real cluster this is set to
+    ``2-3 × total executor cores`` and AQE coalesces down.
+    """
+    par = parallelism or default_parallelism()
+    shuffle = shuffle_partitions or max(par, 2 * par)
+    builder = (
+        SparkSession.builder.master(f"local[{par}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(par))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
