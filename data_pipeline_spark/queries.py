@@ -1,0 +1,574 @@
+"""Query registry: every operator as a (Spark callable, DuckDB oracle) pair.
+
+Each entry maps one operator family from SURVEY.md §2 onto the synthetic
+change log / testdata tables. The Spark side is the engine's idiomatic plan
+(declarative DataFrame/SQL, pandas UDFs only where mandated); the oracle is
+independent ANSI SQL run by the driver in DuckDB over the same parquet.
+
+Hash-safety conventions (driver compares row count + sorted column names +
+order-insensitive value hash):
+
+* timestamps are projected as canonical strings (the reference's
+  string-order-equals-chronological-order invariant,
+  scripts/s3_item_cleanup.py:38-42),
+* money/doubles are derived from exact integers (cents) or explicitly
+  rounded the same way on both sides,
+* DuckDB integer sums are cast back to BIGINT (DuckDB widens to HUGEINT).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_spark import changelog as cl
+from data_pipeline_spark.extraction import (
+    extract_text,
+    extract_text_duckdb,
+    quality_score,
+    token_count,
+)
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Q:
+    spark: SparkQuery
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = Q(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# -- dialect helpers ----------------------------------------------------------
+
+TS_SPARK = "date_format({c}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+TS_DUCK = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+SHA_SPARK = "sha2({c}, 256)"
+SHA_DUCK = "sha256({c})"
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    if "events" in tables:
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW changelog AS "
+            + cl.changelog_spark_sql("events")
+        )
+
+
+def sql_pair(
+    name: str,
+    spark_sql: str,
+    duck_sql: str | None = None,
+    tables: tuple[str, ...] = ("events",),
+    with_changelog_cte: bool = True,
+    doc: str = "",
+) -> None:
+    """Register a pure-SQL query whose Spark and DuckDB texts are (near-)
+    identical. ``{ts:col}``-style fragments are pre-substituted by callers."""
+    duck = duck_sql if duck_sql is not None else spark_sql
+    if with_changelog_cte and "events" in tables:
+        cte = f"WITH changelog AS ({cl.changelog_duckdb_sql('events')})"
+        stripped = duck.lstrip()
+        if stripped.upper().startswith("WITH"):
+            # Splice our CTE in front of the query's own CTE list.
+            duck = cte + ", " + stripped[4:]
+        else:
+            duck = cte + " " + duck
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir, tables)
+        return spark.sql(spark_sql)
+
+    REGISTRY[name] = Q(spark=fn, oracle=duck, doc=doc)
+
+
+# ============================================================================
+# CDC family (SURVEY.md §2.1-2.9) over the synthetic change log
+# ============================================================================
+
+# S1-S3: windowed change-feed scan — projection + predicate pushed to the scan.
+sql_pair(
+    "cdc_changelog_project",
+    spark_sql="""
+        SELECT url, lsn, op, lang, octet_length(html) AS html_len,
+               date_format(warc_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS warc_ts_s
+        FROM changelog WHERE op <> 'delete' AND lsn % 7 = 0
+    """,
+    duck_sql="""
+        SELECT url, lsn, op, lang, octet_length(html) AS html_len,
+               strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS warc_ts_s
+        FROM changelog WHERE op <> 'delete' AND lsn % 7 = 0
+    """,
+    doc="S1-S3 change-feed scan with pushed predicates (query_stac.py:152-202)",
+)
+
+# J5/W5: last-writer-wins collapse (the CDC heart).
+sql_pair(
+    "cdc_lww_latest",
+    spark_sql="""
+        SELECT url, lsn, op FROM (
+          SELECT url, lsn, op,
+                 row_number() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+          FROM changelog) WHERE rn = 1
+    """,
+    doc="J5/W5 LWW collapse per url (trigger_cdse.py:123-141)",
+)
+
+
+def _final_state_duck() -> str:
+    return f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete'
+    """
+
+
+@register(
+    "cdc_final_state",
+    _final_state_duck(),
+    doc="Full-replay final state, declarative plan + vectorized extraction UDF",
+)
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    log = cl.changelog(spark, sf_dir)
+    from data_pipeline_spark.operators.lww import last_writer_wins
+
+    latest = last_writer_wins(log, "url", "lsn")
+    return latest.filter(F.col("op") != "delete").select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2(extract_text("html"), 256).alias("text_sha"),
+    )
+
+
+@register(
+    "cdc_replay_final_state",
+    _final_state_duck(),
+    doc="Same final state via the REAL engine: micro-batched MERGE commits "
+    "into the snapshot lake table (K1-K6, exactly-once path)",
+)
+def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import replay
+
+    root = tempfile.mkdtemp(prefix="lake_q_")
+    table = replay(
+        spark, sf_dir, root, n_batches=3, n_buckets=16, record_metrics=False
+    )
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+# J1/J2: source-vs-target anti-join dedup — "skip item if already in target".
+sql_pair(
+    "cdc_anti_join_new",
+    spark_sql="""
+        WITH bounds AS (SELECT min(lsn) lo, max(lsn) hi FROM changelog),
+        target AS (
+          SELECT url FROM (
+            SELECT url, op, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog, bounds WHERE lsn <= lo + (hi - lo) / 2)
+          WHERE rn = 1 AND op <> 'delete'),
+        batch AS (SELECT url, lsn, op FROM changelog, bounds
+                  WHERE lsn > lo + (hi - lo) / 2)
+        SELECT b.url, b.lsn, b.op FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.url = b.url)
+    """,
+    doc="J1/J2 anti-join: new-key events vs already-ingested target "
+    "(query_stac.py:225-238, register_per_acquisition.py:190-196)",
+)
+
+# A5: outcome histogram (+ the reconciliation invariant checked in tests).
+sql_pair(
+    "cdc_op_histogram",
+    spark_sql="SELECT op, lang, count(*) AS n FROM changelog GROUP BY op, lang",
+    duck_sql="SELECT op, lang, CAST(count(*) AS BIGINT) AS n FROM changelog GROUP BY op, lang",
+    doc="A5 outcome histogram (stamp_expires.py:78-142)",
+)
+
+# A1: count by day.
+sql_pair(
+    "cdc_daily_counts",
+    spark_sql="""
+        SELECT date_format(date_trunc('day', warc_ts), 'yyyy-MM-dd') AS day,
+               count(*) AS n, count(DISTINCT url) AS n_urls
+        FROM changelog GROUP BY 1
+    """,
+    duck_sql="""
+        SELECT strftime(date_trunc('day', warc_ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+        FROM changelog GROUP BY 1
+    """,
+    doc="A1 daily counts (aggregate_items.py:42-77)",
+)
+
+# A2: monthly rollup of daily counts.
+sql_pair(
+    "cdc_monthly_rollup",
+    spark_sql="""
+        SELECT date_format(date_trunc('month', warc_ts), 'yyyy-MM') AS month,
+               count(*) AS n,
+               sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes
+        FROM changelog GROUP BY 1
+    """,
+    duck_sql="""
+        SELECT strftime(date_trunc('month', warc_ts), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        FROM changelog GROUP BY 1
+    """,
+    doc="A2 monthly rollup (aggregate_items.py:98-118)",
+)
+
+# B2/B3: tumbling event-time windows (6h), via epoch arithmetic so both
+# engines window identically.
+sql_pair(
+    "cdc_tumbling_window_6h",
+    spark_sql="""
+        SELECT CAST(floor(unix_timestamp(warc_ts) / 21600) AS BIGINT) AS win,
+               count(*) AS n, min(lsn) AS first_lsn, max(lsn) AS last_lsn
+        FROM changelog GROUP BY 1
+    """,
+    duck_sql="""
+        SELECT CAST(floor(epoch(warc_ts) / 21600) AS BIGINT) AS win,
+               CAST(count(*) AS BIGINT) AS n,
+               min(lsn) AS first_lsn, max(lsn) AS last_lsn
+        FROM changelog GROUP BY 1
+    """,
+    doc="B2/B3 tumbling windows (query_storage_tier_items.py:115-128)",
+)
+
+# F3: watermark / acquisition-age floor — drop events older than
+# (global max warc_ts − 7 days).
+sql_pair(
+    "cdc_watermark_filter",
+    spark_sql="""
+        SELECT url, lsn FROM changelog,
+             (SELECT max(warc_ts) AS hi FROM changelog)
+        WHERE warc_ts >= hi - INTERVAL 7 DAY
+    """,
+    duck_sql="""
+        SELECT url, lsn FROM changelog,
+             (SELECT max(warc_ts) AS hi FROM changelog)
+        WHERE warc_ts >= hi - INTERVAL 7 DAY
+    """,
+    doc="F3 too-late drop / watermark analog (query_stac.py:120-128,206-212)",
+)
+
+# F5: multi-guard delete gate — order-sensitive chained classification.
+sql_pair(
+    "cdc_guard_classification",
+    spark_sql="""
+        SELECT url, lsn,
+          CASE WHEN op <> 'delete' THEN 'not_a_delete'
+               WHEN url LIKE '%/page/0' OR url LIKE '%/page/1' THEN 'excluded'
+               WHEN lsn % 5 = 0 THEN 'no_expires'
+               WHEN lang IN ('en', 'de') THEN 'not_expired'
+               ELSE 'ok_delete' END AS gate
+        FROM changelog
+    """,
+    doc="F5 ordered guard matrix for deletes (cleanup_expired_items.py:85-107)",
+)
+
+# A3: histogram + most-common with tie → lexicographic max.
+sql_pair(
+    "cdc_mode_per_domain",
+    spark_sql="""
+        SELECT domain, op AS top_op, n AS top_n FROM (
+          SELECT domain, op, n,
+                 row_number() OVER (PARTITION BY domain ORDER BY n DESC, op DESC) rn
+          FROM (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                       op, count(*) AS n
+                FROM changelog GROUP BY 1, 2))
+        WHERE rn = 1
+    """,
+    duck_sql="""
+        SELECT domain, op AS top_op, CAST(n AS BIGINT) AS top_n FROM (
+          SELECT domain, op, n,
+                 row_number() OVER (PARTITION BY domain ORDER BY n DESC, op DESC) rn
+          FROM (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                       op, count(*) AS n
+                FROM changelog GROUP BY 1, 2))
+        WHERE rn = 1
+    """,
+    doc="A3 storage-class histogram + deterministic mode "
+    "(storage_tier_utils.py:104-140)",
+)
+
+# A4: mixed-distribution detection.
+sql_pair(
+    "cdc_mixed_lang_domains",
+    spark_sql="""
+        SELECT domain,
+               CASE WHEN count(DISTINCT lang) > 1 THEN 'MIXED' ELSE max(lang) END AS cls,
+               count(DISTINCT lang) AS n_langs
+        FROM (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain, lang
+              FROM changelog)
+        GROUP BY domain
+    """,
+    duck_sql="""
+        SELECT domain,
+               CASE WHEN count(DISTINCT lang) > 1 THEN 'MIXED' ELSE max(lang) END AS cls,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain, lang
+              FROM changelog)
+        GROUP BY domain
+    """,
+    doc="A4 MIXED detection (storage_tier_utils.py:244-277)",
+)
+
+# W2/W3: most-recent-first queue with unique tiebreaker + cap.
+sql_pair(
+    "cdc_topk_recent",
+    spark_sql="""
+        SELECT url, lsn, op FROM changelog
+        ORDER BY warc_ts DESC, lsn DESC LIMIT 100
+    """,
+    doc="W1-W3 total-order queue + limit (query_stac.py:256-260, "
+    "cleanup_expired_items.py:76-82)",
+)
+
+# W4: best-recent slice pick — most recent update if any, else max lsn.
+sql_pair(
+    "cdc_best_slice",
+    spark_sql="""
+        SELECT url, lsn AS best_lsn, op AS best_op FROM (
+          SELECT url, lsn, op,
+                 row_number() OVER (PARTITION BY url
+                   ORDER BY CASE WHEN op = 'update' THEN 1 ELSE 0 END DESC,
+                            lsn DESC) rn
+          FROM changelog) WHERE rn = 1
+    """,
+    doc="W4 conditional-rank top-1 (register_v1_s1_rtc.py:66-88)",
+)
+
+# SF1/SF2: url rewrite + id derivation scalar functions.
+sql_pair(
+    "cdc_url_normalize",
+    spark_sql="""
+        SELECT url,
+               regexp_replace(url, '^https://([^/]+)/', 's3://web-archive/$1/') AS s3_url,
+               regexp_extract(url, '/page/([0-9]+)$', 1) AS page_id,
+               regexp_extract(url, 'https://site-([0-9]+)\\\\.', 1) AS site_id
+        FROM changelog WHERE op = 'insert'
+    """,
+    duck_sql=r"""
+        SELECT url,
+               regexp_replace(url, '^https://([^/]+)/', 's3://web-archive/\1/') AS s3_url,
+               regexp_extract(url, '/page/([0-9]+)$', 1) AS page_id,
+               regexp_extract(url, 'https://site-([0-9]+)\.', 1) AS site_id
+        FROM changelog WHERE op = 'insert'
+    """,
+    doc="SF1/SF2 url rewrite + id derivation (register_v1.py:46-125, "
+    "source_url_utils.py:58-67)",
+)
+
+# SO1: EXCEPT-based stale-key diff — live urls never touched in the last
+# quarter of the log.
+sql_pair(
+    "cdc_set_except_stale",
+    spark_sql="""
+        WITH bounds AS (SELECT min(lsn) lo, max(lsn) hi FROM changelog),
+        live AS (
+          SELECT url FROM (
+            SELECT url, op, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1 AND op <> 'delete'),
+        recent AS (SELECT DISTINCT url FROM changelog, bounds
+                   WHERE lsn > hi - (hi - lo) / 4)
+        SELECT url FROM live EXCEPT SELECT url FROM recent
+    """,
+    doc="SO1 scoped stale-key EXCEPT (ingest_v1_s1_rtc.py:508-517)",
+)
+
+# ============================================================================
+# General OLAP capability (TPC-H classics over the star schema)
+# ============================================================================
+
+sql_pair(
+    "tpch_q1",
+    spark_sql="""
+        SELECT l_returnflag, l_linestatus,
+          sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+          sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_c,
+          sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS sum_charge_c,
+          count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    duck_sql="""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+          count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tables=("lineitem",),
+    with_changelog_cte=False,
+    doc="TPC-H Q1 pricing summary (exact-cents money math)",
+)
+
+sql_pair(
+    "tpch_q3",
+    spark_sql="""
+        SELECT l.l_orderkey,
+          sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_c,
+          date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < timestamp '1998-03-15 00:00:00'
+          AND l.l_shipdate > timestamp '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue_c DESC, l_orderkey LIMIT 20
+    """,
+    duck_sql="""
+        SELECT l.l_orderkey,
+          CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c,
+          strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < timestamp '1998-03-15 00:00:00'
+          AND l.l_shipdate > timestamp '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue_c DESC, l_orderkey LIMIT 20
+    """,
+    tables=("customer", "orders", "lineitem"),
+    with_changelog_cte=False,
+    doc="TPC-H Q3 shipping priority (broadcast dim join)",
+)
+
+sql_pair(
+    "tpch_q6",
+    spark_sql="""
+        SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS revenue_c
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+          AND l_shipdate < timestamp '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    duck_sql="""
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+          AND l_shipdate < timestamp '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    tables=("lineitem",),
+    with_changelog_cte=False,
+    doc="TPC-H Q6 forecasting revenue (scan + pushed predicates)",
+)
+
+# ============================================================================
+# Training-data pipeline: documents / text analysis
+# ============================================================================
+
+sql_pair(
+    "docs_exact_dedup",
+    spark_sql="""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    duck_sql="""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Exact dedup: hash-groupBy keep-first (training-data op)",
+)
+
+
+_TOKEN_STATS_DUCK = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens
+    FROM documents
+"""
+
+
+@register(
+    "docs_token_stats",
+    _TOKEN_STATS_DUCK,
+    doc="Token counting: BPE-ish regex + whitespace, via the vectorized "
+    "pandas UDF (proven against the SQL oracle)",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_ws_tokens"),
+    )
+
+
+sql_pair(
+    "docs_fingerprint",
+    spark_sql="""
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, ' +', ' '))) AS fingerprint
+        FROM documents
+    """,
+    duck_sql="""
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Document fingerprinting: normalized content hash",
+)
+
+
+def entry_df(spark: SparkSession) -> DataFrame:
+    """Flagship: real engine replay at sf0.001 → final table."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import replay
+
+    root = tempfile.mkdtemp(prefix="lake_entry_")
+    table = replay(
+        spark, "/root/testdata/sf0.001", root, n_batches=2, n_buckets=8,
+        record_metrics=False,
+    )
+    return table.read().select(
+        "url", "lsn", "warc_ts", "lang", F.sha2("text", 256).alias("text_sha")
+    )

@@ -1,0 +1,157 @@
+"""Lake-table semantics: exactly-once, resume, schema evolution, pruning,
+concurrent-writer guard, metrics reconciliation."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark import changelog as cl
+from data_pipeline_spark.lake.table import ConcurrentCommitError, LakeTable, Snapshot
+from data_pipeline_spark.metrics import read_metrics
+from data_pipeline_spark.pipeline import apply_batch, ensure_table, replay
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def replayed(spark):
+    root = tempfile.mkdtemp(prefix="lake_t_")
+    table = replay(spark, SF_SMOKE, root, n_batches=3, n_buckets=16)
+    return table
+
+
+def _final_multiset(table):
+    return sorted(
+        (r.url, r.lsn) for r in table.read().select("url", "lsn").collect()
+    )
+
+
+def test_replay_is_idempotent(spark, replayed):
+    v = replayed.current().version
+    before = _final_multiset(replayed)
+    replay(spark, SF_SMOKE, replayed.root, n_batches=3, n_buckets=16)
+    assert replayed.current().version == v
+    assert _final_multiset(replayed) == before
+
+
+def test_same_commit_key_different_data_is_noop(spark, replayed):
+    log = cl.changelog(spark, SF_SMOKE).withColumn("lsn", F.col("lsn") + 10**9)
+    before = _final_multiset(replayed)
+    stats = apply_batch(replayed, log.limit(5), "replay-1", record_metrics=False)
+    assert not stats.applied
+    assert _final_multiset(replayed) == before
+
+
+def test_partial_then_resume_equals_oneshot(spark):
+    log = cl.changelog(spark, SF_SMOKE)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    span = (hi - lo + 1 + 2) // 3
+    root_a = tempfile.mkdtemp()
+    t = ensure_table(spark, root_a, 8)
+    apply_batch(
+        t, log.filter(F.col("lsn") < lo + span), "replay-0", record_metrics=False
+    )
+    replay(spark, SF_SMOKE, root_a, n_batches=3, n_buckets=8, record_metrics=False)
+    root_b = tempfile.mkdtemp()
+    one = replay(spark, SF_SMOKE, root_b, n_batches=1, n_buckets=8, record_metrics=False)
+    assert _final_multiset(t) == _final_multiset(one)
+
+
+def test_out_of_order_batches_converge(spark):
+    """LWW makes the final state order-independent (the reference's
+    out-of-order append robustness, register_per_acquisition.py:1-20)."""
+    log = cl.changelog(spark, SF_SMOKE)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = lo + (hi - lo) // 2
+    root_a = tempfile.mkdtemp()
+    t = ensure_table(spark, root_a, 8)
+    apply_batch(t, log.filter(F.col("lsn") > mid), "b1", record_metrics=False)
+    apply_batch(t, log.filter(F.col("lsn") <= mid), "b0", record_metrics=False)
+    root_b = tempfile.mkdtemp()
+    one = replay(spark, SF_SMOKE, root_b, n_batches=1, n_buckets=8, record_metrics=False)
+    assert _final_multiset(t) == _final_multiset(one)
+
+
+def test_schema_evolution_add_and_widen(spark):
+    root = tempfile.mkdtemp()
+    t = LakeTable.create(
+        spark, root, [("url", "string"), ("lsn", "bigint"), ("score", "int")], "url", 4
+    )
+    df = spark.createDataFrame(
+        [("a", 1, 10, "update"), ("b", 2, 20, "update")],
+        "url string, lsn bigint, score int, op string",
+    )
+    from data_pipeline_spark.lake.merge import merge_into
+
+    merge_into(t, df, "c1")
+    t.evolve_schema(add_columns={"lang": "string"}, widen={"score": "bigint"})
+    out = t.read()
+    assert dict(t.schema_fields(t.current()))["score"] == "bigint"
+    assert out.filter(F.col("lang").isNull()).count() == 2
+    # post-evolution merge: new column flows, old files still readable
+    df2 = spark.createDataFrame(
+        [("a", 3, 30, "de", "update"), ("c", 4, 40, "fr", "update")],
+        "url string, lsn bigint, score bigint, lang string, op string",
+    )
+    merge_into(t, df2, "c2")
+    rows = {r.url: (r.score, r.lang) for r in t.read().collect()}
+    assert rows == {"a": (30, "de"), "b": (20, None), "c": (40, "fr")}
+
+
+def test_delete_semantics(spark):
+    root = tempfile.mkdtemp()
+    t = LakeTable.create(spark, root, [("url", "string"), ("lsn", "bigint")], "url", 4)
+    from data_pipeline_spark.lake.merge import merge_into
+
+    df = spark.createDataFrame(
+        [("a", 1, "insert"), ("b", 2, "insert")], "url string, lsn bigint, op string"
+    )
+    merge_into(t, df, "c1")
+    # delete a; stale delete for b (older lsn) must NOT win
+    df2 = spark.createDataFrame(
+        [("a", 3, "delete"), ("b", 1, "delete")], "url string, lsn bigint, op string"
+    )
+    merge_into(t, df2, "c2")
+    rows = {r.url: r.lsn for r in t.read().collect()}
+    assert rows == {"b": 2}
+
+
+def test_bucket_pruning_exact(spark, replayed):
+    snap = replayed.current()
+    full = replayed.read().withColumn("b", replayed.bucket_expr(snap))
+    some = {0, 3, 7}
+    expect = {r.url for r in full.filter(F.col("b").isin(*some)).collect()}
+    got = {r.url for r in replayed.read(buckets=some).collect()}
+    assert got == expect
+
+
+def test_concurrent_commit_guard(spark, replayed):
+    snap = replayed.current()
+    with pytest.raises(ConcurrentCommitError):
+        replayed._write_snapshot(
+            Snapshot(**{**snap.__dict__, "version": snap.version + 1}),
+            expect_parent=snap.version - 1,
+        )
+
+
+def test_metrics_reconciliation(spark, replayed):
+    """A5's invariant: lineage row counts for the LAST commit's touched
+    buckets equal the live table row counts in those buckets."""
+    commits = read_metrics(replayed, "commits")
+    lineage = read_metrics(replayed, "lineage")
+    last_v = commits.agg(F.max("version")).first()[0]
+    lin = {
+        r.bucket: r.rows
+        for r in lineage.filter(F.col("version") == last_v).collect()
+    }
+    snap = replayed.current()
+    actual = {
+        r.b: r.n
+        for r in replayed.read(buckets=set(lin))
+        .withColumn("b", replayed.bucket_expr(snap))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for b, rows in lin.items():
+        assert actual.get(b, 0) == rows, (b, rows, actual.get(b))
