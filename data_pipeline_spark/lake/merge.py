@@ -65,8 +65,15 @@ def merge_into(
     source: DataFrame,
     commit_key: str,
     with_stats: bool = False,
+    precollapsed: bool = False,
 ) -> MergeStats:
-    """Apply one batch of change events (current-schema cols + ``op``)."""
+    """Apply one batch of change events (current-schema cols + ``op``).
+
+    ``precollapsed=True`` promises the source already holds at most one row
+    per key (the caller ran the LWW collapse, e.g. to scope the extraction
+    UDF to winners only) — the within-batch collapse is then skipped; the
+    vs-target collapse still runs.
+    """
     snap: Snapshot = table.current()
     if commit_key in snap.commits:
         return MergeStats(commit_key, False, snap.version, 0)
@@ -74,6 +81,17 @@ def merge_into(
     key = snap.key
     fields = table.schema_fields(snap)
     data_cols = [n for n, _ in fields if n != key]
+
+    # Touched-bucket discovery BEFORE any heavy transform: a column-pruned
+    # scan of just the key column (no UDF work), distinct ≤ n_buckets rows.
+    touched = {
+        int(r[0])
+        for r in source.select(
+            table.bucket_expr(snap, key).alias(BUCKET_COL)
+        )
+        .distinct()
+        .collect()
+    }
 
     # Align the batch to the current schema: columns added by a schema
     # evolution mid-stream appear as typed NULLs for pre-evolution events
@@ -89,12 +107,8 @@ def merge_into(
         F.col(OP_COL),
     )
 
-    src = lww_collapse(src, key, ORDER_COL, data_cols + [OP_COL])
-
-    src = src.withColumn(BUCKET_COL, table.bucket_expr(snap, key))
-    # Touched-bucket discovery is a tiny distinct (≤ n_buckets rows).
-    touched = {int(r[0]) for r in src.select(BUCKET_COL).distinct().collect()}
-    src = src.drop(BUCKET_COL)
+    if not precollapsed:
+        src = lww_collapse(src, key, ORDER_COL, data_cols + [OP_COL])
 
     batch_rows = src.count() if with_stats else None
 

@@ -45,10 +45,26 @@ def apply_batch(
     record_metrics: bool = True,
     with_stats: bool = False,
 ) -> MergeStats:
-    """One micro-batch: vectorized extraction → MERGE, idempotent by key."""
+    """One micro-batch: LWW collapse → vectorized extraction → MERGE.
+
+    Collapse runs FIRST so the extraction UDF touches only per-url winners
+    (O(distinct urls)), not every change event; deletes skip extraction
+    entirely (their payload never reaches the table).
+    """
     t0 = time.monotonic()
-    enriched = batch.withColumn("text", extract_text("html"))
-    stats = merge_into(table, enriched, commit_key, with_stats=with_stats)
+    from data_pipeline_spark.lake.merge import lww_collapse
+
+    snap = table.current()
+    collapsed = lww_collapse(
+        batch, snap.key, "lsn", [c for c in batch.columns if c != snap.key]
+    )
+    enriched = collapsed.withColumn(
+        "text",
+        F.when(F.col("op") != "delete", extract_text("html")),
+    )
+    stats = merge_into(
+        table, enriched, commit_key, with_stats=with_stats, precollapsed=True
+    )
     if record_metrics and stats.applied:
         metrics_mod.record_commit(
             table,
