@@ -1,0 +1,149 @@
+"""Structured-Streaming wrapper: tail the change log, apply via foreachBatch.
+
+The reference's change-feed tail is a cron loop that polls "items updated in
+window", checkpoints a processed-state file after each success, and re-runs
+idempotent per-item pipelines (reference: scripts/watch_cdse_and_process.py:95-146,
+241-277; scripts/query_stac.py:152-182). Spark-first shape:
+
+    readStream (file source over the WAL directory, maxFilesPerTrigger)
+      -> foreachBatch(apply_batch)        # the SAME batch core as replay()
+      -> checkpointLocation               # offsets survive kill/restart
+
+Exactly-once layering (north_star):
+
+1. **Offset checkpoint** — Spark's file-source checkpoint guarantees each
+   WAL file is delivered to foreachBatch at-least-once with a stable
+   ``batch_id`` (epoch).
+2. **Idempotent commit** — ``apply_batch`` keys its snapshot commit by
+   ``epoch=<batch_id>``; re-delivery after a crash (the classic
+   foreachBatch double-fire) is a recorded no-op. Together: exactly-once
+   table state (reference analog: time-key dedup makes re-runs converge,
+   scripts/ingest_v1_s1_rtc.py:125-127).
+
+The WAL directory is append-only files — at scale this is the landing zone
+a Kafka/Debezium feed writes to (or an Iceberg changelog scan); the file
+source is chosen because it is fully deterministic and replayable in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from data_pipeline_spark import changelog as cl
+from data_pipeline_spark.lake.table import LakeTable
+from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+EPOCH_KEY = "epoch={n}"
+
+
+def write_wal(
+    spark: SparkSession, sf_dir: str, wal_dir: str, n_files: int = 8
+) -> int:
+    """Land the synthetic change log as an append-only WAL directory.
+
+    Files are LSN-ranged so arrival order == log order (the file source
+    lists by modification time; one file per range keeps batches
+    deterministic under ``maxFilesPerTrigger=1``). Returns file count.
+    """
+    from pyspark.sql import functions as F
+
+    log = cl.changelog(spark, sf_dir)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    span = (hi - lo + 1 + n_files - 1) // n_files
+    os.makedirs(wal_dir, exist_ok=True)
+    n = 0
+    for i in range(n_files):
+        part = log.filter(
+            (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
+        )
+        # One file per WAL segment; coalesce(1) is fine (segments are small
+        # slices of one batch — the cluster-scale analog is a Kafka topic
+        # partition file landed by the connector).
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(wal_dir, f"seg-{i:05d}")
+        )
+        n += 1
+    return n
+
+
+def wal_stream(spark: SparkSession, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """The change feed as a streaming DataFrame (checkpointed file offsets)."""
+    schema = (
+        "url string, lsn bigint, warc_ts timestamp, op string, "
+        "html binary, lang string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(wal_dir)
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    wal_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 1,
+    record_metrics: bool = True,
+    available_now: bool = True,
+    fail_after_batches: int | None = None,
+    fail_mode: str = "before",
+) -> StreamingQuery:
+    """Start the CDC apply stream. ``available_now=True`` processes the
+    current WAL backlog then stops (the test/replay mode); ``False`` keeps
+    tailing.
+
+    ``fail_after_batches`` injects a mid-replay crash for kill-and-resume
+    tests. ``fail_mode='before'`` crashes before the Nth batch is applied
+    (clean kill); ``'after'`` crashes AFTER the table commit but BEFORE the
+    stream checkpoint advances — the classic foreachBatch double-fire window.
+    On restart Spark redelivers that epoch; the commit-keyed snapshot makes
+    the re-application a recorded no-op (exactly-once)."""
+    table = ensure_table(spark, table_root, n_buckets)
+    seen = {"n": 0}
+
+    def apply_epoch(batch: DataFrame, batch_id: int) -> None:
+        crash = fail_after_batches is not None and seen["n"] >= fail_after_batches
+        if crash and fail_mode == "before":
+            raise RuntimeError("injected mid-replay failure (before apply)")
+        apply_batch(
+            table,
+            batch,
+            commit_key=EPOCH_KEY.format(n=batch_id),
+            record_metrics=record_metrics,
+        )
+        seen["n"] += 1
+        if crash and fail_mode == "after":
+            raise RuntimeError("injected post-commit failure (before checkpoint)")
+
+    writer = (
+        wal_stream(spark, wal_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_to_completion(
+    spark: SparkSession,
+    wal_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    **kwargs,
+) -> LakeTable:
+    """Drain the WAL backlog and return the final table (batch-equivalent)."""
+    q = run_stream(
+        spark, wal_dir, table_root, checkpoint_dir, available_now=True, **kwargs
+    )
+    q.awaitTermination(timeout_s)
+    return LakeTable(spark, table_root)

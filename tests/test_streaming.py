@@ -1,0 +1,121 @@
+"""Structured-Streaming CDC: drain == batch replay, kill-and-resume from
+checkpoint, and the post-commit/pre-checkpoint double-fire (exactly-once).
+
+Reference analogs: processed-state checkpoint + re-run convergence
+(scripts/watch_cdse_and_process.py:120-146,241-267; BASELINE.json requires
+mid-replay kill-and-resume)."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.lake.table import LakeTable
+from data_pipeline_spark.pipeline import replay
+from data_pipeline_spark.streaming.pipeline import (
+    run_stream,
+    stream_to_completion,
+    write_wal,
+)
+from tests.conftest import SF_SMOKE
+
+N_SEGMENTS = 6
+
+
+@pytest.fixture(scope="module")
+def wal(spark):
+    d = tempfile.mkdtemp(prefix="wal_")
+    write_wal(spark, SF_SMOKE, d, n_files=N_SEGMENTS)
+    return d
+
+
+@pytest.fixture(scope="module")
+def batch_final(spark):
+    root = tempfile.mkdtemp(prefix="lake_batch_ref_")
+    t = replay(spark, SF_SMOKE, root, n_batches=1, n_buckets=8, record_metrics=False)
+    return _state(t)
+
+
+def _state(table: LakeTable):
+    return sorted(
+        (r.url, r.lsn, r.h)
+        for r in table.read()
+        .selectExpr("url", "lsn", "sha2(text, 256) AS h")
+        .collect()
+    )
+
+
+def _drain(spark, wal, root, ckpt, **kw):
+    q = run_stream(
+        spark, wal, root, ckpt, n_buckets=8, record_metrics=False,
+        available_now=True, **kw,
+    )
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        pass  # injected failures surface here
+    finally:
+        if q.isActive:
+            q.stop()
+    return LakeTable(spark, root)
+
+
+def test_stream_drain_equals_batch_replay(spark, wal, batch_final):
+    root = tempfile.mkdtemp(prefix="lake_s1_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_s1_")
+    t = _drain(spark, wal, root, ckpt)
+    # every WAL segment became exactly one epoch commit
+    assert len(t.current().commits) == N_SEGMENTS
+    assert _state(t) == batch_final
+
+
+def test_kill_and_resume_from_checkpoint(spark, wal, batch_final):
+    root = tempfile.mkdtemp(prefix="lake_s2_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_s2_")
+    t = _drain(spark, wal, root, ckpt, fail_after_batches=2, fail_mode="before")
+    applied_at_kill = len(t.current().commits)
+    assert 0 < applied_at_kill < N_SEGMENTS
+    # restart with the SAME checkpoint: picks up at the failed epoch
+    t = _drain(spark, wal, root, ckpt)
+    assert len(t.current().commits) == N_SEGMENTS
+    assert _state(t) == batch_final
+
+
+def test_post_commit_crash_redelivery_is_noop(spark, wal, batch_final):
+    """Crash AFTER the table commit but BEFORE the stream checkpoint: on
+    restart Spark redelivers that epoch; the commit-keyed snapshot must
+    absorb it as a no-op (no double-application, no version bump)."""
+    root = tempfile.mkdtemp(prefix="lake_s3_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_s3_")
+    t = _drain(spark, wal, root, ckpt, fail_after_batches=2, fail_mode="after")
+    committed = dict(t.current().commits)
+    assert len(committed) == 3  # epochs 0,1,2 committed; ckpt only has 0,1
+    t = _drain(spark, wal, root, ckpt)
+    final = t.current()
+    # every epoch applied exactly once; redelivered epoch kept its version
+    assert len(final.commits) == N_SEGMENTS
+    for k, v in committed.items():
+        assert final.commits[k] == v
+    assert _state(t) == batch_final
+
+
+def test_resume_with_new_wal_segments(spark, batch_final):
+    """Backlog drain, then new WAL segments arrive, then a second drain —
+    the incremental-tail mode (reference: lookback-window re-query +
+    processed-state skip, watch_cdse_and_process.py:102-146)."""
+    wal2 = tempfile.mkdtemp(prefix="wal2_")
+    write_wal(spark, SF_SMOKE, wal2, n_files=4)
+    # hide the last segment outside the WAL dir, drain, then reveal it
+    hidden = os.path.join(wal2, "seg-00003")
+    shadow = os.path.join(tempfile.mkdtemp(prefix="wal2_shadow_"), "seg-00003")
+    os.rename(hidden, shadow)
+    root = tempfile.mkdtemp(prefix="lake_s4_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_s4_")
+    t = _drain(spark, wal2, root, ckpt)
+    n_first = len(t.current().commits)
+    assert n_first == 3
+    os.rename(shadow, hidden)
+    t = _drain(spark, wal2, root, ckpt)
+    assert len(t.current().commits) == 4
+    assert _state(t) == batch_final
