@@ -90,12 +90,34 @@ def token_count_sql(text_col: str) -> Column:
 @pandas_udf(T.DoubleType())
 def quality_score(text: pd.Series) -> pd.Series:
     """Document quality in [0,1]: penalize very short docs, reward a sane
-    word-length distribution and low punctuation density. Frozen formula —
-    mirrored in SQL by the oracle query (docs_quality)."""
+    word-length distribution and low punctuation density. Frozen formula,
+    UNROUNDED — the IEEE op order below is mirrored exactly by the SQL
+    oracle (docs_quality), so both engines produce bit-identical doubles."""
     n_chars = text.str.len().fillna(0)
     n_words = text.str.count(r"[A-Za-z]+").fillna(0)
     n_punct = text.str.count(r"[^\w\s]").fillna(0)
+    den = n_chars.replace(0, 1)
     len_score = (n_chars / 200.0).clip(upper=1.0)
-    punct_ratio = (n_punct / n_chars.replace(0, 1)).clip(upper=1.0)
-    word_density = (n_words * 5.0 / n_chars.replace(0, 1)).clip(upper=1.0)
-    return (0.4 * len_score + 0.4 * word_density + 0.2 * (1.0 - punct_ratio)).round(6)
+    punct_ratio = (n_punct / den).clip(upper=1.0)
+    word_density = (n_words * 5.0 / den).clip(upper=1.0)
+    return 0.4 * len_score + 0.4 * word_density + 0.2 * (1.0 - punct_ratio)
+
+
+def quality_score_sql(text_col: str, dialect: str = "duck") -> str:
+    """SQL spelling of :func:`quality_score` with the SAME IEEE op order.
+
+    Valid Spark SQL and DuckDB text (shared dialect subset); counts come
+    from regexp matches identical under RE2/Java regex on ASCII."""
+    n_chars = f"CAST(length({text_col}) AS DOUBLE)"
+    if dialect == "duck":
+        n_words = f"CAST(len(regexp_extract_all({text_col}, '[A-Za-z]+')) AS DOUBLE)"
+        n_punct = f"CAST(len(regexp_extract_all({text_col}, '[^\\w\\s]')) AS DOUBLE)"
+    else:
+        n_words = f"CAST(regexp_count({text_col}, '[A-Za-z]+') AS DOUBLE)"
+        n_punct = f"CAST(regexp_count({text_col}, '[^\\\\w\\\\s]') AS DOUBLE)"
+    den = f"(CASE WHEN length({text_col}) = 0 THEN 1.0 ELSE {n_chars} END)"
+    return (
+        f"(0.4 * least({n_chars} / 200.0, 1.0) "
+        f"+ 0.4 * least({n_words} * 5.0 / {den}, 1.0) "
+        f"+ 0.2 * (1.0 - least({n_punct} / {den}, 1.0)))"
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over the embedding column (array<float>).
+
+Two paths, both declarative Spark SQL (JVM-side, codegen; no Python in the
+hot loop):
+
+* **Brute-force top-k** — broadcast the (small) query set, score every
+  corpus vector, rank per query. The exact baseline; at 100 TB the corpus
+  scan is embarrassingly parallel and the broadcast keeps it shuffle-free
+  until the final per-query top-k (a tiny shuffle of k×|queries| rows).
+* **Sign-LSH bucketed** — random-hyperplane signatures shrink each probe to
+  one bucket; the bucket join is an equi-join on the signature. The
+  hyperplanes are DETERMINISTIC (md5-derived ±1 weights, inlined as literal
+  arrays into the SQL) so the DuckDB oracle reproduces them exactly.
+
+Exactness strategy for cross-engine parity: embeddings are quantized to
+integers (round(x·1000)) and similarity is the integer dot product —
+BIGINT arithmetic is exact and engine-independent, unlike float cosine.
+Ranking tiebreak is the vector id, so top-k is fully deterministic.
+(Float cosine differs from int-dot ranking only on near-ties; the point
+here is the *plan shape*, which is identical.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+SPARK = "spark"
+DUCK = "duck"
+
+DIM = 64  # embeddings table vector width (driver testdata)
+
+
+def quantize(col: str, dialect: str) -> str:
+    """array<float> → array<bigint>, qi = round(xi * 1000)."""
+    if dialect == SPARK:
+        return f"transform({col}, x -> CAST(round(x * 1000) AS BIGINT))"
+    return f"list_transform({col}, x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+def int_dot(a: str, b: str, dialect: str, dim: int = DIM) -> str:
+    """Exact BIGINT dot product of two quantized vectors."""
+    if dialect == SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))"
+    )
+
+
+def hyperplanes(n_planes: int, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights: sign of md5(p:i) low bit.
+
+    Generated in Python, inlined as literals into BOTH engine SQL texts —
+    no cross-engine hash agreement needed, and at scale the planes are a
+    broadcast literal, not data."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).digest()
+            row.append(1 if h[0] & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def _planes_literal(planes: list[list[int]], dialect: str) -> str:
+    rows = ", ".join("array(" + ", ".join(map(str, row)) + ")" for row in planes)
+    if dialect == SPARK:
+        return f"array({rows})"
+    return "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in planes) + "]"
+
+
+def lsh_bucket(vec: str, planes: list[list[int]], dialect: str, dim: int = DIM) -> str:
+    """Signature bucket id: bit p = (plane_p · vec > 0)."""
+    terms = []
+    for p, row in enumerate(planes):
+        lit = (
+            "array(" + ", ".join(map(str, row)) + ")"
+            if dialect == SPARK
+            else "[" + ", ".join(map(str, row)) + "]"
+        )
+        dot = int_dot(lit, vec, dialect, dim)
+        terms.append(f"CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_bruteforce_sql(
+    dialect: str,
+    emb_rel: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    dim: int = DIM,
+) -> str:
+    """Exact top-k by integer dot product; queries = lowest vec_ids."""
+    q = quantize("q.embedding", dialect)
+    c = quantize("c.embedding", dialect)
+    return f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {int_dot(q, c, dialect, dim)} AS dot
+          FROM {emb_rel} q JOIN {emb_rel} c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {n_queries}
+        )
+        SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot FROM (
+          SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS rn
+          FROM scored
+        ) ranked WHERE rn <= {k}
+    """
+
+
+def ann_lsh_sql(
+    dialect: str,
+    emb_rel: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = DIM,
+) -> str:
+    """Bucketed ANN: score only same-sign-signature vectors (the scale
+    path — bucket join instead of full scan; recall < 1 by design)."""
+    planes = hyperplanes(n_planes, dim)
+    qv = quantize("embedding", dialect)
+    return f"""
+        WITH sigs AS (
+          SELECT vec_id, {qv} AS qe,
+                 {lsh_bucket(quantize('embedding', dialect), planes, dialect, dim)}
+                   AS bucket
+          FROM {emb_rel}
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {int_dot('q.qe', 'c.qe', dialect, dim)} AS dot
+          FROM sigs q JOIN sigs c
+            ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {n_queries}
+        )
+        SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot FROM (
+          SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS rn
+          FROM scored
+        ) ranked WHERE rn <= {k}
+    """
+
+
+def embedding_near_dup_sql(
+    dialect: str,
+    emb_rel: str = "embeddings",
+    threshold_dot: int = 40_000_000,
+    dim: int = DIM,
+    n_planes: int = 6,
+) -> str:
+    """Embedding-cosine near-dup pairs: candidates from shared LSH bucket,
+    verified by exact integer dot ≥ threshold (≈ cosine threshold after
+    quantization; 40e6 ≈ 0.04·1000² per unit-ish dims)."""
+    planes = hyperplanes(n_planes, dim)
+    return f"""
+        WITH sigs AS (
+          SELECT vec_id, {quantize('embedding', dialect)} AS qe,
+                 {lsh_bucket(quantize('embedding', dialect), planes, dialect, dim)}
+                   AS bucket
+          FROM {emb_rel}
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST({int_dot('a.qe', 'b.qe', dialect, dim)} AS BIGINT) AS dot
+        FROM sigs a JOIN sigs b
+          ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+        WHERE {int_dot('a.qe', 'b.qe', dialect, dim)} >= {threshold_dot}
+    """

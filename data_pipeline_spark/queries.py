@@ -29,6 +29,7 @@ from data_pipeline_spark.extraction import (
     extract_text,
     extract_text_duckdb,
     quality_score,
+    quality_score_sql,
     token_count,
 )
 
@@ -556,6 +557,122 @@ sql_pair(
     with_changelog_cte=False,
     doc="Document fingerprinting: normalized content hash",
 )
+
+
+# ============================================================================
+# Training-data pipeline: near-dup detection, similarity search, lang-ID,
+# quality scoring, multimodal feature extraction
+# ============================================================================
+
+from data_pipeline_spark.operators import dedup as _dd  # noqa: E402
+from data_pipeline_spark.operators import similarity as _sim  # noqa: E402
+from data_pipeline_spark.operators import textstats as _ts  # noqa: E402
+
+sql_pair(
+    "docs_minhash_near_dup",
+    spark_sql=_dd.minhash_near_dup_sql(_dd.SPARK),
+    duck_sql=_dd.minhash_near_dup_sql(_dd.DUCK),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="MinHash(16) + LSH(4 bands) near-dup pairs, exact-Jaccard verified",
+)
+
+sql_pair(
+    "docs_simhash",
+    spark_sql=_dd.simhash_sql(_dd.SPARK),
+    duck_sql=_dd.simhash_sql(_dd.DUCK),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="32-bit SimHash fingerprint per document (one groupBy, no UDF)",
+)
+
+sql_pair(
+    "docs_simhash_near_dup",
+    spark_sql=_dd.simhash_near_dup_sql(_dd.SPARK),
+    duck_sql=_dd.simhash_near_dup_sql(_dd.DUCK),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="SimHash near-dups via 8-bit chunk banding (pigeonhole), hamming<=3",
+)
+
+sql_pair(
+    "docs_ngram_jaccard",
+    spark_sql=_dd.ngram_jaccard_sql(_dd.SPARK),
+    duck_sql=_dd.ngram_jaccard_sql(_dd.DUCK),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Exact n-gram Jaccard over the inverted shingle index (stop-shingle "
+    "guard vs document-frequency skew)",
+)
+
+sql_pair(
+    "emb_ann_bruteforce",
+    spark_sql=_sim.ann_bruteforce_sql(_sim.SPARK),
+    duck_sql=_sim.ann_bruteforce_sql(_sim.DUCK),
+    tables=("embeddings",),
+    with_changelog_cte=False,
+    doc="Brute-force top-k similarity search (broadcast queries, exact "
+    "integer dot product)",
+)
+
+sql_pair(
+    "emb_ann_lsh",
+    spark_sql=_sim.ann_lsh_sql(_sim.SPARK),
+    duck_sql=_sim.ann_lsh_sql(_sim.DUCK),
+    tables=("embeddings",),
+    with_changelog_cte=False,
+    doc="Sign-LSH bucketed ANN (deterministic hyperplanes; the 100TB path)",
+)
+
+sql_pair(
+    "emb_near_dup",
+    spark_sql=_sim.embedding_near_dup_sql(_sim.SPARK),
+    duck_sql=_sim.embedding_near_dup_sql(_sim.DUCK),
+    tables=("embeddings",),
+    with_changelog_cte=False,
+    doc="Embedding-cosine near-dup pairs: LSH candidates + exact-dot verify",
+)
+
+sql_pair(
+    "docs_langid",
+    spark_sql=_ts.langid_sql(),
+    duck_sql=_ts.langid_sql(),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Language-ID marker heuristic (single SQL text for both engines)",
+)
+
+
+@register(
+    "docs_quality",
+    f"SELECT doc_id, CAST(floor(({quality_score_sql('text', 'duck')}) "
+    "* 1000000.0) AS BIGINT) AS quality_micro FROM documents",
+    doc="Quality scoring via the vectorized pandas UDF; oracle mirrors the "
+    "IEEE op order exactly (micro-units, no float hash hazard)",
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.floor(quality_score("text") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("quality_micro"),
+    )
+
+
+from data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
+
+
+@register(
+    "media_features",
+    _mm.features_oracle_sql("documents"),
+    doc="Multimodal: binary payload encode (pandas UDF) -> header parse + "
+    "body checksum (mapInPandas), oracle from the generating formula",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm.extract_features(_mm.media_table(spark, sf_dir))
 
 
 def entry_df(spark: SparkSession) -> DataFrame:
