@@ -65,8 +65,10 @@ _LANG_EXPR = (
 )
 
 
-def _changelog_sql(events_rel: str, binary_cast: str) -> str:
-    common = _COMMON_COLS.format(hot=N_HOT_URLS, cold=N_COLD_URLS)
+def _changelog_sql(
+    events_rel: str, binary_cast: str, cold_mod: int = N_COLD_URLS
+) -> str:
+    common = _COMMON_COLS.format(hot=N_HOT_URLS, cold=cold_mod)
     return f"""
         SELECT
             concat('https://site-', url_id % {N_DOMAINS},
@@ -94,14 +96,43 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def changelog(spark: SparkSession, sf_dir: str, amplify: int = 1) -> DataFrame:
     """The synthetic change log as a DataFrame (lazy; scan-pruned).
 
     Pure projection over the events scan — no shuffle, no UDF; Catalyst
     prunes unused event columns out of the parquet read.
+
+    ``amplify > 1`` deterministically replicates every event ``amplify``
+    times with distinct lsn/url/event-time (benchmark-scale synthesis, no
+    external data): replica r of event e gets ``lsn = e.lsn*amplify + r``,
+    and the cold-url modulus grows by ``amplify`` so KEY CARDINALITY scales
+    with event count (real web change feeds grow urls with volume; a
+    fixed-key amplification would make the merge trivially small and the
+    benchmark overhead-bound). The 8 hot urls stay hot — absolute skew
+    grows with the log, which is the regime salting/AQE exist for. Oracle
+    queries always use amplify=1.
     """
     load_events(spark, sf_dir).createOrReplaceTempView("__cl_events")
-    return spark.sql(changelog_spark_sql("__cl_events"))
+    if amplify <= 1:
+        return spark.sql(changelog_spark_sql("__cl_events"))
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMP VIEW __cl_events_amp AS
+        SELECT event_id * {amplify} + rep AS event_id,
+               ts + make_interval(0, 0, 0, 0, 0, 0, rep) AS ts,
+               user_id * {amplify} + rep AS user_id,
+               event_type, value, props
+        FROM __cl_events
+        LATERAL VIEW explode(sequence(0, {amplify - 1})) t AS rep
+        """
+    )
+    return spark.sql(
+        _changelog_sql(
+            "__cl_events_amp",
+            binary_cast="encode({expr}, 'utf-8')",
+            cold_mod=N_COLD_URLS * amplify,
+        )
+    )
 
 
 def changelog_cte(events_parquet: str) -> str:

@@ -66,6 +66,7 @@ def merge_into(
     commit_key: str,
     with_stats: bool = False,
     precollapsed: bool = False,
+    touched: set[int] | None = None,
 ) -> MergeStats:
     """Apply one batch of change events (current-schema cols + ``op``).
 
@@ -73,6 +74,12 @@ def merge_into(
     per key (the caller ran the LWW collapse, e.g. to scope the extraction
     UDF to winners only) — the within-batch collapse is then skipped; the
     vs-target collapse still runs.
+
+    ``touched`` overrides touched-bucket discovery. Passing a superset of
+    the truly-touched buckets is always CORRECT (extra buckets are
+    rewritten with their existing content) — callers with dense batches
+    (every bucket hit, e.g. a uniform backlog replay) pass all buckets and
+    save one scan per batch; sparse feeds leave it None for pruning.
     """
     snap: Snapshot = table.current()
     if commit_key in snap.commits:
@@ -82,16 +89,17 @@ def merge_into(
     fields = table.schema_fields(snap)
     data_cols = [n for n, _ in fields if n != key]
 
-    # Touched-bucket discovery BEFORE any heavy transform: a column-pruned
-    # scan of just the key column (no UDF work), distinct ≤ n_buckets rows.
-    touched = {
-        int(r[0])
-        for r in source.select(
-            table.bucket_expr(snap, key).alias(BUCKET_COL)
-        )
-        .distinct()
-        .collect()
-    }
+    if touched is None:
+        # Touched-bucket discovery BEFORE any heavy transform: a column-
+        # pruned scan of just the key column, distinct ≤ n_buckets rows.
+        touched = {
+            int(r[0])
+            for r in source.select(
+                table.bucket_expr(snap, key).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+        }
 
     # Align the batch to the current schema: columns added by a schema
     # evolution mid-stream appear as typed NULLs for pre-evolution events

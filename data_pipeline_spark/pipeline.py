@@ -44,6 +44,7 @@ def apply_batch(
     commit_key: str,
     record_metrics: bool = True,
     with_stats: bool = False,
+    touched: set[int] | None = None,
 ) -> MergeStats:
     """One micro-batch: LWW collapse → vectorized extraction → MERGE.
 
@@ -63,7 +64,8 @@ def apply_batch(
         F.when(F.col("op") != "delete", extract_text("html")),
     )
     stats = merge_into(
-        table, enriched, commit_key, with_stats=with_stats, precollapsed=True
+        table, enriched, commit_key, with_stats=with_stats, precollapsed=True,
+        touched=touched,
     )
     if record_metrics and stats.applied:
         metrics_mod.record_commit(
@@ -76,6 +78,53 @@ def apply_batch(
     return stats
 
 
+def replay_log(
+    spark: SparkSession,
+    log: DataFrame,
+    table_root: str,
+    n_batches: int = 4,
+    n_buckets: int = 64,
+    record_metrics: bool = True,
+    dense: bool = False,
+) -> LakeTable:
+    """Replay a change-log DataFrame in LSN-ordered micro-batches.
+
+    ``dense=True`` skips per-batch touched-bucket discovery (every batch is
+    assumed to hit all buckets — correct for uniform backlog replays; see
+    merge_into)."""
+    table = ensure_table(spark, table_root, n_buckets)
+    touched = set(range(n_buckets)) if dense else None
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    span = (hi - lo + 1 + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        batch = log.filter(
+            (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
+        )
+        apply_batch(table, batch, commit_key=f"replay-{i}",
+                    record_metrics=record_metrics, touched=touched)
+    return table
+
+
+def materialize_wal(
+    spark: SparkSession,
+    sf_dir: str,
+    wal_dir: str,
+    amplify: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Land the synthetic change log as a parquet WAL (the form a real
+    binlog/Debezium feed arrives in). Batch scans over it get lsn row-group
+    pruning + column pruning from the parquet reader — re-deriving the log
+    per batch would instead recompute the synthesis for every pass."""
+    log = cl.changelog(spark, sf_dir, amplify=amplify)
+    if partitions:
+        # Range-partition on lsn so micro-batch scans prune whole files
+        # (each batch reads ~1/n_batches of the WAL, not all of it).
+        log = log.repartitionByRange(partitions, "lsn")
+    log.write.mode("overwrite").parquet(wal_dir)
+    return spark.read.parquet(wal_dir)
+
+
 def replay(
     spark: SparkSession,
     sf_dir: str,
@@ -83,15 +132,10 @@ def replay(
     n_batches: int = 4,
     n_buckets: int = 64,
     record_metrics: bool = True,
+    amplify: int = 1,
 ) -> LakeTable:
     """Replay the full synthetic change log in LSN-ordered micro-batches."""
-    table = ensure_table(spark, table_root, n_buckets)
-    log = cl.changelog(spark, sf_dir)
-    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
-    span = (hi - lo + 1 + n_batches - 1) // n_batches
-    for i in range(n_batches):
-        batch = log.filter(
-            (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
-        )
-        apply_batch(table, batch, commit_key=f"replay-{i}", record_metrics=record_metrics)
-    return table
+    log = cl.changelog(spark, sf_dir, amplify=amplify)
+    return replay_log(
+        spark, log, table_root, n_batches, n_buckets, record_metrics
+    )

@@ -559,6 +559,240 @@ sql_pair(
 )
 
 
+# J7/J8: metadata diff join — (size, content-hash) full-outer diff between
+# the table state at mid-log and at end-of-log; classify per url.
+_STATE_DIFF = """
+    WITH bounds AS (SELECT min(lsn) lo, max(lsn) hi FROM changelog),
+    half AS (
+      SELECT url, octet_length(html) AS sz, {etag} AS etag FROM (
+        SELECT url, html, op,
+               row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+        FROM changelog, bounds WHERE lsn <= lo + (hi - lo) / 2)
+      WHERE rn = 1 AND op <> 'delete'),
+    full_ AS (
+      SELECT url, octet_length(html) AS sz, {etag} AS etag FROM (
+        SELECT url, html, op,
+               row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+        FROM changelog)
+      WHERE rn = 1 AND op <> 'delete')
+    SELECT coalesce(f.url, h.url) AS url,
+           CASE WHEN h.url IS NULL THEN 'new'
+                WHEN f.url IS NULL THEN 'vanished'
+                WHEN f.sz <> h.sz OR f.etag <> h.etag THEN 'changed'
+                ELSE 'unchanged' END AS diff
+    FROM full_ f FULL OUTER JOIN half h ON f.url = h.url
+"""
+
+sql_pair(
+    "cdc_state_diff",
+    spark_sql=_STATE_DIFF.format(etag="md5(html)"),
+    duck_sql=_STATE_DIFF.format(etag="md5(decode(html))"),
+    doc="J7/J8 (size, etag) diff join for incremental sync "
+    "(prestage_source.py:434-441, ingest_v1_s1_rtc.py:489-518)",
+)
+
+# J9: exclude-list (denylist) broadcast anti-join.
+sql_pair(
+    "cdc_denylist_anti_join",
+    spark_sql="""
+        WITH denylist AS (
+          SELECT DISTINCT url FROM changelog WHERE url LIKE '%/page/0'
+             OR url LIKE '%/page/1' OR url LIKE '%/page/2'),
+        latest AS (
+          SELECT url, lsn, op FROM (
+            SELECT url, lsn, op,
+                   row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1 AND op <> 'delete')
+        SELECT l.url, l.lsn FROM latest l
+        WHERE NOT EXISTS (SELECT 1 FROM denylist d WHERE d.url = l.url)
+    """,
+    doc="J9 exclude-list anti-join (s3_item_cleanup.py:88-113; the small "
+    "side broadcasts on a cluster)",
+)
+
+# SF4/SF5: timestamp codec + date-arithmetic projections (retention stamp).
+sql_pair(
+    "cdc_ts_codecs",
+    spark_sql="""
+        SELECT lsn,
+          date_format(warc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'") AS ts_canonical,
+          CAST(unix_timestamp(warc_ts) AS BIGINT) * 1000000
+            + CAST(date_format(warc_ts, 'SSSSSS') AS BIGINT) AS ts_micros,
+          date_format(date_trunc('day', warc_ts), 'yyyy-MM-dd HH:mm:ss') AS day_floor,
+          date_format(warc_ts + INTERVAL 30 DAY, 'yyyy-MM-dd HH:mm:ss') AS expires
+        FROM changelog
+    """,
+    duck_sql="""
+        SELECT lsn,
+          strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_canonical,
+          CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT) * 1000000
+            + CAST(strftime(warc_ts, '%f') AS BIGINT) AS ts_micros,
+          strftime(date_trunc('day', warc_ts), '%Y-%m-%d %H:%M:%S') AS day_floor,
+          strftime(warc_ts + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS expires
+        FROM changelog
+    """,
+    doc="SF4/SF5 canonical timestamp codecs + retention stamping "
+    "(s3_item_cleanup.py:38-56, stamp_expires.py:171-194); string order == "
+    "chronological order invariant",
+)
+
+# T4/A5: migration backfill classification with the reconciliation invariant.
+sql_pair(
+    "cdc_backfill_outcomes",
+    spark_sql="""
+        WITH latest AS (
+          SELECT url, lsn, op, lang, warc_ts FROM (
+            SELECT url, lsn, op, lang, warc_ts,
+                   row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        classified AS (
+          SELECT CASE WHEN op = 'delete' THEN 'skipped_deleted'
+                      WHEN lang IS NULL THEN 'failed_no_lang'
+                      WHEN lsn % 10 = 0 THEN 'already_stamped'
+                      ELSE 'modified' END AS outcome
+          FROM latest)
+        SELECT outcome, count(*) AS n FROM classified GROUP BY outcome
+    """,
+    duck_sql="""
+        WITH latest AS (
+          SELECT url, lsn, op, lang, warc_ts FROM (
+            SELECT url, lsn, op, lang, warc_ts,
+                   row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        classified AS (
+          SELECT CASE WHEN op = 'delete' THEN 'skipped_deleted'
+                      WHEN lang IS NULL THEN 'failed_no_lang'
+                      WHEN lsn % 10 = 0 THEN 'already_stamped'
+                      ELSE 'modified' END AS outcome
+          FROM latest)
+        SELECT outcome, CAST(count(*) AS BIGINT) AS n FROM classified GROUP BY outcome
+    """,
+    doc="T4/A5 migration backfill outcome histogram with reconciliation "
+    "invariant (stamp_expires.py:78-142; sum(outcomes) == total keys)",
+)
+
+# A6: object/byte-total verification aggregate (final-state check pattern).
+sql_pair(
+    "cdc_bytes_verification",
+    spark_sql="""
+        SELECT op, count(*) AS n_objects,
+               sum(CAST(octet_length(html) AS BIGINT)) AS total_bytes
+        FROM changelog GROUP BY op
+    """,
+    duck_sql="""
+        SELECT op, CAST(count(*) AS BIGINT) AS n_objects,
+               CAST(sum(octet_length(html)) AS BIGINT) AS total_bytes
+        FROM changelog GROUP BY op
+    """,
+    doc="A6 count+bytes verification aggregate (prestage_source.py:376-398)",
+)
+
+# A2+: ROLLUP grouping sets (monthly/daily with subtotals) — free from SQL.
+sql_pair(
+    "cdc_rollup_month_day",
+    spark_sql="""
+        SELECT date_format(date_trunc('month', warc_ts), 'yyyy-MM') AS month,
+               date_format(date_trunc('day', warc_ts), 'yyyy-MM-dd') AS day,
+               count(*) AS n
+        FROM changelog
+        GROUP BY ROLLUP(date_format(date_trunc('month', warc_ts), 'yyyy-MM'),
+                        date_format(date_trunc('day', warc_ts), 'yyyy-MM-dd'))
+    """,
+    duck_sql="""
+        SELECT strftime(date_trunc('month', warc_ts), '%Y-%m') AS month,
+               strftime(date_trunc('day', warc_ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM changelog
+        GROUP BY ROLLUP(strftime(date_trunc('month', warc_ts), '%Y-%m'),
+                        strftime(date_trunc('day', warc_ts), '%Y-%m-%d'))
+    """,
+    doc="A2 rollup with subtotals (aggregate_items.py:98-118, via grouping sets)",
+)
+
+# B1: fixed-size batch fan-out — partition assignment as a column.
+sql_pair(
+    "cdc_batch_fanout",
+    spark_sql="""
+        WITH bounds AS (SELECT min(lsn) lo, max(lsn) hi FROM changelog)
+        SELECT batch, count(*) AS n, min(lsn) AS first_lsn, max(lsn) AS last_lsn
+        FROM (SELECT lsn,
+                     CAST(floor((lsn - lo) * 8.0 / (hi - lo + 1)) AS BIGINT) AS batch
+              FROM changelog, bounds)
+        GROUP BY batch
+    """,
+    duck_sql="""
+        WITH bounds AS (SELECT min(lsn) lo, max(lsn) hi FROM changelog)
+        SELECT batch, CAST(count(*) AS BIGINT) AS n,
+               min(lsn) AS first_lsn, max(lsn) AS last_lsn
+        FROM (SELECT lsn,
+                     CAST(floor((lsn - lo) * 8.0 / (hi - lo + 1)) AS BIGINT) AS batch
+              FROM changelog, bounds)
+        GROUP BY batch
+    """,
+    doc="B1 deterministic batch fan-out (query_stac.py:262-284; partitions "
+    "are the fan-out on a cluster)",
+)
+
+# W6: per-key write budget — first 50 events per domain by lsn order.
+sql_pair(
+    "cdc_write_budget",
+    spark_sql="""
+        SELECT domain, lsn FROM (
+          SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain, lsn,
+                 row_number() OVER (
+                   PARTITION BY regexp_extract(url, 'https://([^/]+)/', 1)
+                   ORDER BY lsn) AS attempt
+          FROM changelog)
+        WHERE attempt <= 50
+    """,
+    doc="W6 --max-writes attempted-write budget per key "
+    "(migrate_catalog runner.py:211-228)",
+)
+
+# F1+F5+K6: the retention cleanup job — guard matrix applied to the final
+# state, deletes executed, survivors + per-gate audit counts emitted.
+sql_pair(
+    "cdc_retention_sweep",
+    spark_sql="""
+        WITH latest AS (
+          SELECT url, lsn, op, lang, warc_ts FROM (
+            SELECT url, lsn, op, lang, warc_ts,
+                   row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1 AND op <> 'delete'),
+        hi AS (SELECT max(warc_ts) AS mx FROM changelog),
+        gated AS (
+          SELECT url, lsn,
+            CASE WHEN lsn % 5 = 0 THEN 'no_expires'
+                 WHEN url LIKE '%/page/0' OR url LIKE '%/page/1' THEN 'excluded'
+                 WHEN warc_ts + INTERVAL 14 DAY >= mx THEN 'not_expired'
+                 ELSE 'delete' END AS gate
+          FROM latest, hi)
+        SELECT gate, count(*) AS n, min(lsn) AS min_lsn, max(lsn) AS max_lsn
+        FROM gated GROUP BY gate
+    """,
+    duck_sql="""
+        WITH latest AS (
+          SELECT url, lsn, op, lang, warc_ts FROM (
+            SELECT url, lsn, op, lang, warc_ts,
+                   row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1 AND op <> 'delete'),
+        hi AS (SELECT max(warc_ts) AS mx FROM changelog),
+        gated AS (
+          SELECT url, lsn,
+            CASE WHEN lsn % 5 = 0 THEN 'no_expires'
+                 WHEN url LIKE '%/page/0' OR url LIKE '%/page/1' THEN 'excluded'
+                 WHEN warc_ts + INTERVAL 14 DAY >= mx THEN 'not_expired'
+                 ELSE 'delete' END AS gate
+          FROM latest, hi)
+        SELECT gate, CAST(count(*) AS BIGINT) AS n,
+               min(lsn) AS min_lsn, max(lsn) AS max_lsn
+        FROM gated GROUP BY gate
+    """,
+    doc="F1/F5/K6 retention sweep: ordered guard matrix + idempotent delete "
+    "audit (cleanup_expired_items.py:67-127)",
+)
+
+
 # ============================================================================
 # Training-data pipeline: near-dup detection, similarity search, lang-ID,
 # quality scoring, multimodal feature extraction
