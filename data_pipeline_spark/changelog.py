@@ -112,7 +112,13 @@ def changelog(spark: SparkSession, sf_dir: str, amplify: int = 1) -> DataFrame:
     grows with the log, which is the regime salting/AQE exist for. Oracle
     queries always use amplify=1.
     """
-    load_events(spark, sf_dir).createOrReplaceTempView("__cl_events")
+    events = load_events(spark, sf_dir)
+    if amplify > 1:
+        # events.parquet is a single file → one input partition; without a
+        # repartition the explode-amplified synthesis runs as ONE task.
+        par = spark.sparkContext.defaultParallelism
+        events = events.repartition(4 * par)
+    events.createOrReplaceTempView("__cl_events")
     if amplify <= 1:
         return spark.sql(changelog_spark_sql("__cl_events"))
     spark.sql(
