@@ -1,0 +1,108 @@
+"""Retention sweep + backfill + mid-stream schema evolution."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.lake.table import LakeTable
+from data_pipeline_spark.maintenance import backfill, retention_sweep
+from data_pipeline_spark.pipeline import replay
+from data_pipeline_spark.streaming.pipeline import run_stream, write_wal
+from tests.conftest import SF_SMOKE
+
+
+def _fresh(spark, n_buckets=8):
+    root = tempfile.mkdtemp(prefix="lake_m_")
+    return replay(spark, SF_SMOKE, root, n_batches=2, n_buckets=n_buckets,
+                  record_metrics=False)
+
+
+def test_retention_sweep_reconciles_and_deletes(spark):
+    t = _fresh(spark)
+    before = t.read().count()
+    stats = retention_sweep(t, "sweep-1", retention_days=7)
+    assert stats.applied
+    assert sum(stats.gate_counts.values()) == before  # reconciliation
+    after = t.read().count()
+    assert after == stats.gate_counts.get("not_expired", 0)
+    assert before - after == stats.gate_counts.get("delete", 0)
+    # survivors are exactly the rows within retention of table-max warc_ts
+    mx = t.read().agg(F.max("warc_ts")).first()[0]
+    assert t.read().filter(
+        F.col("warc_ts") + F.expr("INTERVAL 7 DAY") < F.lit(mx)
+    ).count() == 0
+
+
+def test_retention_sweep_idempotent_and_exclude(spark):
+    t = _fresh(spark)
+    excl = F.col("url").endswith("/page/0")
+    n_excl = t.read().filter(excl).count()
+    stats = retention_sweep(t, "sweep-1", retention_days=0, exclude=excl)
+    # retention 0 deletes everything except the max-ts row(s) and excluded
+    assert stats.gate_counts.get("excluded", 0) == n_excl
+    v = t.current().version
+    again = retention_sweep(t, "sweep-1", retention_days=0, exclude=excl)
+    assert not again.applied and t.current().version == v
+
+
+def test_backfill_after_schema_evolution(spark):
+    """The T4 shape: evolve (add column) → backfill old rows → verify."""
+    t = _fresh(spark)
+    t.evolve_schema(add_columns={"expires": "timestamp"}, commit_key="evolve-1")
+    assert t.read().filter(F.col("expires").isNotNull()).count() == 0
+    assert backfill(
+        t, "bf-1", {"expires": F.col("warc_ts") + F.expr("INTERVAL 30 DAY")}
+    )
+    rows = t.read().select("warc_ts", "expires").collect()
+    assert rows and all(
+        r.expires is not None and (r.expires - r.warc_ts).days == 30 for r in rows
+    )
+    # idempotent re-run
+    assert not backfill(
+        t, "bf-1", {"expires": F.lit(None).cast("timestamp")}
+    )
+
+
+def test_backfill_where_gate(spark):
+    t = _fresh(spark)
+    t.evolve_schema(add_columns={"tier": "string"})
+    backfill(t, "bf-tier", {"tier": F.lit("hot")},
+             where=F.col("lang") == "en")
+    got = {r.lang: r.tier for r in t.read().select("lang", "tier").distinct().collect()}
+    assert got.get("en") == "hot"
+    assert all(v is None for k, v in got.items() if k != "en")
+
+
+def test_mid_stream_schema_evolution(spark):
+    """Evolve the schema BETWEEN streaming epochs: early epochs wrote v0
+    rows, later epochs carry the new column; both coexist in one table
+    (Iceberg add-column read semantics: old files yield typed NULLs)."""
+    wal = tempfile.mkdtemp(prefix="wal_ev_")
+    write_wal(spark, SF_SMOKE, wal, n_files=4)
+    root = tempfile.mkdtemp(prefix="lake_ev_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ev_")
+
+    # drain first half
+    q = run_stream(spark, wal, root, ckpt, n_buckets=8, record_metrics=False,
+                   fail_after_batches=2, fail_mode="before")
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass
+    t = LakeTable(spark, root)
+    assert len(t.current().commits) == 2
+
+    # evolve mid-stream, then resume the tail
+    t.evolve_schema(add_columns={"quality": "double"}, commit_key="evolve-q")
+    q = run_stream(spark, wal, root, ckpt, n_buckets=8, record_metrics=False)
+    q.awaitTermination(180)
+
+    t = LakeTable(spark, root)
+    assert len(t.current().commits) == 5  # 4 epochs + evolve
+    out = t.read()
+    assert "quality" in out.columns
+    # all rows align to the evolved schema; pre-evolution rows read as NULL
+    assert out.count() == out.select("url").distinct().count()
+    # post-evolution backfill completes the migration
+    backfill(t, "bf-q", {"quality": F.length("text").cast("double")})
+    assert t.read().filter(F.col("quality").isNull()).count() == 0
