@@ -133,9 +133,11 @@ def replay(
     n_buckets: int = 64,
     record_metrics: bool = True,
     amplify: int = 1,
+    dense: bool = False,
 ) -> LakeTable:
     """Replay the full synthetic change log in LSN-ordered micro-batches."""
     log = cl.changelog(spark, sf_dir, amplify=amplify)
     return replay_log(
-        spark, log, table_root, n_batches, n_buckets, record_metrics
+        spark, log, table_root, n_batches, n_buckets, record_metrics,
+        dense=dense,
     )

@@ -174,13 +174,23 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into the snapshot lake table (K1-K6, exactly-once path)",
 )
 def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from pyspark.sql import functions as F
 
-    from data_pipeline_spark.pipeline import replay
+    from data_pipeline_spark.pipeline import materialize_wal, replay_log
 
     root = tempfile.mkdtemp(prefix="lake_q_")
-    table = replay(
-        spark, sf_dir, root, n_batches=3, n_buckets=16, record_metrics=False
+    # The engine's real shape: tail a STORED change log (range-partitioned
+    # parquet WAL), not re-synthesize it per batch — batch scans then prune
+    # files on lsn and parallelize across cores.
+    par = spark.sparkContext.defaultParallelism
+    log = materialize_wal(
+        spark, sf_dir, os.path.join(root, "wal"), partitions=2 * par
+    )
+    table = replay_log(
+        spark, log, os.path.join(root, "table"), n_batches=3, n_buckets=16,
+        record_metrics=False, dense=True,
     )
     return table.read().select(
         "url",
