@@ -246,6 +246,33 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def files(self, snap: Snapshot | None = None) -> DataFrame:
+        """The files metadata table (Iceberg ``table$files`` analog;
+        reference analog: S3 prefix listing scans,
+        scripts/prestage_source.py:252-270): one row per live data file
+        with bucket, schema version, size, and row count from the parquet
+        footer — no data scan."""
+        import pyarrow.parquet as pq
+
+        snap = snap or self.current()
+        rows = []
+        for b, entries in sorted(snap.buckets.items(), key=lambda kv: int(kv[0])):
+            for e in entries:
+                p = os.path.join(self.root, e["path"])
+                rows.append(
+                    {
+                        "bucket": int(b),
+                        "path": e["path"],
+                        "schema_version": e["schema_version"],
+                        "bytes": os.path.getsize(p),
+                        "rows": pq.read_metadata(p).num_rows,
+                    }
+                )
+        schema = T.StructType.fromDDL(
+            "bucket int, path string, schema_version int, bytes bigint, rows bigint"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     # -- write path ---------------------------------------------------------
 
     def is_committed(self, commit_key: str) -> bool:

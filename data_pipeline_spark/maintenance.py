@@ -87,6 +87,54 @@ def retention_sweep(
     return SweepStats(commit_key, True, counts)
 
 
+def quality_gate(
+    batch: DataFrame,
+    key: str = "url",
+    order: str = "lsn",
+    ts_col: str = "warc_ts",
+    max_fail_ratio: float = 0.0,
+) -> dict[str, object]:
+    """Pre-commit batch validation (the reference's in-pipeline PASS/WARN/
+    FAIL gate, scripts/validate_s1_rtc.py:38-135): one aggregate pass, no
+    collect of data rows.
+
+    Checks: null/empty keys, null order column, duplicate (key, order)
+    pairs, event-time outside a sane envelope. Returns the verdict dict;
+    callers abort the commit on FAIL (the circuit-breaker pattern,
+    migrate_catalog runner.py:342-353).
+    """
+    row = batch.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col(key).isNull() | (F.length(key) == 0)).cast("long")
+        ).alias("bad_key"),
+        F.sum(F.col(order).isNull().cast("long")).alias("bad_order"),
+        F.count(order).alias("n_order"),
+        F.countDistinct(key, order).alias("n_key_order"),
+        F.sum(
+            (
+                (F.col(ts_col) < F.lit("2000-01-01").cast("timestamp"))
+                | (F.col(ts_col) > F.lit("2100-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("bad_ts"),
+    ).first()
+    n = row["n"] or 0
+    dup_pairs = (row["n_order"] or 0) - (row["n_key_order"] or 0)
+    failures = {
+        "null_or_empty_key": row["bad_key"] or 0,
+        "null_order": row["bad_order"] or 0,
+        "duplicate_key_order": dup_pairs,
+        "ts_out_of_envelope": row["bad_ts"] or 0,
+    }
+    n_bad = sum(failures.values())
+    verdict = (
+        "PASS"
+        if n_bad == 0
+        else ("WARN" if n and n_bad / n <= max_fail_ratio else "FAIL")
+    )
+    return {"verdict": verdict, "rows": n, "failures": failures}
+
+
 def backfill(
     table: LakeTable,
     commit_key: str,

@@ -803,6 +803,74 @@ sql_pair(
 )
 
 
+# SF9/P3: JSON document field extraction + restructure (the reference's
+# nested-STAC-document surgery, consolidate/strip/fix families).
+sql_pair(
+    "cdc_json_props",
+    spark_sql="""
+        SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k,
+               CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) >= 50
+                    THEN 'high' ELSE 'low' END AS k_band
+        FROM events WHERE props IS NOT NULL
+    """,
+    duck_sql="""
+        SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                    THEN 'high' ELSE 'low' END AS k_band
+        FROM events WHERE props IS NOT NULL
+    """,
+    with_changelog_cte=False,
+    doc="SF9/P3 JSON field extraction + restructure "
+    "(register_v1.py:545-567,658-815)",
+)
+
+# F6: fnmatch-style include/exclude path patterns as regex filters.
+sql_pair(
+    "cdc_path_pattern_filter",
+    spark_sql="""
+        SELECT url, lsn FROM changelog
+        WHERE url RLIKE 'https://site-[0-9]*[02468]\\\\.example\\\\.com/.*'
+          AND NOT url RLIKE '.*/page/1[0-9]$'
+    """,
+    duck_sql=r"""
+        SELECT url, lsn FROM changelog
+        WHERE regexp_matches(url, 'https://site-[0-9]*[02468]\.example\.com/.*')
+          AND NOT regexp_matches(url, '.*/page/1[0-9]$')
+    """,
+    doc="F6 include/exclude path patterns (change_storage_tier.py:100-148)",
+)
+
+# J10/B5: event-time range join — deletes joined to same-url updates within
+# a +/- 12h interval (the tile-bbox geometric join generalized to ranges).
+sql_pair(
+    "cdc_range_join",
+    spark_sql="""
+        SELECT d.url, d.lsn AS delete_lsn, count(u.lsn) AS n_near_updates
+        FROM changelog d
+        JOIN changelog u
+          ON u.url = d.url AND u.op = 'update'
+         AND u.warc_ts BETWEEN d.warc_ts - INTERVAL 12 HOUR
+                           AND d.warc_ts + INTERVAL 12 HOUR
+        WHERE d.op = 'delete'
+        GROUP BY d.url, d.lsn
+    """,
+    duck_sql="""
+        SELECT d.url, d.lsn AS delete_lsn,
+               CAST(count(u.lsn) AS BIGINT) AS n_near_updates
+        FROM changelog d
+        JOIN changelog u
+          ON u.url = d.url AND u.op = 'update'
+         AND u.warc_ts BETWEEN d.warc_ts - INTERVAL 12 HOUR
+                           AND d.warc_ts + INTERVAL 12 HOUR
+        WHERE d.op = 'delete'
+        GROUP BY d.url, d.lsn
+    """,
+    doc="J10/B5 bounded event-time range join "
+    "(watch_cdse_and_process.py:46-83, trigger_cdse.py:170-184); the "
+    "equi-key on url keeps it a partitioned range probe, not a cross join",
+)
+
+
 # ============================================================================
 # Training-data pipeline: near-dup detection, similarity search, lang-ID,
 # quality scoring, multimodal feature extraction

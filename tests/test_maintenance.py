@@ -106,3 +106,42 @@ def test_mid_stream_schema_evolution(spark):
     # post-evolution backfill completes the migration
     backfill(t, "bf-q", {"quality": F.length("text").cast("double")})
     assert t.read().filter(F.col("quality").isNull()).count() == 0
+
+
+def test_quality_gate(spark):
+    from data_pipeline_spark import changelog as cl
+    from data_pipeline_spark.maintenance import quality_gate
+
+    log = cl.changelog(spark, SF_SMOKE)
+    res = quality_gate(log)
+    assert res["verdict"] == "PASS" and sum(res["failures"].values()) == 0
+
+    dirty = log.unionByName(
+        log.limit(3).withColumn("url", F.lit(None).cast("string"))
+    )
+    res = quality_gate(dirty)
+    assert res["verdict"] == "FAIL"
+    assert res["failures"]["null_or_empty_key"] == 3
+
+    dup = log.unionByName(log.limit(5))
+    res = quality_gate(dup)
+    assert res["failures"]["duplicate_key_order"] == 5
+    assert res["verdict"] == "FAIL"
+    res = quality_gate(dup, max_fail_ratio=0.1)
+    assert res["verdict"] == "WARN"
+
+
+def test_files_metadata_table(spark):
+    t = _fresh(spark)
+    files = t.files()
+    assert files.count() > 0
+    total_rows = files.agg(F.sum("rows")).first()[0]
+    assert total_rows == t.read().count()
+    per_bucket = {r.bucket: r.n for r in files.groupBy("bucket").agg(F.sum("rows").alias("n")).collect()}
+    snap = t.current()
+    actual = {
+        r.b: r.n
+        for r in t.read().withColumn("b", t.bucket_expr(snap))
+        .groupBy("b").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: v for k, v in per_bucket.items() if v} == {int(k): v for k, v in actual.items()}
