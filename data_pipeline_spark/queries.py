@@ -201,6 +201,39 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_stream_final_state",
+    _final_state_duck(),
+    doc="Same final state via the STREAMING engine: Structured Streaming "
+    "file-source WAL tail -> foreachBatch epoch-keyed MERGE commits "
+    "(checkpointed offsets; §2.12 exactly-once path)",
+)
+def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.streaming.pipeline import (
+        stream_to_completion,
+        write_wal,
+    )
+
+    root = tempfile.mkdtemp(prefix="lake_sq_")
+    wal = os.path.join(root, "wal")
+    write_wal(spark, sf_dir, wal, n_files=3)
+    table = stream_to_completion(
+        spark, wal, os.path.join(root, "table"), os.path.join(root, "ckpt"),
+        n_buckets=16, record_metrics=False,
+    )
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
 # J1/J2: source-vs-target anti-join dedup — "skip item if already in target".
 sql_pair(
     "cdc_anti_join_new",
