@@ -246,6 +246,95 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def snapshot(self, version: int) -> Snapshot:
+        """Load a specific snapshot (time travel; Iceberg VERSION AS OF)."""
+        with open(
+            os.path.join(self.root, SNAPSHOT_DIR, f"v{version:08d}.json")
+        ) as f:
+            return Snapshot.from_json(f.read())
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read: the table exactly as of ``version``."""
+        return self.read(snap=self.snapshot(version))
+
+    def changes_between(self, from_version: int, to_version: int) -> DataFrame:
+        """Incremental change read (Iceberg changelog-scan analog): the
+        net row-level changes between two snapshots as a change feed
+        ``(op ∈ insert|update|delete, url, ...)``.
+
+        Computed as a keyed full-outer diff of the two states — O(both
+        states) worst case, but bucket-pruned to buckets whose file lists
+        differ between the snapshots (untouched buckets can't contribute
+        changes), which at scale is O(touched data) like Iceberg's
+        incremental scan."""
+        a, b = self.snapshot(from_version), self.snapshot(to_version)
+        touched = {
+            int(k)
+            for k in set(a.buckets) | set(b.buckets)
+            if a.buckets.get(k) != b.buckets.get(k)
+        }
+        key = b.key
+        old = self.read(buckets=touched, snap=a)
+        new = self.read(buckets=touched, snap=b)
+        o = old.select(F.col(key), F.struct(*[c for c in old.columns]).alias("__o"))
+        n = new.select(F.col(key), F.struct(*[c for c in new.columns]).alias("__n"))
+        joined = o.join(n, key, "full_outer")
+        op = (
+            F.when(F.col("__o").isNull(), "insert")
+            .when(F.col("__n").isNull(), "delete")
+            .otherwise("update")
+        )
+        changed = joined.filter(
+            F.col("__o").isNull()
+            | F.col("__n").isNull()
+            | (F.col("__o") != F.col("__n"))
+        )
+        winner = F.coalesce(F.col("__n"), F.col("__o"))
+        out_cols = [
+            winner.getField(c).alias(c) for c in new.columns if c != key
+        ]
+        return changed.select(F.col(key), op.alias("op"), *out_cols)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (Iceberg
+        expire_snapshots). Returns the expired version numbers. Data files
+        still referenced by surviving snapshots are untouched — run
+        :meth:`vacuum` afterwards to reclaim orphaned files."""
+        snaps = self.snapshot_log()
+        if len(snaps) <= keep_last:
+            return []
+        cur = self.current().version
+        keep = {s.version for s in snaps[-keep_last:]} | {cur}
+        expired = []
+        for s in snaps:
+            if s.version not in keep:
+                os.remove(
+                    os.path.join(self.root, SNAPSHOT_DIR, f"v{s.version:08d}.json")
+                )
+                expired.append(s.version)
+        return expired
+
+    def vacuum(self) -> int:
+        """Delete data files referenced by NO surviving snapshot. Returns
+        the number of files removed. Safe under the single-writer model:
+        only ever called between commits."""
+        live: set[str] = set()
+        for s in self.snapshot_log():
+            for entries in s.buckets.values():
+                live.update(e["path"] for e in entries)
+        removed = 0
+        data_root = os.path.join(self.root, DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    removed += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return removed
+
     def files(self, snap: Snapshot | None = None) -> DataFrame:
         """The files metadata table (Iceberg ``table$files`` analog;
         reference analog: S3 prefix listing scans,
