@@ -112,6 +112,9 @@ def changelog(spark: SparkSession, sf_dir: str, amplify: int = 1) -> DataFrame:
     grows with the log, which is the regime salting/AQE exist for. Oracle
     queries always use amplify=1.
     """
+    # Pin UTC for any session (driver-owned sessions included): timestamp
+    # parity with the DuckDB oracle requires it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = load_events(spark, sf_dir)
     if amplify > 1:
         # events.parquet is a single file → one input partition; without a

@@ -63,6 +63,11 @@ SHA_DUCK = "sha256({c})"
 
 
 def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    # The driver runs these queries on ITS OWN SparkSession; timestamp
+    # functions over NTZ values (unix_timestamp, to_timestamp) resolve via
+    # the session timezone, and the DuckDB oracle is UTC — pin it
+    # (the reference's canonical-timestamp lesson, s3_item_cleanup.py:38-42).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in tables:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     if "events" in tables:
