@@ -1,0 +1,77 @@
+"""Custom stateful streaming operator: cross-batch per-url LWW gate.
+
+The reference keeps a processed-state dict keyed (tile, orbit, product_id)
+across cron runs and skips already-processed items
+(scripts/watch_cdse_and_process.py:40-44,120-146). Spark-first shape:
+``applyInPandasWithState`` — per-key state (the highest LSN applied so
+far) lives in the state store, survives restarts via the checkpoint, and
+gates each micro-batch to events strictly newer than anything seen.
+
+This is the streaming-native alternative to the MERGE condition
+``s.lsn > t.lsn`` for consumers that want a FILTERED CHANGE FEED (e.g.
+fan-out to downstream topics) rather than a table: deletes and stale
+replays are suppressed at the operator, exactly once per (url, lsn).
+
+State size is O(distinct urls) × 8 bytes — at 10^9 urls this is sharded
+across executors by the groupBy partitioning, and RocksDB-backed state
+stores (config flip) spill it; the operator itself is agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType([T.StructField("max_lsn", T.LongType())])
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _gate(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit only events with lsn strictly above the stored high-water mark;
+    advance the mark to the max seen. Re-delivered batches re-offer the
+    same (url, lsn) pairs and are filtered — idempotent by construction."""
+    (url,) = key
+    max_lsn = state.get[0] if state.exists else -1
+    out = []
+    for pdf in pdfs:
+        fresh = pdf[pdf["lsn"] > max_lsn]
+        if len(fresh):
+            max_lsn = int(fresh["lsn"].max())
+            out.append(fresh[["url", "lsn", "op", "lang"]])
+    state.update((max_lsn,))
+    yield (
+        pd.concat(out)
+        if out
+        else pd.DataFrame(columns=[f.name for f in OUT_SCHEMA])
+    )
+
+
+def lww_gate_stream(events: DataFrame) -> DataFrame:
+    """Apply the stateful per-url LWW gate to a streaming DataFrame."""
+    return (
+        events.select("url", "lsn", "op", "lang")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _gate,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
