@@ -36,15 +36,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # hot dataframe operators, classic OLAP, and training-data ops).
 HEADLINE = [
     "cdc_replay_final_state",   # the real engine: micro-batched MERGE replay
+    "cdc_stream_final_state",   # the streaming engine: WAL tail + epoch commits
     "cdc_final_state",          # declarative LWW + extraction plan
     "cdc_lww_latest",
     "cdc_anti_join_new",
     "cdc_daily_counts",
     "cdc_mode_per_domain",
+    "cdc_range_join",
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
     "docs_token_stats",
+    "docs_minhash_near_dup_fast",
+    "emb_ann_bruteforce",
 ]
 
 

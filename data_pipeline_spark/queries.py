@@ -927,6 +927,18 @@ sql_pair(
     doc="MinHash(16) + LSH(4 bands) near-dup pairs, exact-Jaccard verified",
 )
 
+@register(
+    "docs_minhash_near_dup_fast",
+    None,  # rows-only: xxhash64 has no DuckDB twin; algorithm proven by
+    # the md5-mode oracle entry above (same SQL, different hash)
+    doc="Production MinHash+LSH: JVM xxhash64 shingle hashing (~3x the "
+    "oracle-mode throughput), same plan shape",
+)
+def docs_minhash_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(_dd.minhash_near_dup_sql(_dd.SPARK, fast=True))
+
+
 sql_pair(
     "docs_simhash",
     spark_sql=_dd.simhash_sql(_dd.SPARK),
