@@ -246,6 +246,31 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def commit_log(self) -> DataFrame:
+        """The exactly-once commit-dedup table (FIXTURES.md B3): one row
+        per applied commit key with its snapshot version and operation.
+        This engine commits a whole epoch atomically, so the key IS the
+        checkpoint epoch; per-partition (bucket) granularity lives in the
+        metrics ``lineage`` table (metrics.py)."""
+        snaps = {s.version: s for s in self.snapshot_log()}
+        cur = self.current()
+        rows = [
+            {
+                "commit_key": k,
+                "version": v,
+                "op": snaps[v].summary.get("op", "") if v in snaps else "",
+            }
+            for k, v in sorted(cur.commits.items(), key=lambda kv: kv[1])
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("commit_key", T.StringType()),
+                T.StructField("version", T.IntegerType()),
+                T.StructField("op", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def snapshot(self, version: int) -> Snapshot:
         """Load a specific snapshot (time travel; Iceberg VERSION AS OF)."""
         with open(

@@ -43,7 +43,12 @@ def record_commit(
     commit_key: str,
     wall_ms: float,
     batch_rows: int | None,
+    flow: dict[str, int] | None = None,
 ) -> None:
+    """``flow`` carries the per-epoch event-flow counters
+    (events_read/applied/deduped/deletes) whose reconciliation invariant
+    is ``read == applied + deduped`` (reference: stamp_expires.report,
+    stamped == modified + failed)."""
     touched = set(snap.summary.get("touched", []))
     lineage_rows: list[dict] = []
     for b in sorted(touched):
@@ -79,6 +84,10 @@ def record_commit(
                     "batch_rows": batch_rows,
                     "touched_buckets": len(touched),
                     "extractor_version": EXTRACTOR_VERSION,
+                    "events_read": (flow or {}).get("events_read"),
+                    "events_applied": (flow or {}).get("events_applied"),
+                    "events_deduped": (flow or {}).get("events_deduped"),
+                    "deletes": (flow or {}).get("deletes"),
                 }
             ]
         ),

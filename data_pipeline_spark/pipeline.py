@@ -68,12 +68,28 @@ def apply_batch(
         touched=touched,
     )
     if record_metrics and stats.applied:
+        # Event-flow counters (FIXTURES.md B4): two tiny aggregates — the
+        # winner count prunes the text column, so extraction is NOT
+        # recomputed. Invariant: read == applied + deduped.
+        n_read = batch.count()
+        per_op = {
+            r["op"]: r["n"]
+            for r in collapsed.groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        n_winners = sum(per_op.values())
+        flow = {
+            "events_read": n_read,
+            "events_applied": n_winners,
+            "events_deduped": n_read - n_winners,
+            "deletes": per_op.get("delete", 0),
+        }
         metrics_mod.record_commit(
             table,
             table.current(),
             commit_key,
             wall_ms=(time.monotonic() - t0) * 1000.0,
             batch_rows=stats.batch_rows,
+            flow=flow,
         )
     return stats
 

@@ -145,3 +145,29 @@ def test_files_metadata_table(spark):
         .groupBy("b").agg(F.count("*").alias("n")).collect()
     }
     assert {k: v for k, v in per_bucket.items() if v} == {int(k): v for k, v in actual.items()}
+
+
+def test_commit_log_and_flow_metrics(spark):
+    """FIXTURES.md B3/B4: commit-log table rows per epoch, and the
+    event-flow reconciliation invariant read == applied + deduped."""
+    import tempfile as _tf
+
+    from data_pipeline_spark import changelog as cl
+    from data_pipeline_spark.metrics import read_metrics
+    from data_pipeline_spark.pipeline import replay
+
+    root = _tf.mkdtemp(prefix="lake_cl_")
+    t = replay(spark, SF_SMOKE, root, n_batches=3, n_buckets=8)  # metrics ON
+    clog = {r.commit_key: r.op for r in t.commit_log().collect()}
+    assert set(clog) == {"replay-0", "replay-1", "replay-2"}
+    assert all(op == "merge" for op in clog.values())
+
+    commits = read_metrics(t, "commits")
+    rows = commits.collect()
+    assert len(rows) == 3
+    total_read = 0
+    for r in rows:
+        assert r.events_read == r.events_applied + r.events_deduped, r
+        assert r.deletes >= 0 and r.events_applied >= r.deletes
+        total_read += r.events_read
+    assert total_read == cl.changelog(spark, SF_SMOKE).count()
