@@ -148,6 +148,66 @@ def ann_lsh_sql(
     """
 
 
+def ann_ivf_sql(
+    dialect: str,
+    emb_rel: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = DIM,
+) -> str:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus to its nearest
+    centroid, probe only the ``n_probe`` closest cells per query.
+
+    Centroids are the ``n_centroids`` lowest-vec_id corpus vectors — a
+    deterministic stand-in for a k-means codebook (training is an offline
+    job; the SERVING plan, which is what this operator is, is identical).
+    Cell assignment = argmax integer dot (ties → lower centroid id), so
+    both engines agree exactly. At scale: the corpus assignment is a
+    broadcast join against the codebook (tiny), the probe is an equi-join
+    on cell id — no full scan per query."""
+    qv = quantize("embedding", dialect)
+    dot_vc = int_dot("v.qe", "c.qe", dialect, dim)
+    dot_qc = int_dot("q.qe", "c.qe", dialect, dim)
+    dot_qn = int_dot("q.qe", "n.qe", dialect, dim)
+    return f"""
+        WITH base AS (SELECT vec_id, {qv} AS qe FROM {emb_rel}),
+        cent AS (SELECT vec_id AS cid, qe FROM base WHERE vec_id < {n_centroids}),
+        assigned AS (
+          SELECT vec_id, qe, cid FROM (
+            SELECT v.vec_id, v.qe, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {dot_vc} DESC, c.cid) AS rn
+            FROM base v JOIN cent c ON 1 = 1
+          ) a WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {dot_qc} DESC, c.cid) AS rn
+            FROM base q JOIN cent c ON 1 = 1
+            WHERE q.vec_id < {n_queries}
+          ) p WHERE rn <= {n_probe}
+        ),
+        scored AS (
+          SELECT p.query_id, n.vec_id AS neighbor_id,
+                 {dot_qn} AS dot
+          FROM probes p
+          JOIN assigned n ON n.cid = p.cid
+          JOIN base q ON q.vec_id = p.query_id
+          WHERE n.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot FROM (
+          SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS rn
+          FROM scored
+        ) ranked WHERE rn <= {k}
+    """
+
+
 def embedding_near_dup_sql(
     dialect: str,
     emb_rel: str = "embeddings",

@@ -987,6 +987,16 @@ sql_pair(
 )
 
 sql_pair(
+    "emb_ann_ivf",
+    spark_sql=_sim.ann_ivf_sql(_sim.SPARK),
+    duck_sql=_sim.ann_ivf_sql(_sim.DUCK),
+    tables=("embeddings",),
+    with_changelog_cte=False,
+    doc="IVF ANN: deterministic codebook, nprobe=2 cell probe "
+    "(the inverted-file scale path; codebook broadcast-joins at scale)",
+)
+
+sql_pair(
     "emb_near_dup",
     spark_sql=_sim.embedding_near_dup_sql(_sim.SPARK),
     duck_sql=_sim.embedding_near_dup_sql(_sim.DUCK),
