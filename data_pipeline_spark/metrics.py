@@ -87,6 +87,9 @@ def record_commit(
                     "events_read": (flow or {}).get("events_read"),
                     "events_applied": (flow or {}).get("events_applied"),
                     "events_deduped": (flow or {}).get("events_deduped"),
+                    "events_late_dropped": (flow or {}).get(
+                        "events_late_dropped"
+                    ),
                     "deletes": (flow or {}).get("deletes"),
                 }
             ]

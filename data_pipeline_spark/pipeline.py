@@ -45,17 +45,34 @@ def apply_batch(
     record_metrics: bool = True,
     with_stats: bool = False,
     touched: set[int] | None = None,
+    watermark_days: int | None = None,
 ) -> MergeStats:
-    """One micro-batch: LWW collapse → vectorized extraction → MERGE.
+    """One micro-batch: [late-drop] → LWW collapse → extraction → MERGE.
 
     Collapse runs FIRST so the extraction UDF touches only per-url winners
     (O(distinct urls)), not every change event; deletes skip extraction
     entirely (their payload never reaches the table).
+
+    ``watermark_days`` enables the too-late drop (reference: acquisition-
+    age floor, query_stac.py:120-128 — "reingestion re-stamping `updated`
+    must not flood the queue"): events whose warc_ts is more than N days
+    older than the batch's max event time are discarded before the
+    collapse and counted as events_late_dropped. LWW makes late data
+    semantically harmless either way; the watermark bounds WORK, not
+    correctness.
     """
     t0 = time.monotonic()
     from data_pipeline_spark.lake.merge import lww_collapse
 
     snap = table.current()
+    n_late = 0
+    if watermark_days is not None:
+        hi = batch.agg(F.max("warc_ts")).first()[0]
+        if hi is not None:
+            floor_expr = F.lit(hi) - F.expr(f"INTERVAL {watermark_days} DAY")
+            if record_metrics:
+                n_late = batch.filter(F.col("warc_ts") < floor_expr).count()
+            batch = batch.filter(F.col("warc_ts") >= floor_expr)
     collapsed = lww_collapse(
         batch, snap.key, "lsn", [c for c in batch.columns if c != snap.key]
     )
@@ -78,9 +95,10 @@ def apply_batch(
         }
         n_winners = sum(per_op.values())
         flow = {
-            "events_read": n_read,
+            "events_read": n_read + n_late,
             "events_applied": n_winners,
             "events_deduped": n_read - n_winners,
+            "events_late_dropped": n_late,
             "deletes": per_op.get("delete", 0),
         }
         metrics_mod.record_commit(

@@ -171,3 +171,34 @@ def test_commit_log_and_flow_metrics(spark):
         assert r.deletes >= 0 and r.events_applied >= r.deletes
         total_read += r.events_read
     assert total_read == cl.changelog(spark, SF_SMOKE).count()
+
+
+def test_watermark_late_drop(spark):
+    """F3/B4: events older than the watermark floor are dropped before the
+    collapse and counted; reconciliation extends to
+    read == applied + deduped + late_dropped."""
+    import tempfile as _tf
+
+    from data_pipeline_spark import changelog as cl
+    from data_pipeline_spark.metrics import read_metrics
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, SF_SMOKE)
+    hi = log.agg(F.max("warc_ts")).first()[0]
+    n_late = log.filter(
+        F.col("warc_ts") < F.lit(hi) - F.expr("INTERVAL 3 DAY")
+    ).count()
+    assert n_late > 0  # the smoke log spans > 3 days
+
+    root = _tf.mkdtemp(prefix="lake_wm_")
+    t = ensure_table(spark, root, 8)
+    apply_batch(t, log, "b0", watermark_days=3)
+    m = read_metrics(t, "commits").collect()[0]
+    assert m.events_late_dropped == n_late
+    assert m.events_read == (
+        m.events_applied + m.events_deduped + m.events_late_dropped
+    )
+    # nothing older than the floor landed in the table
+    assert t.read().filter(
+        F.col("warc_ts") < F.lit(hi) - F.expr("INTERVAL 3 DAY")
+    ).count() == 0
