@@ -37,7 +37,12 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_spark.lake.table import BUCKET_COL, LakeTable, Snapshot
+from data_pipeline_spark.lake.table import (
+    BUCKET_COL,
+    TOMBSTONE_COL,
+    LakeTable,
+    Snapshot,
+)
 
 OP_COL = "op"
 DELETE_OP = "delete"
@@ -120,13 +125,36 @@ def merge_into(
 
     batch_rows = src.count() if with_stats else None
 
-    target = table.read(buckets=touched, snap=snap).withColumn(
-        OP_COL, F.lit("update")
-    )
+    # Tombstones: the target is read WITH its tombstone rows, and delete
+    # winners are kept as tombstones (payload nulled) rather than dropped.
+    # Otherwise a late, out-of-order event OLDER than an applied delete
+    # would find no matching row and resurrect the key — LWW order-
+    # independence requires remembering the delete's lsn. Readers never
+    # see tombstones (table.read filters them); retention_sweep purges
+    # old ones (the reference's cleanup cron analog).
+    target = table.read(buckets=touched, snap=snap, include_tombstones=True)
+    target = target.withColumn(
+        OP_COL,
+        F.when(F.col(TOMBSTONE_COL), F.lit(DELETE_OP)).otherwise(F.lit("update")),
+    ).drop(TOMBSTONE_COL)
     merged = lww_collapse(
         target.unionByName(src), key, ORDER_COL, data_cols + [OP_COL]
     )
-    final = merged.filter(F.col(OP_COL) != DELETE_OP).drop(OP_COL)
+    is_del = F.col(OP_COL) == DELETE_OP
+    final = merged.select(
+        key,
+        *[
+            (
+                F.when(is_del, F.lit(None).cast(dict(fields)[c])).otherwise(
+                    F.col(c)
+                ).alias(c)
+                if c not in (ORDER_COL,)
+                else F.col(c)
+            )
+            for c in data_cols
+        ],
+        is_del.alias(TOMBSTONE_COL),
+    )
 
     new_snap = table.commit_buckets(
         final,

@@ -54,6 +54,10 @@ CURRENT_FILE = "_CURRENT"
 SNAPSHOT_DIR = "_snapshots"
 DATA_DIR = "data"
 BUCKET_COL = "__bucket"
+# Hidden tombstone marker: delete winners persist (payload nulled) so
+# late out-of-order events older than an applied delete cannot resurrect
+# the key. Never part of the logical schema; filtered on read.
+TOMBSTONE_COL = "__deleted"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -210,12 +214,18 @@ class LakeTable:
         self,
         buckets: set[int] | None = None,
         snap: Snapshot | None = None,
+        include_tombstones: bool = False,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
 
         Files are grouped by their write-schema version; each group is read
         with that exact schema (no inference) and aligned to the current
         schema: missing columns → typed NULL, widened columns → cast.
+
+        Tombstone rows (applied deletes, kept so stale late events lose
+        the LSN race) are filtered out unless ``include_tombstones`` —
+        then they appear with a boolean ``__deleted`` column (the merge
+        path and diagnostics use this).
         """
         snap = snap or self.current()
         groups: dict[int, list[str]] = {}
@@ -227,24 +237,40 @@ class LakeTable:
                     os.path.join(self.root, e["path"])
                 )
         cur_fields = self.schema_fields(snap)
+        phys_fields = cur_fields + [(TOMBSTONE_COL, "boolean")]
         if not groups:
-            return self.spark.createDataFrame([], self.spark_schema(snap))
+            empty = self.spark.createDataFrame(
+                [], self._ddl_schema(phys_fields)
+            )
+            return empty if include_tombstones else empty.drop(TOMBSTONE_COL)
         parts = []
         for sv, files in sorted(groups.items()):
-            df = self.spark.read.schema(self.spark_schema(snap, sv)).parquet(*files)
+            read_schema = self._ddl_schema(
+                self.schema_fields(snap, sv) + [(TOMBSTONE_COL, "boolean")]
+            )
+            df = self.spark.read.schema(read_schema).parquet(*files)
             have = set(df.columns)
             parts.append(
                 df.select(
                     *[
                         (F.col(n).cast(d) if n in have else F.lit(None).cast(d)).alias(n)
                         for n, d in cur_fields
-                    ]
+                    ],
+                    F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(
+                        TOMBSTONE_COL
+                    ),
                 )
             )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if include_tombstones:
+            return out
+        return out.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
+
+    def _ddl_schema(self, fields: list[tuple[str, str]]) -> T.StructType:
+        ddl = ", ".join(f"{n} {d}" for n, d in fields)
+        return T.StructType.fromDDL(ddl)
 
     def commit_log(self) -> DataFrame:
         """The exactly-once commit-dedup table (FIXTURES.md B3): one row
@@ -413,8 +439,13 @@ class LakeTable:
         rel_dir = os.path.join(DATA_DIR, f"v{version:08d}")
         out_dir = os.path.join(self.root, rel_dir)
         cur_cols = [n for n, _ in self.schema_fields(snap)]
+        tomb = (
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            if TOMBSTONE_COL in df.columns
+            else F.lit(False)
+        )
         (
-            df.select(*cur_cols)
+            df.select(*cur_cols, tomb.alias(TOMBSTONE_COL))
             .withColumn(BUCKET_COL, self.bucket_expr(snap))
             .repartition(BUCKET_COL)
             .write.partitionBy(BUCKET_COL)

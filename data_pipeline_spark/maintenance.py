@@ -32,6 +32,7 @@ class SweepStats:
     commit_key: str
     applied: bool
     gate_counts: dict[str, int]
+    tombstones_purged: int = 0
 
 
 def classify_expired(
@@ -61,30 +62,47 @@ def retention_sweep(
     writes one audit record per item; here one count per gate) and keeps
     the reconciliation invariant: sum(gates) == table rows before sweep.
     """
+    from data_pipeline_spark.lake.table import TOMBSTONE_COL
+
     snap = table.current()
     if commit_key in snap.commits:
         return SweepStats(commit_key, False, {})
-    df = table.read(snap=snap)
+    live = table.read(snap=snap)
+    tombs = table.read(snap=snap, include_tombstones=True).filter(
+        F.col(TOMBSTONE_COL)
+    )
     if now is None:
         # Deterministic "now": the max event time in the table — tests and
         # replays must not depend on wall-clock (reference lesson: cache
         # eviction keyed on acquisition date, not mtime).
-        now = F.lit(df.agg(F.max("warc_ts")).first()[0])
-    gated = df.withColumn(
-        "__gate", classify_expired(df, now, retention_days, exclude)
+        now = F.lit(live.agg(F.max("warc_ts")).first()[0])
+    gated = live.withColumn(
+        "__gate", classify_expired(live, now, retention_days, exclude)
     )
     counts = {
         r["__gate"]: r["n"]
         for r in gated.groupBy("__gate").agg(F.count("*").alias("n")).collect()
     }
     survivors = gated.filter(F.col("__gate") != "delete").drop("__gate")
+    # Tombstones age out on the same clock: one older than retention can
+    # no longer lose to any event the watermark would admit, so it purges;
+    # younger tombstones survive the sweep (keep their delete-lsn fence).
+    expires = F.col("warc_ts") + F.expr(f"INTERVAL {retention_days} DAY")
+    keep_tombs = tombs.filter(
+        F.col("warc_ts").isNull() | (expires >= now)
+    )
+    n_purged = tombs.count() - keep_tombs.count()
     table.commit_buckets(
-        survivors,
+        survivors.withColumn(TOMBSTONE_COL, F.lit(False)).unionByName(keep_tombs),
         touched=set(range(snap.n_buckets)),
         commit_key=commit_key,
-        summary={"op": "retention_sweep", "gates": counts},
+        summary={
+            "op": "retention_sweep",
+            "gates": counts,
+            "tombstones_purged": n_purged,
+        },
     )
-    return SweepStats(commit_key, True, counts)
+    return SweepStats(commit_key, True, counts, tombstones_purged=n_purged)
 
 
 def quality_gate(
@@ -149,16 +167,20 @@ def backfill(
     Typical use right after ``evolve_schema(add_columns=...)`` to populate
     the new column for pre-evolution rows.
     """
+    from data_pipeline_spark.lake.table import TOMBSTONE_COL
+
     snap = table.current()
     if commit_key in snap.commits:
         return False
-    df = table.read(snap=snap)
+    # Tombstone rows ride along untouched (their delete-lsn fence must
+    # survive migrations).
+    df = table.read(snap=snap, include_tombstones=True)
+    not_tomb = ~F.col(TOMBSTONE_COL)
     for name, expr in exprs.items():
         if name not in df.columns:
             raise KeyError(f"backfill target column {name} not in schema")
-        if where is not None:
-            expr = F.when(where, expr).otherwise(F.col(name))
-        df = df.withColumn(name, expr)
+        gate = not_tomb if where is None else (not_tomb & where)
+        df = df.withColumn(name, F.when(gate, expr).otherwise(F.col(name)))
     table.commit_buckets(
         df,
         touched=set(range(snap.n_buckets)),

@@ -147,7 +147,7 @@ def test_metrics_reconciliation(spark, replayed):
     snap = replayed.current()
     actual = {
         r.b: r.n
-        for r in replayed.read(buckets=set(lin))
+        for r in replayed.read(buckets=set(lin), include_tombstones=True)
         .withColumn("b", replayed.bucket_expr(snap))
         .groupBy("b")
         .agg(F.count("*").alias("n"))

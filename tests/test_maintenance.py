@@ -136,12 +136,14 @@ def test_files_metadata_table(spark):
     files = t.files()
     assert files.count() > 0
     total_rows = files.agg(F.sum("rows")).first()[0]
-    assert total_rows == t.read().count()
+    # physical rows include tombstones (applied deletes)
+    assert total_rows == t.read(include_tombstones=True).count()
     per_bucket = {r.bucket: r.n for r in files.groupBy("bucket").agg(F.sum("rows").alias("n")).collect()}
     snap = t.current()
     actual = {
         r.b: r.n
-        for r in t.read().withColumn("b", t.bucket_expr(snap))
+        for r in t.read(include_tombstones=True)
+        .withColumn("b", t.bucket_expr(snap))
         .groupBy("b").agg(F.count("*").alias("n")).collect()
     }
     assert {k: v for k, v in per_bucket.items() if v} == {int(k): v for k, v in actual.items()}
