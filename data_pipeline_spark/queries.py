@@ -927,6 +927,26 @@ sql_pair(
     doc="MinHash(16) + LSH(4 bands) near-dup pairs, exact-Jaccard verified",
 )
 
+_KEEP_LIST = """
+    WITH pairs AS ({pairs_sql}),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+"""
+
+sql_pair(
+    "docs_dedup_keep_list",
+    spark_sql=_KEEP_LIST.format(pairs_sql=_dd.minhash_near_dup_sql(_dd.SPARK)),
+    duck_sql=_KEEP_LIST.format(pairs_sql=_dd.minhash_near_dup_sql(_dd.DUCK)),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Dedup DECISION: greedy keep-lowest-id over MinHash near-dup "
+    "pairs (doc_a < doc_b ⇒ drop doc_b) — the survivor set a training "
+    "pipeline actually emits",
+)
+
+
 @register(
     "docs_minhash_near_dup_fast",
     None,  # rows-only: xxhash64 has no DuckDB twin; algorithm proven by
