@@ -24,7 +24,10 @@ Physical strategy (Spark-first, not a join translation):
    max-LSN-wins aggregate as batch rows (targets carry their stored lsn; a
    target row only loses to a strictly newer batch row, which *is* the
    ``s.lsn > t.lsn`` condition). One shuffle total; no null-handling
-   asymmetry; deletes drop out by filtering the winner's op.
+   asymmetry. Delete winners persist as hidden TOMBSTONES (payload nulled,
+   ``__deleted`` marker) so a late event older than an applied delete
+   still loses the lsn race instead of resurrecting the key; readers
+   never see tombstones and retention_sweep ages them out.
 4. **Atomic snapshot commit** keyed by ``commit_key`` — replaying the same
    batch (task retry, stream restart) is a no-op (exactly-once).
 """
@@ -140,16 +143,19 @@ def merge_into(
     merged = lww_collapse(
         target.unionByName(src), key, ORDER_COL, data_cols + [OP_COL]
     )
+    # Tombstones keep only the fence columns (lsn for the LWW race,
+    # warc_ts so retention_sweep can age them out); payload columns null.
     is_del = F.col(OP_COL) == DELETE_OP
+    keep_cols = {ORDER_COL, "warc_ts"}
     final = merged.select(
         key,
         *[
             (
-                F.when(is_del, F.lit(None).cast(dict(fields)[c])).otherwise(
-                    F.col(c)
-                ).alias(c)
-                if c not in (ORDER_COL,)
-                else F.col(c)
+                F.col(c)
+                if c in keep_cols
+                else F.when(is_del, F.lit(None).cast(dict(fields)[c]))
+                .otherwise(F.col(c))
+                .alias(c)
             )
             for c in data_cols
         ],

@@ -94,6 +94,7 @@ def run_stream(
     available_now: bool = True,
     fail_after_batches: int | None = None,
     fail_mode: str = "before",
+    watermark_days: int | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -117,6 +118,7 @@ def run_stream(
             batch,
             commit_key=EPOCH_KEY.format(n=batch_id),
             record_metrics=record_metrics,
+            watermark_days=watermark_days,
         )
         seen["n"] += 1
         if crash and fail_mode == "after":
