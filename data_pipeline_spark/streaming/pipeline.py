@@ -40,7 +40,8 @@ EPOCH_KEY = "epoch={n}"
 
 
 def write_wal(
-    spark: SparkSession, sf_dir: str, wal_dir: str, n_files: int = 8
+    spark: SparkSession, sf_dir: str, wal_dir: str, n_files: int = 8,
+    amplify: int = 1,
 ) -> int:
     """Land the synthetic change log as an append-only WAL directory.
 
@@ -50,19 +51,20 @@ def write_wal(
     """
     from pyspark.sql import functions as F
 
-    log = cl.changelog(spark, sf_dir)
+    log = cl.changelog(spark, sf_dir, amplify=amplify)
     lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
     span = (hi - lo + 1 + n_files - 1) // n_files
     os.makedirs(wal_dir, exist_ok=True)
     n = 0
+    # Files per segment bound batch-scan parallelism (a Kafka-partition
+    # analog): 1 for small test logs, defaultParallelism for amplified
+    # benchmark logs so each epoch's scan uses every core.
+    fps = 1 if amplify <= 1 else spark.sparkContext.defaultParallelism
     for i in range(n_files):
         part = log.filter(
             (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
         )
-        # One file per WAL segment; coalesce(1) is fine (segments are small
-        # slices of one batch — the cluster-scale analog is a Kafka topic
-        # partition file landed by the connector).
-        part.coalesce(1).write.mode("overwrite").parquet(
+        part.repartition(fps).write.mode("overwrite").parquet(
             os.path.join(wal_dir, f"seg-{i:05d}")
         )
         n += 1
