@@ -1025,6 +1025,93 @@ sql_pair(
     doc="Embedding-cosine near-dup pairs: LSH candidates + exact-dot verify",
 )
 
+# Explicit cosine top-k: exact integer dot + IEEE-deterministic norm
+# (sqrt is correctly rounded, inputs are exact BIGINTs → identical doubles
+# in both engines; cos emitted in ppm).
+_COS_SPARK = """
+    WITH q AS (
+      SELECT vec_id, transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, qe,
+             aggregate(transform(qe, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x) AS nrm
+      FROM q),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(round(1e6 * aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y),
+                                        CAST(0 AS BIGINT), (acc, v) -> acc + v)
+                        / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)))
+                  AS BIGINT) AS cos_ppm
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5)
+    SELECT query_id, neighbor_id, cos_ppm FROM (
+      SELECT query_id, neighbor_id, cos_ppm,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_ppm DESC, neighbor_id) AS rn
+      FROM scored) r WHERE rn <= 10
+"""
+
+_COS_DUCK = """
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, qe,
+             list_sum(list_transform(qe, x -> x * x)) AS nrm
+      FROM q),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(round(1e6 * list_sum(list_transform(range(1, 65),
+                          i -> a.qe[CAST(i AS INT)] * b.qe[CAST(i AS INT)]))
+                        / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)))
+                  AS BIGINT) AS cos_ppm
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5)
+    SELECT query_id, neighbor_id, cos_ppm FROM (
+      SELECT query_id, neighbor_id, cos_ppm,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_ppm DESC, neighbor_id) AS rn
+      FROM scored) r WHERE rn <= 10
+"""
+
+sql_pair(
+    "emb_cosine_topk",
+    spark_sql=_COS_SPARK,
+    duck_sql=_COS_DUCK,
+    tables=("embeddings",),
+    with_changelog_cte=False,
+    doc="Brute-force COSINE top-k (F.aggregate/zip_with dot product + "
+    "exact-int norms; ppm output)",
+)
+
+# Rolling-hash document fingerprint: polynomial hash over character codes,
+# mod a Mersenne prime — the classic Rabin-Karp shape, fold-expressed in
+# both engines (aggregate vs list_reduce).
+sql_pair(
+    "docs_rolling_hash",
+    spark_sql="""
+        SELECT doc_id,
+               aggregate(
+                 transform(sequence(1, length(text)),
+                           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                 CAST(0 AS BIGINT),
+                 (acc, c) -> (acc * 131 + c) % 2147483647) AS rhash
+        FROM documents
+    """,
+    duck_sql="""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, len(text) + 1),
+                                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 131 + c) % 2147483647) AS rhash
+        FROM documents
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Rolling-hash (Rabin-Karp polynomial) document fingerprint",
+)
+
 sql_pair(
     "docs_langid",
     spark_sql=_ts.langid_sql(),
