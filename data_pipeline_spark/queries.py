@@ -69,7 +69,13 @@ def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
     # (the reference's canonical-timestamp lesson, s3_item_cleanup.py:38-42).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events":
+            # events.parquet is one file → one input partition; the html
+            # synthesis would otherwise run single-task (and TWICE in
+            # self-joins — the repartition exchange is reused instead).
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        df.createOrReplaceTempView(t)
     if "events" in tables:
         spark.sql(
             "CREATE OR REPLACE TEMP VIEW changelog AS "
