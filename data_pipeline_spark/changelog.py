@@ -113,7 +113,11 @@ def changelog(spark: SparkSession, sf_dir: str, amplify: int = 1) -> DataFrame:
     queries always use amplify=1.
     """
     # Pin UTC for any session (driver-owned sessions included): timestamp
-    # parity with the DuckDB oracle requires it.
+    # parity with the DuckDB oracle requires it. Ship the package so the
+    # extraction pandas UDFs import in workers whatever the driver's cwd.
+    from data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = load_events(spark, sf_dir)
     if amplify > 1:

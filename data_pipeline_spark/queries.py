@@ -68,6 +68,9 @@ def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
     # the session timezone, and the DuckDB oracle is UTC — pin it
     # (the reference's canonical-timestamp lesson, s3_item_cleanup.py:38-42).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
     for t in tables:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "events":

@@ -10,8 +10,43 @@ Arrow enabled for the vectorized UDF path.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``data_pipeline_spark`` importable in PYTHON WORKERS regardless
+    of the driver's cwd/sys.path (driver-side path patches do not reach
+    worker processes; cloudpickle serializes module functions by
+    reference, so workers must import the package to run our pandas
+    UDFs). Ships a zip via ``addPyFile`` once per SparkContext — the same
+    mechanism as ``spark-submit --py-files``."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PKG_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        "/tmp", f"data_pipeline_spark_{os.path.getmtime(pkg_dir):.0f}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "data_pipeline_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _PKG_SHIPPED.add(key)
 
 
 def default_parallelism() -> int:
