@@ -71,12 +71,22 @@ def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
     from data_pipeline_spark.session import ship_package
 
     ship_package(spark)
+    import os as _os
+
     for t in tables:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if t == "events":
-            # events.parquet is one file → one input partition; the html
-            # synthesis would otherwise run single-task (and TWICE in
-            # self-joins — the repartition exchange is reused instead).
+        path = f"{sf_dir}/{t}.parquet"
+        df = spark.read.parquet(path)
+        # Driver testdata is one file per table → one input partition
+        # regardless of size (a single parquet row group doesn't split).
+        # Repartition the non-tiny ones so map stages use every core; in
+        # self-joins the repartition exchange is also reused instead of
+        # recomputing the scan twice. Tiny dims stay as-is (they
+        # broadcast).
+        try:
+            big = _os.path.getsize(path) > 256 * 1024
+        except OSError:
+            big = False
+        if big:
             df = df.repartition(spark.sparkContext.defaultParallelism)
         df.createOrReplaceTempView(t)
     if "events" in tables:
