@@ -16,19 +16,19 @@ Physical strategy (Spark-first, not a join translation):
    input partition before the shuffle, so url-domain hot keys cannot skew
    the exchange. This is the engine's built-in answer to the skew clause of
    the north_star (plus AQE skew handling for the residual shuffle).
-2. **Bucket pruning** — only the hash buckets present in the batch are read
-   from the target (O(batch), not O(table)); at 100 TB the merge cost is
-   proportional to touched buckets exactly like Iceberg's storage-partitioned
-   merge.
-3. **Union + LWW instead of full-outer join** — target rows enter the same
-   max-LSN-wins aggregate as batch rows (targets carry their stored lsn; a
-   target row only loses to a strictly newer batch row, which *is* the
-   ``s.lsn > t.lsn`` condition). One shuffle total; no null-handling
-   asymmetry. Delete winners persist as hidden TOMBSTONES (payload nulled,
-   ``__deleted`` marker) so a late event older than an applied delete
-   still loses the lsn race instead of resurrecting the key; readers
-   never see tombstones and retention_sweep ages them out.
-4. **Atomic snapshot commit** keyed by ``commit_key`` — replaying the same
+2. **Merge-on-read delta commit** — the collapsed batch (delete winners as
+   hidden TOMBSTONE rows, payload nulled) is APPENDED as one delta file
+   per touched bucket (``LakeTable.commit_delta``): the merge writes
+   O(batch) bytes and never reads the target. The ``s.lsn > t.lsn``
+   condition resolves at READ time: scans LWW-collapse base+delta rows per
+   key on lsn, so a target row only loses to a strictly newer batch row,
+   and a late event older than an applied delete loses the lsn race to the
+   tombstone instead of resurrecting the key. Compaction
+   (``LakeTable.compact``) folds deltas back into one base file per
+   bucket on its own cadence — exactly Iceberg's merge-on-read +
+   rewrite_data_files split. At 100 TB this is the difference between a
+   sparse batch writing O(batch) and rewriting the table.
+3. **Atomic snapshot commit** keyed by ``commit_key`` — replaying the same
    batch (task retry, stream restart) is a no-op (exactly-once).
 """
 
@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_spark.lake.table import (
-    BUCKET_COL,
     TOMBSTONE_COL,
     LakeTable,
     Snapshot,
@@ -74,20 +73,18 @@ def merge_into(
     commit_key: str,
     with_stats: bool = False,
     precollapsed: bool = False,
-    touched: set[int] | None = None,
+    props_update: dict[str, Any] | None = None,
 ) -> MergeStats:
     """Apply one batch of change events (current-schema cols + ``op``).
 
     ``precollapsed=True`` promises the source already holds at most one row
     per key (the caller ran the LWW collapse, e.g. to scope the extraction
     UDF to winners only) — the within-batch collapse is then skipped; the
-    vs-target collapse still runs.
+    vs-target resolution happens at read time either way (merge-on-read).
 
-    ``touched`` overrides touched-bucket discovery. Passing a superset of
-    the truly-touched buckets is always CORRECT (extra buckets are
-    rewritten with their existing content) — callers with dense batches
-    (every bucket hit, e.g. a uniform backlog replay) pass all buckets and
-    save one scan per batch; sparse feeds leave it None for pruning.
+    ``props_update`` merges table properties into the committed snapshot
+    (the apply path records its watermark here so maintenance can derive
+    the tombstone purge fence from it).
     """
     snap: Snapshot = table.current()
     if commit_key in snap.commits:
@@ -96,18 +93,6 @@ def merge_into(
     key = snap.key
     fields = table.schema_fields(snap)
     data_cols = [n for n, _ in fields if n != key]
-
-    if touched is None:
-        # Touched-bucket discovery BEFORE any heavy transform: a column-
-        # pruned scan of just the key column, distinct ≤ n_buckets rows.
-        touched = {
-            int(r[0])
-            for r in source.select(
-                table.bucket_expr(snap, key).alias(BUCKET_COL)
-            )
-            .distinct()
-            .collect()
-        }
 
     # Align the batch to the current schema: columns added by a schema
     # evolution mid-stream appear as typed NULLs for pre-evolution events
@@ -128,26 +113,16 @@ def merge_into(
 
     batch_rows = src.count() if with_stats else None
 
-    # Tombstones: the target is read WITH its tombstone rows, and delete
-    # winners are kept as tombstones (payload nulled) rather than dropped.
-    # Otherwise a late, out-of-order event OLDER than an applied delete
-    # would find no matching row and resurrect the key — LWW order-
-    # independence requires remembering the delete's lsn. Readers never
-    # see tombstones (table.read filters them); retention_sweep purges
-    # old ones (the reference's cleanup cron analog).
-    target = table.read(buckets=touched, snap=snap, include_tombstones=True)
-    target = target.withColumn(
-        OP_COL,
-        F.when(F.col(TOMBSTONE_COL), F.lit(DELETE_OP)).otherwise(F.lit("update")),
-    ).drop(TOMBSTONE_COL)
-    merged = lww_collapse(
-        target.unionByName(src), key, ORDER_COL, data_cols + [OP_COL]
-    )
-    # Tombstones keep only the fence columns (lsn for the LWW race,
-    # warc_ts so retention_sweep can age them out); payload columns null.
+    # Delete winners persist as hidden TOMBSTONES rather than being
+    # dropped: a late, out-of-order event OLDER than an applied delete
+    # must lose the read-time lsn race instead of resurrecting the key
+    # (LWW order-independence). Tombstones keep only the fence columns
+    # (lsn for the race, warc_ts so retention_sweep can age them out);
+    # payload columns null. Readers never see them (table.read filters);
+    # compaction purges old ones behind the watermark-coupled fence.
     is_del = F.col(OP_COL) == DELETE_OP
     keep_cols = {ORDER_COL, "warc_ts"}
-    final = merged.select(
+    final = src.select(
         key,
         *[
             (
@@ -162,16 +137,16 @@ def merge_into(
         is_del.alias(TOMBSTONE_COL),
     )
 
-    new_snap = table.commit_buckets(
+    new_snap = table.commit_delta(
         final,
-        touched,
         commit_key,
         summary={"batch_rows": batch_rows},
+        props_update=props_update,
     )
     return MergeStats(
         commit_key=commit_key,
         applied=True,
         version=new_snap.version,
-        touched_buckets=len(touched),
+        touched_buckets=len(new_snap.summary.get("touched", [])),
         batch_rows=batch_rows,
     )

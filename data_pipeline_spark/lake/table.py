@@ -1,19 +1,32 @@
-"""Url-hash-bucketed lake table with atomic snapshot commits.
+"""Url-hash-bucketed lake table: atomic snapshots, delta commits, compaction.
 
 This container image ships no Iceberg/Delta jars, so the engine provides the
 Iceberg semantics it needs itself, scoped to exactly what the CDC workload
 requires (the north_star's MERGE INTO target):
 
 * **Atomic commits** — data files are written to a fresh per-commit
-  directory, then a snapshot JSON and finally the ``_CURRENT`` pointer are
-  swapped via ``os.replace`` (atomic on POSIX). Readers resolve ``_CURRENT``
-  once and only ever see a complete snapshot — the reference's
-  "single PUT replaces torn DELETE+POST" lesson
+  directory, then per-bucket manifests, a snapshot JSON, and finally the
+  ``_CURRENT`` pointer are swapped via ``os.replace`` (atomic on POSIX).
+  Readers resolve ``_CURRENT`` once and only ever see a complete snapshot —
+  the reference's "single PUT replaces torn DELETE+POST" lesson
   (reference: operator-tools/_migrate_catalog/runner.py:126-156).
-* **Incremental writes** — a commit rewrites only the hash buckets its
-  source batch touches; untouched buckets' files are carried forward by
-  reference in the new snapshot (reference analog: incremental tree sync
+* **Delta commits (merge-on-read)** — a merge commit APPENDS one small
+  delta file per touched bucket; nothing is rewritten. A sparse batch
+  touching 1 row per bucket writes O(batch) bytes, not O(table) — the
+  Iceberg merge-on-read shape (reference analog: incremental tree sync
   uploads only new/changed objects, scripts/ingest_v1_s1_rtc.py:467-527).
+  Reads LWW-collapse base+delta rows on the table's order column; buckets
+  with no delta files skip the collapse entirely.
+* **Compaction** — :meth:`compact` rewrites multi-file buckets down to one
+  base file each (Iceberg ``rewrite_data_files``), optionally purging
+  tombstones behind a caller-supplied fence; untouched buckets carry
+  forward by manifest reference.
+* **Per-bucket manifests** — the snapshot JSON holds one manifest-file
+  pointer per bucket (O(n_buckets), small); file lists live in per-bucket
+  manifest files written ONLY for touched buckets, so commit metadata is
+  O(touched), not O(total files) — the Iceberg manifest-list shape
+  (reference-scale catalogs paginate for the same reason,
+  operator-tools/_migrate_catalog/runner.py:31-54).
 * **Commit-level idempotency** — every commit carries a ``commit_key``
   (e.g. ``epoch=<n>`` from foreachBatch); replaying an already-applied key
   is a no-op. This is the exactly-once keystone
@@ -33,9 +46,10 @@ on ``_CURRENT`` turns racing writers into loud failures instead of lost
 updates.
 
 Scale notes (100 TB / 1000 executors): bucket count is a table property
-(default 64 here, thousands there); the per-commit file listing is
-O(touched buckets); the snapshot JSON is O(total files) and would graduate
-to avro manifests à la Iceberg — the commit protocol itself is unchanged.
+(default 64 here, thousands there); per-commit work is O(touched buckets)
+in both data (delta files) and metadata (manifests); read cost between
+compactions is O(base + deltas) with one hash aggregate; the compaction
+cadence bounds delta accumulation exactly like Iceberg's maintenance jobs.
 """
 
 from __future__ import annotations
@@ -52,6 +66,7 @@ from pyspark.sql import types as T
 
 CURRENT_FILE = "_CURRENT"
 SNAPSHOT_DIR = "_snapshots"
+MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 BUCKET_COL = "__bucket"
 # Hidden tombstone marker: delete winners persist (payload nulled) so
@@ -71,9 +86,11 @@ class Snapshot:
     schemas: dict[str, list[list[str]]]  # schema_version -> [[name, ddl], ...]
     n_buckets: int
     key: str
-    buckets: dict[str, list[dict[str, Any]]]  # bucket -> [{path, schema_version}]
+    manifests: dict[str, str]  # bucket -> manifest file name ("" = empty)
     commits: dict[str, int] = field(default_factory=dict)  # commit_key -> version
     summary: dict[str, Any] = field(default_factory=dict)
+    order_col: str = "lsn"  # LWW order column for merge-on-read collapse
+    props: dict[str, Any] = field(default_factory=dict)  # table properties
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -98,6 +115,7 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._manifest_cache: dict[str, list[dict[str, Any]]] = {}
 
     # -- creation / snapshot plumbing ------------------------------------
 
@@ -108,8 +126,10 @@ class LakeTable:
         schema: list[tuple[str, str]],
         key: str = "url",
         n_buckets: int = 64,
+        order_col: str = "lsn",
     ) -> "LakeTable":
         os.makedirs(os.path.join(root, SNAPSHOT_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
         snap = Snapshot(
             version=0,
@@ -117,9 +137,10 @@ class LakeTable:
             schemas={"0": [[n, d] for n, d in schema]},
             n_buckets=n_buckets,
             key=key,
-            buckets={str(b): [] for b in range(n_buckets)},
+            manifests={str(b): "" for b in range(n_buckets)},
             commits={},
             summary={"op": "create"},
+            order_col=order_col,
         )
         t = LakeTable(spark, root)
         t._write_snapshot(snap, expect_parent=None)
@@ -157,6 +178,40 @@ class LakeTable:
         _atomic_write(os.path.join(self.root, SNAPSHOT_DIR, name), snap.to_json())
         _atomic_write(cur_path, name)
 
+    # -- manifests ---------------------------------------------------------
+
+    def bucket_entries(self, snap: Snapshot, bucket: int | str) -> list[dict]:
+        """File entries of one bucket: ``{path, schema_version, kind}``
+        (``kind`` ∈ base|delta). Resolved through the bucket's manifest
+        file; manifests are immutable, so the cache never invalidates."""
+        name = snap.manifests.get(str(bucket), "")
+        if not name:
+            return []
+        cached = self._manifest_cache.get(name)
+        if cached is None:
+            with open(os.path.join(self.root, MANIFEST_DIR, name)) as f:
+                cached = json.load(f)
+            self._manifest_cache[name] = cached
+        return cached
+
+    def all_entries(self, snap: Snapshot) -> dict[int, list[dict]]:
+        return {
+            int(b): self.bucket_entries(snap, b) for b in snap.manifests
+        }
+
+    def _write_manifest(
+        self, version: int, bucket: int | str, entries: list[dict]
+    ) -> str:
+        if not entries:
+            return ""
+        name = f"b{int(bucket):05d}-v{version:08d}.json"
+        _atomic_write(
+            os.path.join(self.root, MANIFEST_DIR, name),
+            json.dumps(entries, sort_keys=True),
+        )
+        self._manifest_cache[name] = entries
+        return name
+
     # -- schema -----------------------------------------------------------
 
     def schema_fields(self, snap: Snapshot, schema_version: int | None = None) -> list[tuple[str, str]]:
@@ -193,12 +248,30 @@ class LakeTable:
             schemas=schemas,
             n_buckets=snap.n_buckets,
             key=snap.key,
-            buckets=snap.buckets,
+            manifests=dict(snap.manifests),
             commits=dict(snap.commits),
             summary={"op": "evolve", "add": add_columns or {}, "widen": widen or {}},
+            order_col=snap.order_col,
+            props=dict(snap.props),
         )
         if commit_key:
             new.commits[commit_key] = new.version
+        self._write_snapshot(new, expect_parent=snap.version)
+        return new
+
+    def update_props(self, updates: dict[str, Any]) -> Snapshot:
+        """Metadata-only table-property update (no data commit)."""
+        snap = self.current()
+        new = Snapshot(
+            **{
+                **snap.__dict__,
+                "version": snap.version + 1,
+                "manifests": dict(snap.manifests),
+                "commits": dict(snap.commits),
+                "summary": {"op": "props", "updates": updates},
+                "props": {**snap.props, **updates},
+            }
+        )
         self._write_snapshot(new, expect_parent=snap.version)
         return new
 
@@ -215,38 +288,54 @@ class LakeTable:
         buckets: set[int] | None = None,
         snap: Snapshot | None = None,
         include_tombstones: bool = False,
+        raw: bool = False,
+        align_snap: Snapshot | None = None,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
 
         Files are grouped by their write-schema version; each group is read
         with that exact schema (no inference) and aligned to the current
         schema: missing columns → typed NULL, widened columns → cast.
+        ``align_snap`` aligns to a DIFFERENT snapshot's schema (used by
+        :meth:`changes_between` to read both sides of a schema-evolution
+        boundary with one field set).
+
+        Merge-on-read: when any selected bucket carries delta files, rows
+        LWW-collapse per key on the table's order column (one hash
+        aggregate with map-side combine); fully-compacted buckets skip the
+        collapse — their base files already hold one row per key.
 
         Tombstone rows (applied deletes, kept so stale late events lose
         the LSN race) are filtered out unless ``include_tombstones`` —
-        then they appear with a boolean ``__deleted`` column (the merge
-        path and diagnostics use this).
+        then they appear with a boolean ``__deleted`` column.
+
+        ``raw=True`` returns the physical rows (no collapse, tombstone
+        column included) — diagnostics and compaction internals only.
         """
         snap = snap or self.current()
+        sch = align_snap or snap
         groups: dict[int, list[str]] = {}
-        for b, entries in snap.buckets.items():
+        has_delta = False
+        for b in snap.manifests:
             if buckets is not None and int(b) not in buckets:
                 continue
-            for e in entries:
+            for e in self.bucket_entries(snap, b):
+                if e.get("kind", "base") == "delta":
+                    has_delta = True
                 groups.setdefault(e["schema_version"], []).append(
                     os.path.join(self.root, e["path"])
                 )
-        cur_fields = self.schema_fields(snap)
+        cur_fields = self.schema_fields(sch)
         phys_fields = cur_fields + [(TOMBSTONE_COL, "boolean")]
         if not groups:
-            empty = self.spark.createDataFrame(
-                [], self._ddl_schema(phys_fields)
-            )
-            return empty if include_tombstones else empty.drop(TOMBSTONE_COL)
+            empty = self.spark.createDataFrame([], self._ddl_schema(phys_fields))
+            if raw or include_tombstones:
+                return empty
+            return empty.drop(TOMBSTONE_COL)
         parts = []
         for sv, files in sorted(groups.items()):
             read_schema = self._ddl_schema(
-                self.schema_fields(snap, sv) + [(TOMBSTONE_COL, "boolean")]
+                self.schema_fields(sch, sv) + [(TOMBSTONE_COL, "boolean")]
             )
             df = self.spark.read.schema(read_schema).parquet(*files)
             have = set(df.columns)
@@ -264,6 +353,19 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if raw:
+            return out
+        if has_delta:
+            # LWW collapse base+delta (hash aggregate, map-side combine;
+            # same skew-proof shape as the merge path's collapse).
+            key, order = snap.key, snap.order_col
+            others = [c for c in out.columns if c != key]
+            packed = out.groupBy(key).agg(
+                F.max_by(F.struct(*others), F.col(order)).alias("__w")
+            )
+            out = packed.select(
+                key, *[F.col(f"__w.{c}").alias(c) for c in others]
+            )
         if include_tombstones:
             return out
         return out.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
@@ -314,18 +416,20 @@ class LakeTable:
         ``(op ∈ insert|update|delete, url, ...)``.
 
         Computed as a keyed full-outer diff of the two states — O(both
-        states) worst case, but bucket-pruned to buckets whose file lists
+        states) worst case, but bucket-pruned to buckets whose manifests
         differ between the snapshots (untouched buckets can't contribute
         changes), which at scale is O(touched data) like Iceberg's
-        incremental scan."""
+        incremental scan. Both sides align to the NEWER snapshot's schema,
+        so the feed crosses schema-evolution boundaries (pre-evolution
+        rows carry typed NULLs in added columns)."""
         a, b = self.snapshot(from_version), self.snapshot(to_version)
         touched = {
             int(k)
-            for k in set(a.buckets) | set(b.buckets)
-            if a.buckets.get(k) != b.buckets.get(k)
+            for k in set(a.manifests) | set(b.manifests)
+            if a.manifests.get(k) != b.manifests.get(k)
         }
         key = b.key
-        old = self.read(buckets=touched, snap=a)
+        old = self.read(buckets=touched, snap=a, align_snap=b)
         new = self.read(buckets=touched, snap=b)
         o = old.select(F.col(key), F.struct(*[c for c in old.columns]).alias("__o"))
         n = new.select(F.col(key), F.struct(*[c for c in new.columns]).alias("__n"))
@@ -366,12 +470,16 @@ class LakeTable:
         return expired
 
     def vacuum(self) -> int:
-        """Delete data files referenced by NO surviving snapshot. Returns
-        the number of files removed. Safe under the single-writer model:
-        only ever called between commits."""
+        """Delete data files and manifests referenced by NO surviving
+        snapshot. Returns the number of data files removed. Safe under the
+        single-writer model: only ever called between commits."""
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for s in self.snapshot_log():
-            for entries in s.buckets.values():
+            for name in s.manifests.values():
+                if name:
+                    live_manifests.add(name)
+            for entries in self.all_entries(s).values():
                 live.update(e["path"] for e in entries)
         removed = 0
         data_root = os.path.join(self.root, DATA_DIR)
@@ -384,32 +492,39 @@ class LakeTable:
                     removed += 1
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
+        man_dir = os.path.join(self.root, MANIFEST_DIR)
+        for fn in os.listdir(man_dir):
+            if fn.endswith(".json") and fn not in live_manifests:
+                os.remove(os.path.join(man_dir, fn))
+                self._manifest_cache.pop(fn, None)
         return removed
 
     def files(self, snap: Snapshot | None = None) -> DataFrame:
         """The files metadata table (Iceberg ``table$files`` analog;
         reference analog: S3 prefix listing scans,
         scripts/prestage_source.py:252-270): one row per live data file
-        with bucket, schema version, size, and row count from the parquet
-        footer — no data scan."""
+        with bucket, kind (base|delta), schema version, size, and row count
+        from the parquet footer — no data scan."""
         import pyarrow.parquet as pq
 
         snap = snap or self.current()
         rows = []
-        for b, entries in sorted(snap.buckets.items(), key=lambda kv: int(kv[0])):
+        for b, entries in sorted(self.all_entries(snap).items()):
             for e in entries:
                 p = os.path.join(self.root, e["path"])
                 rows.append(
                     {
                         "bucket": int(b),
                         "path": e["path"],
+                        "kind": e.get("kind", "base"),
                         "schema_version": e["schema_version"],
                         "bytes": os.path.getsize(p),
                         "rows": pq.read_metadata(p).num_rows,
                     }
                 )
         schema = T.StructType.fromDDL(
-            "bucket int, path string, schema_version int, bytes bigint, rows bigint"
+            "bucket int, path string, kind string, schema_version int, "
+            "bytes bigint, rows bigint"
         )
         return self.spark.createDataFrame(rows, schema)
 
@@ -418,63 +533,205 @@ class LakeTable:
     def is_committed(self, commit_key: str) -> bool:
         return commit_key in self.current().commits
 
-    def commit_buckets(
-        self,
-        df: DataFrame,
-        touched: set[int],
-        commit_key: str,
-        summary: dict[str, Any] | None = None,
-    ) -> Snapshot:
-        """Replace the contents of ``touched`` buckets with ``df`` atomically.
-
-        ``df`` must already be the full desired content of those buckets and
-        must carry only current-schema columns. Rows are routed to bucket
-        directories by the key hash; a shuffle on the bucket id keeps one
-        writer task per bucket (AQE coalesces small ones).
-        """
-        snap = self.current()
-        if commit_key in snap.commits:
-            return snap  # idempotent replay — exactly-once keystone
-        version = snap.version + 1
-        rel_dir = os.path.join(DATA_DIR, f"v{version:08d}")
+    def _write_data_files(
+        self, df: DataFrame, version: int
+    ) -> tuple[str, dict[int, list[str]]]:
+        """Write ``df`` bucket-partitioned under data/v<version>; return
+        (rel_dir, {bucket: [file names]}) discovered from the output tree
+        (no extra Spark job to learn the touched set)."""
+        snap_dir = f"v{version:08d}"
+        rel_dir = os.path.join(DATA_DIR, snap_dir)
         out_dir = os.path.join(self.root, rel_dir)
+        (
+            df.write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written: dict[int, list[str]] = {}
+        for dname in os.listdir(out_dir):
+            if not dname.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(dname.split("=", 1)[1])
+            files = sorted(
+                fn
+                for fn in os.listdir(os.path.join(out_dir, dname))
+                if fn.endswith(".parquet")
+            )
+            if files:
+                written[b] = files
+        return rel_dir, written
+
+    def _prep_write(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Project to the physical schema + bucket column, one writer task
+        per bucket (shuffle on bucket id; AQE coalesces small ones)."""
         cur_cols = [n for n, _ in self.schema_fields(snap)]
         tomb = (
             F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
             if TOMBSTONE_COL in df.columns
             else F.lit(False)
         )
-        (
+        return (
             df.select(*cur_cols, tomb.alias(TOMBSTONE_COL))
             .withColumn(BUCKET_COL, self.bucket_expr(snap))
             .repartition(BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
         )
-        new_buckets = dict(snap.buckets)
-        for b in touched:
-            bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-            files = []
-            if os.path.isdir(bdir):
-                files = [
-                    {
-                        "path": os.path.join(rel_dir, f"{BUCKET_COL}={b}", fn),
-                        "schema_version": snap.schema_version,
-                    }
-                    for fn in sorted(os.listdir(bdir))
-                    if fn.endswith(".parquet")
-                ]
-            new_buckets[str(b)] = files
+
+    def commit_delta(
+        self,
+        df: DataFrame,
+        commit_key: str,
+        summary: dict[str, Any] | None = None,
+        props_update: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Append ``df`` as delta files to the buckets it touches (merge-on-
+        read MERGE): writes O(batch) data + O(touched) manifests; nothing
+        is rewritten. ``df`` must carry current-schema columns (plus an
+        optional ``__deleted`` tombstone flag) with at most one row per
+        key — readers resolve key versions by max-order-wins collapse."""
+        snap = self.current()
+        if commit_key in snap.commits:
+            return snap  # idempotent replay — exactly-once keystone
+        version = snap.version + 1
+        rel_dir, written = self._write_data_files(
+            self._prep_write(df, snap), version
+        )
+        new_manifests = dict(snap.manifests)
+        added: dict[str, list[str]] = {}
+        for b, files in written.items():
+            entries = list(self.bucket_entries(snap, b))
+            paths = [
+                os.path.join(rel_dir, f"{BUCKET_COL}={b}", fn) for fn in files
+            ]
+            entries.extend(
+                {
+                    "path": p,
+                    "schema_version": snap.schema_version,
+                    "kind": "delta",
+                }
+                for p in paths
+            )
+            new_manifests[str(b)] = self._write_manifest(version, b, entries)
+            added[str(b)] = paths
         new = Snapshot(
             version=version,
             schema_version=snap.schema_version,
             schemas=snap.schemas,
             n_buckets=snap.n_buckets,
             key=snap.key,
-            buckets=new_buckets,
+            manifests=new_manifests,
             commits={**snap.commits, commit_key: version},
-            summary={"op": "merge", "touched": sorted(touched), **(summary or {})},
+            summary={
+                "op": "merge",
+                "touched": sorted(written),
+                "added": added,
+                **(summary or {}),
+            },
+            order_col=snap.order_col,
+            props={**snap.props, **(props_update or {})},
         )
         self._write_snapshot(new, expect_parent=snap.version)
         return new
+
+    def commit_buckets(
+        self,
+        df: DataFrame,
+        touched: set[int],
+        commit_key: str,
+        summary: dict[str, Any] | None = None,
+        op: str = "rewrite",
+    ) -> Snapshot:
+        """Replace the contents of ``touched`` buckets with ``df`` atomically
+        (copy-on-write: compaction, maintenance rewrites).
+
+        ``df`` must already be the full desired content of those buckets
+        (one row per key — callers read with merge-on-read collapse) and
+        carry only current-schema columns + the tombstone flag. Buckets in
+        ``touched`` with no rows in ``df`` become empty; untouched buckets
+        carry forward by manifest reference."""
+        snap = self.current()
+        if commit_key in snap.commits:
+            return snap  # idempotent replay — exactly-once keystone
+        version = snap.version + 1
+        rel_dir, written = self._write_data_files(
+            self._prep_write(df, snap), version
+        )
+        new_manifests = dict(snap.manifests)
+        added: dict[str, list[str]] = {}
+        for b in touched:
+            files = written.get(b, [])
+            paths = [
+                os.path.join(rel_dir, f"{BUCKET_COL}={b}", fn) for fn in files
+            ]
+            entries = [
+                {
+                    "path": p,
+                    "schema_version": snap.schema_version,
+                    "kind": "base",
+                }
+                for p in paths
+            ]
+            new_manifests[str(b)] = self._write_manifest(version, b, entries)
+            added[str(b)] = paths
+        new = Snapshot(
+            version=version,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            manifests=new_manifests,
+            commits={**snap.commits, commit_key: version},
+            summary={
+                "op": op,
+                "touched": sorted(touched),
+                "added": added,
+                **(summary or {}),
+            },
+            order_col=snap.order_col,
+            props=dict(snap.props),
+        )
+        self._write_snapshot(new, expect_parent=snap.version)
+        return new
+
+    def compact(
+        self,
+        commit_key: str,
+        buckets: set[int] | None = None,
+        min_files: int = 2,
+        purge_tombstones_where: F.Column | None = None,
+    ) -> Snapshot | None:
+        """Rewrite multi-file buckets down to one base file each (Iceberg
+        ``rewrite_data_files``): LWW-collapse base+deltas, optionally purge
+        tombstone rows matching ``purge_tombstones_where`` (callers derive
+        the fence from the retention/watermark horizons — see
+        maintenance.retention_sweep), write back as compacted base files.
+
+        ``buckets=None`` selects every bucket holding ≥ ``min_files`` files
+        or any delta file. Returns the new snapshot, or None when nothing
+        qualifies (no empty commits). Idempotent via ``commit_key``."""
+        snap = self.current()
+        if commit_key in snap.commits:
+            return snap
+        if buckets is None:
+            buckets = set()
+            for b in snap.manifests:
+                entries = self.bucket_entries(snap, b)
+                if len(entries) >= min_files or any(
+                    e.get("kind", "base") == "delta" for e in entries
+                ):
+                    buckets.add(int(b))
+        if not buckets:
+            return None
+        content = self.read(
+            buckets=buckets, snap=snap, include_tombstones=True
+        )
+        if purge_tombstones_where is not None:
+            content = content.filter(
+                ~(F.col(TOMBSTONE_COL) & purge_tombstones_where)
+            )
+        return self.commit_buckets(
+            content,
+            buckets,
+            commit_key,
+            summary={"min_files": min_files},
+            op="compact",
+        )

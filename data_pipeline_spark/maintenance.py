@@ -33,6 +33,7 @@ class SweepStats:
     applied: bool
     gate_counts: dict[str, int]
     tombstones_purged: int = 0
+    touched_buckets: int = 0
 
 
 def classify_expired(
@@ -43,10 +44,18 @@ def classify_expired(
     ts_col: str = "warc_ts",
 ) -> Column:
     """The ordered guard matrix as one chained CASE (order-sensitive, like
-    the reference's delete gate): excluded → not_expired → delete."""
+    the reference's delete gate): excluded → no_expires → not_expired →
+    delete. A NULL event time cannot prove expiry (NULL >= now is NULL and
+    would otherwise fall through to delete), so it gates out explicitly —
+    mirroring the oracle query's no_expires branch and the tombstone
+    NULL-keep rule."""
     expires = F.col(ts_col) + F.expr(f"INTERVAL {retention_days} DAY")
     gate = F.when(exclude if exclude is not None else F.lit(False), "excluded")
-    return gate.when(expires >= now, "not_expired").otherwise("delete")
+    return (
+        gate.when(F.col(ts_col).isNull(), "no_expires")
+        .when(expires >= now, "not_expired")
+        .otherwise("delete")
+    )
 
 
 def retention_sweep(
@@ -55,12 +64,27 @@ def retention_sweep(
     retention_days: int = 14,
     now: Column | None = None,
     exclude: Column | None = None,
+    watermark_days: int | None = None,
 ) -> SweepStats:
     """Delete expired rows (event-time older than retention) atomically.
 
     Emits the per-gate audit histogram BEFORE committing (the reference
     writes one audit record per item; here one count per gate) and keeps
     the reconciliation invariant: sum(gates) == table rows before sweep.
+
+    **Bucket-pruned**: only buckets actually holding an expired row (or a
+    purge-eligible tombstone) are rewritten; every other bucket's files
+    carry forward by manifest reference — a nightly TTL sweep touching 1%
+    of keys rewrites 1% of the table, not 100 TB. (Affected-bucket
+    discovery is a column-pruned scan collecting ≤ n_buckets ids.)
+
+    **Tombstone purge is watermark-coupled**: a tombstone may only age out
+    if a late event that could still arrive (per the apply path's
+    watermark) is guaranteed to be dropped before it could resurrect the
+    key — i.e. an effective watermark exists and watermark_days <=
+    retention_days. ``watermark_days`` defaults to the horizon the apply
+    path recorded in table props; with no watermark configured anywhere,
+    tombstones are retained (correctness over space).
     """
     from data_pipeline_spark.lake.table import TOMBSTONE_COL
 
@@ -83,26 +107,59 @@ def retention_sweep(
         r["__gate"]: r["n"]
         for r in gated.groupBy("__gate").agg(F.count("*").alias("n")).collect()
     }
-    survivors = gated.filter(F.col("__gate") != "delete").drop("__gate")
-    # Tombstones age out on the same clock: one older than retention can
-    # no longer lose to any event the watermark would admit, so it purges;
-    # younger tombstones survive the sweep (keep their delete-lsn fence).
-    expires = F.col("warc_ts") + F.expr(f"INTERVAL {retention_days} DAY")
-    keep_tombs = tombs.filter(
-        F.col("warc_ts").isNull() | (expires >= now)
+    wm = watermark_days if watermark_days is not None else snap.props.get(
+        "watermark_days"
     )
-    n_purged = tombs.count() - keep_tombs.count()
+    purge_allowed = wm is not None and wm <= retention_days
+    expires = F.col("warc_ts") + F.expr(f"INTERVAL {retention_days} DAY")
+    if purge_allowed:
+        # Older than retention ⇒ any event that could still lose to this
+        # tombstone is below the (coupled) watermark and will be dropped
+        # by the apply path before the race can happen.
+        keep_tomb = F.col("warc_ts").isNull() | (expires >= now)
+    else:
+        keep_tomb = F.lit(True)
+    keep_tombs = tombs.filter(keep_tomb)
+    n_purged = tombs.count() - keep_tombs.count() if purge_allowed else 0
+
+    # Affected buckets: anything losing a row (expired live row or purged
+    # tombstone). Cheap: bucket ids distinct ≤ n_buckets rows collected.
+    bucket = table.bucket_expr(snap)
+    losing = gated.filter(F.col("__gate") == "delete").select(
+        bucket.alias("b")
+    )
+    if purge_allowed:
+        losing = losing.unionByName(
+            tombs.filter(~keep_tomb).select(bucket.alias("b"))
+        )
+    affected = {int(r["b"]) for r in losing.distinct().collect()}
+    if affected:
+        in_affected = bucket.isin(*affected)
+        content = (
+            gated.filter((F.col("__gate") != "delete") & in_affected)
+            .drop("__gate")
+            .withColumn(TOMBSTONE_COL, F.lit(False))
+            .unionByName(keep_tombs.filter(in_affected))
+        )
+    else:
+        content = table.read(snap=snap, include_tombstones=True).limit(0)
     table.commit_buckets(
-        survivors.withColumn(TOMBSTONE_COL, F.lit(False)).unionByName(keep_tombs),
-        touched=set(range(snap.n_buckets)),
+        content,
+        touched=affected,
         commit_key=commit_key,
         summary={
-            "op": "retention_sweep",
             "gates": counts,
             "tombstones_purged": n_purged,
         },
+        op="retention_sweep",
     )
-    return SweepStats(commit_key, True, counts, tombstones_purged=n_purged)
+    return SweepStats(
+        commit_key,
+        True,
+        counts,
+        tombstones_purged=n_purged,
+        touched_buckets=len(affected),
+    )
 
 
 def quality_gate(
@@ -159,13 +216,19 @@ def backfill(
     exprs: dict[str, Column],
     where: Column | None = None,
 ) -> bool:
-    """Migration pass: set columns via expressions over the whole table
-    (optionally row-gated), one atomic full-rewrite commit.
+    """Migration pass: set columns via expressions over the table
+    (optionally row-gated), one atomic commit.
 
     Compose multiple migrations by passing several exprs — they apply in
     one scan like the reference's single-pass composed MigrationFns.
     Typical use right after ``evolve_schema(add_columns=...)`` to populate
     the new column for pre-evolution rows.
+
+    **Bucket-pruned**: with a ``where`` gate, only buckets holding a
+    matching row are rewritten (rows in those buckets that miss the gate
+    ride along unmodified); every other bucket carries forward by manifest
+    reference. ``where=None`` touches every row, so every non-empty bucket
+    rewrites — that's the honest cost of a whole-table migration.
     """
     from data_pipeline_spark.lake.table import TOMBSTONE_COL
 
@@ -176,15 +239,37 @@ def backfill(
     # survive migrations).
     df = table.read(snap=snap, include_tombstones=True)
     not_tomb = ~F.col(TOMBSTONE_COL)
+    bucket = table.bucket_expr(snap)
+    if where is None:
+        affected = {
+            int(b)
+            for b in snap.manifests
+            if table.bucket_entries(snap, b)
+        }
+    else:
+        affected = {
+            int(r["b"])
+            for r in df.filter(not_tomb & where)
+            .select(bucket.alias("b"))
+            .distinct()
+            .collect()
+        }
+    if not affected:
+        table.commit_buckets(
+            df.limit(0), touched=set(), commit_key=commit_key,
+            summary={"columns": sorted(exprs)}, op="backfill",
+        )
+        return True
     for name, expr in exprs.items():
         if name not in df.columns:
             raise KeyError(f"backfill target column {name} not in schema")
         gate = not_tomb if where is None else (not_tomb & where)
         df = df.withColumn(name, F.when(gate, expr).otherwise(F.col(name)))
     table.commit_buckets(
-        df,
-        touched=set(range(snap.n_buckets)),
+        df.filter(bucket.isin(*affected)),
+        touched=affected,
         commit_key=commit_key,
-        summary={"op": "backfill", "columns": sorted(exprs)},
+        summary={"columns": sorted(exprs)},
+        op="backfill",
     )
     return True

@@ -9,11 +9,15 @@ sidecar next to the lake table:
 
 * ``commits``  — one row per commit: key, version, rows, wall ms, extractor
   version (the pinned-writer lesson, scripts/s1_store_meta.py:1-38).
-* ``lineage``  — one row per (commit, bucket): file count, row count, bytes —
-  read from parquet footers, no Spark job.
+* ``lineage``  — one row per (commit, bucket): count/rows/bytes of the
+  files ADDED by that commit — read from parquet footers, no Spark job,
+  O(added files) per commit (a state-level census would be O(table) under
+  merge-on-read and is what the ``files()`` metadata table is for).
 
-Reconciliation invariant carried over: for every merge commit,
-``sum(lineage.rows of touched buckets) == table rows in those buckets``.
+Reconciliation invariant carried over: between compactions, per bucket,
+``sum(lineage.rows over commits) == physical rows in the bucket``; a
+compaction commit's lineage row restarts the sum (its added files ARE the
+bucket content).
 """
 
 from __future__ import annotations
@@ -46,25 +50,25 @@ def record_commit(
     flow: dict[str, int] | None = None,
 ) -> None:
     """``flow`` carries the per-epoch event-flow counters
-    (events_read/applied/deduped/deletes) whose reconciliation invariant
-    is ``read == applied + deduped`` (reference: stamp_expires.report,
-    stamped == modified + failed)."""
-    touched = set(snap.summary.get("touched", []))
+    (events_read/applied/deduped/late_dropped/deletes) whose reconciliation
+    invariant is ``read == applied + deduped + late_dropped`` — the last
+    term is 0 unless a watermark is configured (reference:
+    stamp_expires.report, stamped == modified + failed)."""
+    added: dict[str, list[str]] = snap.summary.get("added", {})
     lineage_rows: list[dict] = []
-    for b in sorted(touched):
-        entries = snap.buckets.get(str(b), [])
+    for b, paths in sorted(added.items(), key=lambda kv: int(kv[0])):
         rows = 0
         bytes_ = 0
-        for e in entries:
-            p = os.path.join(table.root, e["path"])
+        for rel in paths:
+            p = os.path.join(table.root, rel)
             rows += pq.read_metadata(p).num_rows
             bytes_ += os.path.getsize(p)
         lineage_rows.append(
             {
                 "commit_key": commit_key,
                 "version": snap.version,
-                "bucket": b,
-                "files": len(entries),
+                "bucket": int(b),
+                "files": len(paths),
                 "rows": rows,
                 "bytes": bytes_,
             }
@@ -82,7 +86,7 @@ def record_commit(
                     "ts_unix_ms": int(time.time() * 1000),
                     "wall_ms": float(wall_ms),
                     "batch_rows": batch_rows,
-                    "touched_buckets": len(touched),
+                    "touched_buckets": len(added),
                     "extractor_version": EXTRACTOR_VERSION,
                     "events_read": (flow or {}).get("events_read"),
                     "events_applied": (flow or {}).get("events_applied"),

@@ -78,6 +78,7 @@ def minhash_near_dup_sql(
     n_bands: int = 4,
     shingle_k: int = 5,
     fast: bool = False,
+    min_ppm: int = 0,
 ) -> str:
     """Verified near-duplicate pairs via MinHash signatures + LSH banding.
 
@@ -85,6 +86,16 @@ def minhash_near_dup_sql(
     combine) → band explode → self equi-join on (band, band_hash) →
     inverted-index verify join → exact Jaccard. One SQL text per dialect;
     the two texts differ only in dialect spelling.
+
+    ``min_ppm`` thresholds the OUTPUT on exact Jaccard. With a threshold,
+    the emitted pair set becomes (near-)independent of the hash family:
+    LSH only generates candidates, exact Jaccard decides, and banding
+    recall at the threshold bounds the family-dependence (e.g. 32 hashes /
+    8 bands / r=4 at j ≥ 0.5 misses a qualifying pair with probability
+    (1-j^4)^8 ≤ 2e-5 at the observed corpus minimum j≈0.93) — this is what
+    lets the fast (xxhash64) production spelling carry an exact md5-based
+    cross-engine oracle on the pair DECISIONS (see
+    tests/test_dedup_modes.py for the decision-equality pin).
     """
     r = n_hashes // n_bands
     salted = ["concat('" + str(j) + ":', sh)" for j in range(n_hashes)]
@@ -126,6 +137,7 @@ def minhash_near_dup_sql(
         FROM verified v
         JOIN sizes za ON za.doc_id = v.doc_a
         JOIN sizes zb ON zb.doc_id = v.doc_b
+        WHERE round(1e6 * v.inter / (za.n + zb.n - v.inter)) >= {min_ppm}
     """
 
 

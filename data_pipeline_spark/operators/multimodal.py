@@ -76,6 +76,12 @@ def encode_media(doc_id: pd.Series, text: pd.Series) -> pd.Series:
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the media table from ``documents`` (deterministic)."""
+    # The encode/parse UDFs live in this package — Python workers must be
+    # able to import it regardless of the driver's cwd (the driver harness
+    # runs queries from its own session/cwd).
+    from data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
     w, h = media_dims("doc_id")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(

@@ -44,7 +44,6 @@ def apply_batch(
     commit_key: str,
     record_metrics: bool = True,
     with_stats: bool = False,
-    touched: set[int] | None = None,
     watermark_days: int | None = None,
 ) -> MergeStats:
     """One micro-batch: [late-drop] → LWW collapse → extraction → MERGE.
@@ -82,12 +81,20 @@ def apply_batch(
     )
     stats = merge_into(
         table, enriched, commit_key, with_stats=with_stats, precollapsed=True,
-        touched=touched,
+        # The purge fence in maintenance derives from this recorded horizon
+        # (tombstones may only age out once the watermark guarantees no
+        # admissible event could still lose to them).
+        props_update=(
+            {"watermark_days": watermark_days}
+            if watermark_days is not None
+            else None
+        ),
     )
     if record_metrics and stats.applied:
         # Event-flow counters (FIXTURES.md B4): two tiny aggregates — the
         # winner count prunes the text column, so extraction is NOT
-        # recomputed. Invariant: read == applied + deduped.
+        # recomputed. Invariant: read == applied + deduped + late_dropped
+        # (the last term is 0 with no watermark).
         n_read = batch.count()
         per_op = {
             r["op"]: r["n"]
@@ -120,14 +127,18 @@ def replay_log(
     n_buckets: int = 64,
     record_metrics: bool = True,
     dense: bool = False,
+    compact_at_end: bool = False,
 ) -> LakeTable:
     """Replay a change-log DataFrame in LSN-ordered micro-batches.
 
-    ``dense=True`` skips per-batch touched-bucket discovery (every batch is
-    assumed to hit all buckets — correct for uniform backlog replays; see
-    merge_into)."""
+    Each batch is a merge-on-read delta commit (O(batch) writes);
+    ``compact_at_end=True`` folds the deltas into one base file per bucket
+    afterwards so the final table is fully materialized (the honest
+    total-cost shape benchmarks time). ``dense`` is accepted for backward
+    compatibility and ignored — delta commits never read the target, so
+    the dense/sparse distinction no longer exists."""
+    del dense
     table = ensure_table(spark, table_root, n_buckets)
-    touched = set(range(n_buckets)) if dense else None
     lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
     span = (hi - lo + 1 + n_batches - 1) // n_batches
     for i in range(n_batches):
@@ -135,7 +146,9 @@ def replay_log(
             (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
         )
         apply_batch(table, batch, commit_key=f"replay-{i}",
-                    record_metrics=record_metrics, touched=touched)
+                    record_metrics=record_metrics)
+    if compact_at_end:
+        table.compact(commit_key=f"replay-compact-{n_batches}")
     return table
 
 
@@ -168,10 +181,11 @@ def replay(
     record_metrics: bool = True,
     amplify: int = 1,
     dense: bool = False,
+    compact_at_end: bool = False,
 ) -> LakeTable:
     """Replay the full synthetic change log in LSN-ordered micro-batches."""
     log = cl.changelog(spark, sf_dir, amplify=amplify)
     return replay_log(
         spark, log, table_root, n_batches, n_buckets, record_metrics,
-        dense=dense,
+        dense=dense, compact_at_end=compact_at_end,
     )

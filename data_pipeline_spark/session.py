@@ -9,6 +9,7 @@ Arrow enabled for the vectorized UDF path.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import zipfile
 
@@ -29,21 +30,30 @@ def ship_package(spark: SparkSession) -> None:
     if key in _PKG_SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # Cache key = digest over every .py file's (path, mtime, size) — a
+    # directory mtime alone misses in-place edits inside subpackages, which
+    # would ship workers a stale copy of the UDF code.
+    sources: list[tuple[str, str]] = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "data_pipeline_spark", os.path.relpath(full, pkg_dir)
+                )
+                sources.append((full, rel))
+    st = hashlib.sha256()
+    for full, rel in sorted(sources, key=lambda fr: fr[1]):
+        s = os.stat(full)
+        st.update(f"{rel}:{s.st_mtime_ns}:{s.st_size};".encode())
     zip_path = os.path.join(
-        "/tmp", f"data_pipeline_spark_{os.path.getmtime(pkg_dir):.0f}.zip"
+        "/tmp", f"data_pipeline_spark_{st.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = zip_path + f".tmp.{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            "data_pipeline_spark",
-                            os.path.relpath(full, pkg_dir),
-                        )
-                        zf.write(full, rel)
+            for full, rel in sources:
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     _PKG_SHIPPED.add(key)

@@ -39,6 +39,13 @@ from data_pipeline_spark.pipeline import apply_batch, ensure_table
 EPOCH_KEY = "epoch={n}"
 
 
+class CircuitBreakerOpen(RuntimeError):
+    """A poisoned epoch failed the pre-commit quality gate; the stream is
+    stopped BEFORE the table commit so the table stays on the previous
+    snapshot (the reference's consecutive-failure abort,
+    operator-tools/_migrate_catalog/runner.py:342-353)."""
+
+
 def write_wal(
     spark: SparkSession, sf_dir: str, wal_dir: str, n_files: int = 8,
     amplify: int = 1,
@@ -97,6 +104,7 @@ def run_stream(
     fail_after_batches: int | None = None,
     fail_mode: str = "before",
     watermark_days: int | None = None,
+    max_fail_ratio: float | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -107,7 +115,14 @@ def run_stream(
     (clean kill); ``'after'`` crashes AFTER the table commit but BEFORE the
     stream checkpoint advances — the classic foreachBatch double-fire window.
     On restart Spark redelivers that epoch; the commit-keyed snapshot makes
-    the re-application a recorded no-op (exactly-once)."""
+    the re-application a recorded no-op (exactly-once).
+
+    ``max_fail_ratio`` arms the circuit breaker: every epoch runs the
+    pre-commit quality gate (maintenance.quality_gate — null/empty keys,
+    null order, duplicate (key, order), event-time envelope) and a FAIL
+    verdict raises :class:`CircuitBreakerOpen` BEFORE the table commit —
+    the stream stops, the table stays on the previous snapshot, and a
+    restart after the feed is fixed resumes from the checkpointed offset."""
     table = ensure_table(spark, table_root, n_buckets)
     seen = {"n": 0}
 
@@ -115,6 +130,15 @@ def run_stream(
         crash = fail_after_batches is not None and seen["n"] >= fail_after_batches
         if crash and fail_mode == "before":
             raise RuntimeError("injected mid-replay failure (before apply)")
+        if max_fail_ratio is not None:
+            from data_pipeline_spark.maintenance import quality_gate
+
+            gate = quality_gate(batch, max_fail_ratio=max_fail_ratio)
+            if gate["verdict"] == "FAIL":
+                raise CircuitBreakerOpen(
+                    f"epoch {batch_id} failed the quality gate: "
+                    f"{gate['failures']} over {gate['rows']} rows"
+                )
         apply_batch(
             table,
             batch,

@@ -135,19 +135,20 @@ def test_concurrent_commit_guard(spark, replayed):
 
 
 def test_metrics_reconciliation(spark, replayed):
-    """A5's invariant: lineage row counts for the LAST commit's touched
-    buckets equal the live table row counts in those buckets."""
-    commits = read_metrics(replayed, "commits")
+    """A5's invariant under merge-on-read: per bucket, the SUM of lineage
+    rows-added across all commits (no compaction has run on `replayed`)
+    equals the physical rows in that bucket."""
     lineage = read_metrics(replayed, "lineage")
-    last_v = commits.agg(F.max("version")).first()[0]
     lin = {
-        r.bucket: r.rows
-        for r in lineage.filter(F.col("version") == last_v).collect()
+        r.bucket: r.total
+        for r in lineage.groupBy("bucket")
+        .agg(F.sum("rows").alias("total"))
+        .collect()
     }
     snap = replayed.current()
     actual = {
         r.b: r.n
-        for r in replayed.read(buckets=set(lin), include_tombstones=True)
+        for r in replayed.read(buckets=set(lin), raw=True)
         .withColumn("b", replayed.bucket_expr(snap))
         .groupBy("b")
         .agg(F.count("*").alias("n"))

@@ -136,17 +136,31 @@ def test_files_metadata_table(spark):
     files = t.files()
     assert files.count() > 0
     total_rows = files.agg(F.sum("rows")).first()[0]
-    # physical rows include tombstones (applied deletes)
-    assert total_rows == t.read(include_tombstones=True).count()
+    # footer census == physical rows (pre-compaction: every key version
+    # in the delta files, plus tombstones)
+    assert total_rows == t.read(raw=True).count()
+    assert total_rows >= t.read(include_tombstones=True).count()
     per_bucket = {r.bucket: r.n for r in files.groupBy("bucket").agg(F.sum("rows").alias("n")).collect()}
     snap = t.current()
     actual = {
         r.b: r.n
-        for r in t.read(include_tombstones=True)
+        for r in t.read(raw=True)
         .withColumn("b", t.bucket_expr(snap))
         .groupBy("b").agg(F.count("*").alias("n")).collect()
     }
     assert {k: v for k, v in per_bucket.items() if v} == {int(k): v for k, v in actual.items()}
+    # after compaction: one base file per non-empty bucket, physical ==
+    # logical(+tombstones), state unchanged
+    before = sorted((r.url, r.lsn) for r in t.read().select("url", "lsn").collect())
+    t.compact("compact-files-test")
+    files2 = t.files()
+    assert files2.filter(F.col("kind") == "delta").count() == 0
+    assert files2.groupBy("bucket").count().agg(F.max("count")).first()[0] == 1
+    assert files2.agg(F.sum("rows")).first()[0] == t.read(
+        include_tombstones=True
+    ).count()
+    after = sorted((r.url, r.lsn) for r in t.read().select("url", "lsn").collect())
+    assert after == before
 
 
 def test_commit_log_and_flow_metrics(spark):

@@ -100,6 +100,55 @@ def test_post_commit_crash_redelivery_is_noop(spark, wal, batch_final):
     assert _state(t) == batch_final
 
 
+def test_circuit_breaker_stops_stream_before_commit(spark, batch_final):
+    """VERDICT r1 #7: a poisoned epoch must open the circuit breaker —
+    the stream stops, the table stays on the previous snapshot, and the
+    poisoned epoch is NOT committed. After the feed is repaired, a restart
+    from the same checkpoint drains to the oracle state."""
+    wal3 = tempfile.mkdtemp(prefix="wal3_")
+    write_wal(spark, SF_SMOKE, wal3, n_files=3)
+    root = tempfile.mkdtemp(prefix="lake_cb_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cb_")
+    # poison the LAST segment: null out the key column
+    poisoned = os.path.join(wal3, "seg-00002")
+    clean_copy = os.path.join(tempfile.mkdtemp(prefix="wal3_fix_"), "seg")
+    df = spark.read.parquet(poisoned)
+    df.write.parquet(clean_copy)
+    (
+        spark.read.parquet(clean_copy)
+        .withColumn("url", F.lit(None).cast("string"))
+        .write.mode("overwrite")
+        .parquet(poisoned)
+    )
+
+    q = run_stream(
+        spark, wal3, root, ckpt, n_buckets=8, record_metrics=False,
+        available_now=True, max_fail_ratio=0.0,
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(300)
+        raise AssertionError("stream survived a poisoned epoch")
+    assert "quality gate" in str(exc.value)
+    t = LakeTable(spark, root)
+    # epochs 0,1 committed; the poisoned epoch 2 did NOT reach the table
+    assert len(t.current().commits) == 2
+    v_before = t.current().version
+
+    # repair the feed and resume from the same checkpoint
+    (
+        spark.read.parquet(clean_copy)
+        .write.mode("overwrite")
+        .parquet(poisoned)
+    )
+    t = _drain(spark, wal3, root, ckpt, max_fail_ratio=0.0)
+    # the repaired file may surface as a redelivered epoch or a fresh one
+    # (file-source listing detail); what matters: the gate passes, commits
+    # resume past the poison point, and the state converges to the oracle
+    assert len(t.current().commits) >= 3
+    assert t.current().version > v_before
+    assert _state(t) == batch_final
+
+
 def test_resume_with_new_wal_segments(spark, batch_final):
     """Backlog drain, then new WAL segments arrive, then a second drain —
     the incremental-tail mode (reference: lookback-window re-query +
