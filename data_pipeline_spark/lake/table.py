@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -561,20 +562,31 @@ class LakeTable:
                 written[b] = files
         return rel_dir, written
 
-    def _prep_write(self, df: DataFrame, snap: Snapshot) -> DataFrame:
-        """Project to the physical schema + bucket column, one writer task
-        per bucket (shuffle on bucket id; AQE coalesces small ones)."""
+    def _prep_write(
+        self, df: DataFrame, snap: Snapshot, fanout: bool = False
+    ) -> DataFrame:
+        """Project to the physical schema + bucket column.
+
+        ``fanout=False`` (compaction / bucket rewrites): shuffle on the
+        bucket id — exactly one writer task and one output file per bucket.
+
+        ``fanout=True`` (delta commits): NO extra exchange — every task
+        writes its local rows into per-bucket files (Spark's dynamic
+        partition write sorts by the partition column within the task
+        first). Wide CDC rows (html+text) thus cross the network ONCE per
+        batch (the LWW-collapse shuffle), not twice; the extra small files
+        per bucket are the merge-on-read deltas compaction folds anyway —
+        the Iceberg fanout-writer trade."""
         cur_cols = [n for n, _ in self.schema_fields(snap)]
         tomb = (
             F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
             if TOMBSTONE_COL in df.columns
             else F.lit(False)
         )
-        return (
-            df.select(*cur_cols, tomb.alias(TOMBSTONE_COL))
-            .withColumn(BUCKET_COL, self.bucket_expr(snap))
-            .repartition(BUCKET_COL)
+        out = df.select(*cur_cols, tomb.alias(TOMBSTONE_COL)).withColumn(
+            BUCKET_COL, self.bucket_expr(snap)
         )
+        return out if fanout else out.repartition(BUCKET_COL)
 
     def commit_delta(
         self,
@@ -592,9 +604,12 @@ class LakeTable:
         if commit_key in snap.commits:
             return snap  # idempotent replay — exactly-once keystone
         version = snap.version + 1
+        t0 = time.monotonic()
         rel_dir, written = self._write_data_files(
-            self._prep_write(df, snap), version
+            self._prep_write(df, snap, fanout=True), version
         )
+        t_write = time.monotonic() - t0
+        t0 = time.monotonic()
         new_manifests = dict(snap.manifests)
         added: dict[str, list[str]] = {}
         for b, files in written.items():
@@ -624,6 +639,13 @@ class LakeTable:
                 "op": "merge",
                 "touched": sorted(written),
                 "added": added,
+                # Per-commit stage split: t_write_s is the distributed
+                # Spark job (scan+collapse+extract+shuffle+parquet);
+                # t_meta_s is the driver-serial tail (output listing,
+                # manifest + snapshot writes) — the part that does NOT
+                # scale with executors and must stay ≪ t_write_s.
+                "t_write_s": round(t_write, 3),
+                "t_meta_s": round(time.monotonic() - t0, 3),
                 **(summary or {}),
             },
             order_col=snap.order_col,
@@ -652,9 +674,12 @@ class LakeTable:
         if commit_key in snap.commits:
             return snap  # idempotent replay — exactly-once keystone
         version = snap.version + 1
+        t0 = time.monotonic()
         rel_dir, written = self._write_data_files(
             self._prep_write(df, snap), version
         )
+        t_write = time.monotonic() - t0
+        t0 = time.monotonic()
         new_manifests = dict(snap.manifests)
         added: dict[str, list[str]] = {}
         for b in touched:
@@ -684,6 +709,8 @@ class LakeTable:
                 "op": op,
                 "touched": sorted(touched),
                 "added": added,
+                "t_write_s": round(t_write, 3),
+                "t_meta_s": round(time.monotonic() - t0, 3),
                 **(summary or {}),
             },
             order_col=snap.order_col,

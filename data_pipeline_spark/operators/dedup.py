@@ -99,45 +99,175 @@ def minhash_near_dup_sql(
     """
     r = n_hashes // n_bands
     salted = ["concat('" + str(j) + ":', sh)" for j in range(n_hashes)]
+    # ONE aggregate pass computes the shingle-set size AND every min-hash
+    # (Spark inlines CTEs, so a `sizes` twin or UNION-ALL band selects
+    # would recompute this whole pass per reference).
     mins = ", ".join(
         f"min({h60(salted[j], dialect, fast)}) AS m{j}" for j in range(n_hashes)
     )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(concat_ws(',', {', '.join(f'm{b * r + i}' for i in range(r))})) AS bh "
-        f"FROM sig"
-        for b in range(n_bands)
-    )
+
+    # Band keys are BIGINTs (not md5 strings): the candidate self-join
+    # shuffles 8-byte keys instead of 32-char strings; a 60-bit truncation
+    # collision only adds a false candidate, which the exact-Jaccard
+    # verify join discards. Bands are emitted by ONE explode over the sig
+    # row (not n_bands UNION ALL branches), and the set size rides along
+    # so no later join back to sig is needed.
+    def _band_key(b: int) -> str:
+        packed = "concat_ws(',', " + ", ".join(
+            f"m{b * r + i}" for i in range(r)
+        ) + ")"
+        return h60(packed, dialect, fast)
+
+    if dialect == SPARK:
+        band_arr = "array(" + ", ".join(
+            f"named_struct('band', {b}, 'bh', {_band_key(b)})"
+            for b in range(n_bands)
+        ) + ")"
+        bands = (
+            "SELECT doc_id, n, x.band AS band, x.bh AS bh FROM ("
+            f"SELECT doc_id, n, explode({band_arr}) AS x FROM sig)"
+        )
+    else:
+        band_arr = "[" + ", ".join(
+            "{'band': %d, 'bh': %s}" % (b, _band_key(b))
+            for b in range(n_bands)
+        ) + "]"
+        bands = (
+            "SELECT doc_id, n, x.band AS band, x.bh AS bh FROM ("
+            f"SELECT doc_id, n, unnest({band_arr}) AS x FROM sig)"
+        )
+
     return f"""
         WITH sh AS (
           SELECT doc_id, {_unnest(shingles('text', shingle_k, dialect), 'sh', dialect)}
           FROM {docs_rel}
         ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-        bands AS ({band_rows}),
+        sig AS (SELECT doc_id, count(*) AS n, {mins} FROM sh GROUP BY doc_id),
+        bands AS ({bands}),
         cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          SELECT DISTINCT a.doc_id AS doc_a, a.n AS n_a,
+                          b.doc_id AS doc_b, b.n AS n_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         ),
         verified AS (
-          SELECT c.doc_a, c.doc_b, count(*) AS inter
+          SELECT c.doc_a, c.doc_b, max(c.n_a) AS n_a, max(c.n_b) AS n_b,
+                 count(*) AS inter
           FROM cand c
           JOIN sh s1 ON s1.doc_id = c.doc_a
           JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
           GROUP BY c.doc_a, c.doc_b
         )
-        SELECT v.doc_a, v.doc_b,
-               {_bigint('v.inter', dialect)} AS inter,
-               {_bigint('za.n', dialect)} AS n_a,
-               {_bigint('zb.n', dialect)} AS n_b,
-               CAST(round(1e6 * v.inter / (za.n + zb.n - v.inter)) AS BIGINT)
+        SELECT doc_a, doc_b,
+               {_bigint('inter', dialect)} AS inter,
+               {_bigint('n_a', dialect)} AS n_a,
+               {_bigint('n_b', dialect)} AS n_b,
+               CAST(round(1e6 * inter / (n_a + n_b - inter)) AS BIGINT)
                  AS jacc_ppm
-        FROM verified v
-        JOIN sizes za ON za.doc_id = v.doc_a
-        JOIN sizes zb ON zb.doc_id = v.doc_b
-        WHERE round(1e6 * v.inter / (za.n + zb.n - v.inter)) >= {min_ppm}
+        FROM verified
+        WHERE round(1e6 * inter / (n_a + n_b - inter)) >= {min_ppm}
+    """
+
+
+# -- transitive dedup clusters (connected components) -------------------------
+
+def connected_components(pairs, a: str = "doc_a", b: str = "doc_b",
+                         max_iter: int = 25):
+    """Connected components over near-dup pairs via iterative min-label
+    propagation: every node starts labelled with itself; each round a node
+    adopts the minimum label among itself and its neighbors; fixpoint in
+    O(component diameter) rounds. Returns (doc_id, cluster_id) with
+    cluster_id = the component's minimum doc_id.
+
+    This closes the transitivity gap of greedy pair-dropping (A~B, B~C ⇒
+    one survivor for {A,B,C} even when A~C misses the threshold) — the
+    reference collapses GROUPS, not pairs (trigger_cdse.py:123-141).
+
+    Scale shape: each round is one shuffle (join on doc_id) + one
+    aggregate; ``localCheckpoint`` truncates the lineage so plans stay
+    O(1) per round. Near-dup components are shallow (dup clusters, not
+    social graphs), so rounds ≈ 2-4; the driver-side loop is control flow
+    only — per-round data never leaves the cluster (the convergence probe
+    is a 1-row count). For adversarial diameters switch to the
+    large-star/small-star algorithm (same primitive ops).
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.selectExpr(f"{a} AS src", f"{b} AS dst")
+        .unionByName(pairs.selectExpr(f"{b} AS src", f"{a} AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def clusters_duckdb_sql(
+    pairs_sql: str, survivors: bool = False, docs_rel: str = "documents"
+) -> str:
+    """DuckDB oracle: transitive closure over the pair graph via a
+    recursive CTE; cluster_id = min(reachable ∪ self). With ``survivors``
+    the outer query instead emits every document that is its cluster's
+    representative (or in no cluster) — the corpus a training pipeline
+    keeps after transitive dedup."""
+    cte = f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.dst
+        ),
+        clusters AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id FROM (
+            SELECT src, dst FROM walk
+            UNION SELECT src, src FROM edges
+          ) GROUP BY src
+        )
+    """
+    if not survivors:
+        return cte + " SELECT doc_id, cluster_id FROM clusters"
+    return cte + f"""
+        SELECT d.doc_id, d.lang, d.source FROM {docs_rel} d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM clusters c
+          WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)
     """
 
 

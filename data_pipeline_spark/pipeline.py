@@ -46,11 +46,25 @@ def apply_batch(
     with_stats: bool = False,
     watermark_days: int | None = None,
 ) -> MergeStats:
-    """One micro-batch: [late-drop] → LWW collapse → extraction → MERGE.
+    """One micro-batch: [late-drop] → LWW winner selection → extraction →
+    MERGE (delta commit).
 
-    Collapse runs FIRST so the extraction UDF touches only per-url winners
-    (O(distinct urls)), not every change event; deletes skip extraction
-    entirely (their payload never reaches the table).
+    Winner selection runs FIRST so the extraction UDF touches only per-url
+    winners (O(distinct urls)), not every change event; deletes skip
+    extraction entirely (their payload never reaches the table).
+
+    Winner selection is a two-phase plan chosen for shuffle WEIGHT, not
+    just shuffle count: ``groupBy(url).agg(max(lsn))`` shuffles only the
+    (url, lsn) pair (bytes per event, map-side combined) — never the wide
+    html payload — and the join back to the batch is left to AQE: at
+    micro-batch sizes the winner set is small and AQE picks a broadcast
+    join (wide rows never cross the network; with the fanout delta write
+    the whole batch path is then shuffle-free for payload bytes), while at
+    backlog sizes (winner set ≫ broadcast threshold) AQE falls back to a
+    shuffle join, which costs exactly what the one-shuffle max_by collapse
+    would. Rows tied on (url, lsn) are a feed contract violation
+    (quality_gate counts duplicate_key_order); this path keeps both ties
+    where max_by would pick one arbitrarily.
 
     ``watermark_days`` enables the too-late drop (reference: acquisition-
     age floor, query_stac.py:120-128 — "reingestion re-stamping `updated`
@@ -61,8 +75,6 @@ def apply_batch(
     correctness.
     """
     t0 = time.monotonic()
-    from data_pipeline_spark.lake.merge import lww_collapse
-
     snap = table.current()
     n_late = 0
     if watermark_days is not None:
@@ -72,9 +84,8 @@ def apply_batch(
             if record_metrics:
                 n_late = batch.filter(F.col("warc_ts") < floor_expr).count()
             batch = batch.filter(F.col("warc_ts") >= floor_expr)
-    collapsed = lww_collapse(
-        batch, snap.key, "lsn", [c for c in batch.columns if c != snap.key]
-    )
+    winners = batch.groupBy(snap.key).agg(F.max("lsn").alias("lsn"))
+    collapsed = batch.join(winners, [snap.key, "lsn"])
     enriched = collapsed.withColumn(
         "text",
         F.when(F.col("op") != "delete", extract_text("html")),

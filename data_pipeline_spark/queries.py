@@ -966,6 +966,41 @@ sql_pair(
 )
 
 
+@register(
+    "docs_dedup_clusters",
+    _dd.clusters_duckdb_sql(_dd.minhash_near_dup_sql(_dd.DUCK)),
+    doc="Transitive dedup CLUSTERS: connected components over MinHash "
+    "near-dup pairs via iterative min-label propagation (fixpoint in "
+    "O(component diameter) shuffles); cluster_id = component min doc_id. "
+    "Oracle: DuckDB recursive-CTE transitive closure. Reference collapses "
+    "groups, not pairs (trigger_cdse.py:123-141)",
+)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("documents",))
+    pairs = spark.sql(_dd.minhash_near_dup_sql(_dd.SPARK))
+    return _dd.connected_components(pairs)
+
+
+@register(
+    "docs_dedup_cluster_survivors",
+    _dd.clusters_duckdb_sql(_dd.minhash_near_dup_sql(_dd.DUCK), survivors=True),
+    doc="Transitive dedup DECISION: keep each cluster's min-doc_id "
+    "representative plus every unclustered document — the survivor corpus "
+    "(fixes the greedy keep-list's A~B, B~C over-keep)",
+)
+def docs_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir, ("documents",))
+    pairs = spark.sql(_dd.minhash_near_dup_sql(_dd.SPARK))
+    clusters = _dd.connected_components(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+    docs = spark.table("documents")
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
 # Production MinHash+LSH: JVM xxhash64 shingle hashing, thresholded on
 # exact Jaccard. The oracle recomputes the pair DECISIONS with the md5
 # hash family: with min_ppm=500000 and 32 hashes / 8 bands, banding recall

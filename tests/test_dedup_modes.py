@@ -28,6 +28,30 @@ def _pairs(spark, fast):
     }
 
 
+def test_connected_components_close_transitivity(spark):
+    """A~B and B~C must land in ONE cluster with one survivor even when
+    the A~C edge is absent (the greedy keep-list's blind spot), and
+    components must follow arbitrary-length chains."""
+    from data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),            # chain: {1,2,3}
+         (10, 11),                  # pair: {10,11}
+         (20, 21), (21, 22), (22, 23), (20, 23),  # cycle: {20..23}
+         (30, 31), (32, 31), (33, 30)],           # star-ish: {30..33}
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
 def test_fast_minhash_decisions_equal_oracle_mode(spark):
     fast = _pairs(spark, fast=True)
     slow = _pairs(spark, fast=False)
