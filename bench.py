@@ -215,6 +215,61 @@ def _scaling_child(cores: int) -> None:
                       "data_control_s": round(min(dctl_walls), 3)}))
 
 
+def run_stream_bench() -> None:
+    """Streaming drain vs batch replay over the SAME amplified log: the
+    per-epoch streaming overhead (offset commit, epoch planning) is the
+    gap; bigger epochs amortize it (SPARK_GRAFT_EPOCHS controls how many
+    epochs the backlog becomes)."""
+    import tempfile
+
+    from data_pipeline_spark.pipeline import materialize_wal, replay_log
+    from data_pipeline_spark.session import get_spark
+    from data_pipeline_spark.streaming.pipeline import (
+        stream_to_completion,
+        write_wal,
+    )
+
+    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "64"))
+    epochs = int(os.environ.get("SPARK_GRAFT_EPOCHS", "4"))
+    spark = get_spark("stream-bench")
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+
+    # batch replay reference (same engine core, no streaming machinery)
+    log = materialize_wal(
+        spark, SF_DIR, os.path.join(root, "wal_b"), amplify=amplify,
+        partitions=4 * spark.sparkContext.defaultParallelism,
+    )
+    n_events = log.count()
+    replay_log(spark, log, os.path.join(root, "warm"), n_batches=1,
+               n_buckets=64, record_metrics=False)
+    t0 = time.monotonic()
+    replay_log(spark, log, os.path.join(root, "tb"), n_batches=epochs,
+               n_buckets=64, record_metrics=False)
+    batch_s = time.monotonic() - t0
+
+    # streaming drain: one epoch per WAL segment via availableNow
+    wal = os.path.join(root, "wal_s")
+    write_wal(spark, SF_DIR, wal, n_files=epochs, amplify=amplify)
+    # one WAL segment (= defaultParallelism files) per epoch
+    t0 = time.monotonic()
+    stream_to_completion(
+        spark, wal, os.path.join(root, "ts"), os.path.join(root, "ckpt"),
+        n_buckets=64, record_metrics=False,
+        max_files_per_trigger=spark.sparkContext.defaultParallelism,
+    )
+    stream_s = time.monotonic() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "streaming_vs_batch_drain",
+        "events": n_events, "epochs": epochs, "amplify": amplify,
+        "batch_s": round(batch_s, 3), "stream_s": round(stream_s, 3),
+        "batch_eps": round(n_events / batch_s, 1),
+        "stream_eps": round(n_events / stream_s, 1),
+        "stream_over_batch": round(stream_s / batch_s, 3),
+        "sf": _sf_of(SF_DIR),
+    }))
+
+
 def run_scaling(n_small: int = 8) -> None:
     n_big = 4 * n_small
     results = {}
@@ -253,6 +308,8 @@ def run_scaling(n_small: int = 8) -> None:
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--stream" in sys.argv:
+        run_stream_bench()
     elif "--scaling" in sys.argv:
         idx = sys.argv.index("--scaling")
         n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 and sys.argv[idx + 1].isdigit() else 8

@@ -62,6 +62,26 @@ def _gate(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark) -> None:
+    """Flip the session to the RocksDB state store: per-key state spills
+    to local disk with incremental checkpointing, so the O(distinct urls)
+    high-water-mark map stops competing with executor heap at web scale
+    (the default HDFS-backed provider keeps all state on-heap). Applies
+    to queries started after the call."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    # Bound RocksDB memory so 1000-executor deployments stay predictable.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
+    )
+
+
 def lww_gate_stream(events: DataFrame) -> DataFrame:
     """Apply the stateful per-url LWW gate to a streaming DataFrame."""
     return (

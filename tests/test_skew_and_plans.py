@@ -64,6 +64,22 @@ def test_lww_aggregate_has_partial_aggregation(spark):
     assert plan.index("partial_max_by") < plan.index("max_by(", ex), plan
 
 
+def test_winner_selection_shuffles_narrow_and_combines_map_side(spark):
+    """The apply path's winner agg must (a) carry ONLY (url, lsn) into its
+    exchange — the wide html payload stays out of the shuffle — and
+    (b) keep map-side partial aggregation (hot urls collapse locally)."""
+    log = cl.changelog(spark, SF_SMOKE)
+    winners = log.groupBy("url").agg(F.max("lsn").alias("lsn"))
+    plan = _plan(winners)
+    # the detail sections list nodes bottom-up: the partial aggregate's
+    # detail must precede the exchange's (map-side combine BEFORE shuffle)
+    assert "partial_max" in plan, plan
+    assert plan.index("partial_max") < plan.index("hashpartitioning"), plan
+    # the aggregate's input reads only url+lsn (column pruning to the scan)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
 def test_filter_and_projection_pushdown(spark):
     """Predicates and column pruning must reach the parquet scan."""
     df = (

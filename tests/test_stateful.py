@@ -36,6 +36,62 @@ def test_lww_gate_emits_each_lsn_once_in_order(spark):
     assert len(emitted) == n_events
 
 
+def test_lww_gate_on_rocksdb_state_store(spark):
+    """The RocksDB state store (the web-scale state backend: state spills
+    to disk instead of executor heap) must run the same gate with the same
+    output, including kill-and-resume through its checkpoint."""
+    from data_pipeline_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        use_rocksdb_state_store,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    wal = tempfile.mkdtemp(prefix="wal_st3_")
+    write_wal(spark, SF_SMOKE, wal, n_files=4)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_st3_")
+    try:
+        use_rocksdb_state_store(spark)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+
+        out_dir = tempfile.mkdtemp(prefix="out_st3_")
+
+        def drain():
+            q = (
+                lww_gate_stream(wal_stream(spark, wal, max_files_per_trigger=1))
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            return [
+                (r.url, r.lsn) for r in spark.read.parquet(out_dir).collect()
+            ]
+
+        first = drain()
+        n_events = cl.changelog(spark, SF_SMOKE).count()
+        assert len(first) == len(set(first)) == n_events
+        # resume from the RocksDB-backed checkpoint: nothing re-emitted
+        assert sorted(drain()) == sorted(first)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"
+        )
+
+
 def test_lww_gate_suppresses_replayed_segments(spark):
     """Re-delivering the first half of the WAL after the full drain (a
     reprocessing run with a fresh checkpoint but persisted state would do
