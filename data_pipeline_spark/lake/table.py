@@ -725,6 +725,7 @@ class LakeTable:
         buckets: set[int] | None = None,
         min_files: int = 2,
         purge_tombstones_where: F.Column | None = None,
+        max_buckets: int | None = None,
     ) -> Snapshot | None:
         """Rewrite multi-file buckets down to one base file each (Iceberg
         ``rewrite_data_files``): LWW-collapse base+deltas, optionally purge
@@ -733,8 +734,12 @@ class LakeTable:
         maintenance.retention_sweep), write back as compacted base files.
 
         ``buckets=None`` selects every bucket holding ≥ ``min_files`` files
-        or any delta file. Returns the new snapshot, or None when nothing
-        qualifies (no empty commits). Idempotent via ``commit_key``."""
+        or any delta file. ``max_buckets`` bounds one compaction round to
+        the most-fragmented buckets (highest file count first) — at 100 TB
+        maintenance runs as bounded incremental rounds, not one full-table
+        job (Iceberg's rewrite job group sizing). Returns the new
+        snapshot, or None when nothing qualifies (no empty commits).
+        Idempotent via ``commit_key``."""
         snap = self.current()
         if commit_key in snap.commits:
             return snap
@@ -746,6 +751,13 @@ class LakeTable:
                     e.get("kind", "base") == "delta" for e in entries
                 ):
                     buckets.add(int(b))
+        if max_buckets is not None and len(buckets) > max_buckets:
+            buckets = set(
+                sorted(
+                    buckets,
+                    key=lambda b: -len(self.bucket_entries(snap, b)),
+                )[:max_buckets]
+            )
         if not buckets:
             return None
         content = self.read(

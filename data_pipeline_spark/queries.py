@@ -214,7 +214,7 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = replay_log(
         spark, log, os.path.join(root, "table"), n_batches=3, n_buckets=16,
-        record_metrics=False, dense=True,
+        record_metrics=False,
     )
     return table.read().select(
         "url",

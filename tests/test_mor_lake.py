@@ -103,6 +103,37 @@ def test_compaction_preserves_state_and_purges_fenced_tombstones(spark):
     assert t.current().version == v
 
 
+def test_incremental_compaction_rounds(spark):
+    """max_buckets bounds one compaction round to the most-fragmented
+    buckets; repeated rounds converge to a fully-compacted table with the
+    same logical state."""
+    t = _mk(spark, n_buckets=8)
+    for i in range(3):  # 3 delta commits over many buckets
+        merge_into(t, _rows(spark, [
+            (f"u{j}", i * 100 + j, "2024-03-01 00:00:00", f"v{i}.{j}",
+             "insert" if i == 0 else "update")
+            for j in range(24)
+        ]), f"c{i}")
+    state = sorted((r.url, r.lsn, r.v) for r in t.read().collect())
+    frag = lambda: {
+        int(b): len(t.bucket_entries(t.current(), b))
+        for b in t.current().manifests
+        if t.bucket_entries(t.current(), b)
+    }
+    assert max(frag().values()) >= 2
+    s1 = t.compact("round-1", max_buckets=2)
+    assert s1 is not None and len(s1.summary["touched"]) == 2
+    # round 1 folded the two most-fragmented buckets
+    assert sorted((r.url, r.lsn, r.v) for r in t.read().collect()) == state
+    rounds = 0
+    while any(v >= 2 for v in frag().values()):
+        rounds += 1
+        t.compact(f"round-{1 + rounds}", max_buckets=2)
+        assert rounds < 10
+    assert sorted((r.url, r.lsn, r.v) for r in t.read().collect()) == state
+    assert t.files().filter(F.col("kind") == "delta").count() == 0
+
+
 def test_retention_sweep_pruned_buckets_carry_forward(spark):
     """Judge criterion: untouched buckets' files carry forward BY REFERENCE
     (same paths) through a sweep that deletes from few buckets."""
