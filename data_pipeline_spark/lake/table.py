@@ -500,12 +500,23 @@ class LakeTable:
                 self._manifest_cache.pop(fn, None)
         return removed
 
-    def files(self, snap: Snapshot | None = None) -> DataFrame:
+    def files(
+        self, snap: Snapshot | None = None, with_etag: bool = False
+    ) -> DataFrame:
         """The files metadata table (Iceberg ``table$files`` analog;
         reference analog: S3 prefix listing scans,
         scripts/prestage_source.py:252-270): one row per live data file
         with bucket, kind (base|delta), schema version, size, and row count
-        from the parquet footer — no data scan."""
+        from the parquet footer — no data scan.
+
+        ``with_etag=True`` adds the S3-style content etag (md5 of the file
+        bytes) completing the reference's ``{key: (size, etag)}`` listing
+        shape (scripts/change_storage_tier.py:75-97) — the (size, etag)
+        diff-join family (J7/J8) runs directly on this frame. On a real
+        object store the etag comes free with the listing; locally it is
+        computed on demand, so it's opt-in."""
+        import hashlib
+
         import pyarrow.parquet as pq
 
         snap = snap or self.current()
@@ -513,21 +524,25 @@ class LakeTable:
         for b, entries in sorted(self.all_entries(snap).items()):
             for e in entries:
                 p = os.path.join(self.root, e["path"])
-                rows.append(
-                    {
-                        "bucket": int(b),
-                        "path": e["path"],
-                        "kind": e.get("kind", "base"),
-                        "schema_version": e["schema_version"],
-                        "bytes": os.path.getsize(p),
-                        "rows": pq.read_metadata(p).num_rows,
-                    }
-                )
-        schema = T.StructType.fromDDL(
+                row = {
+                    "bucket": int(b),
+                    "path": e["path"],
+                    "kind": e.get("kind", "base"),
+                    "schema_version": e["schema_version"],
+                    "bytes": os.path.getsize(p),
+                    "rows": pq.read_metadata(p).num_rows,
+                }
+                if with_etag:
+                    with open(p, "rb") as f:
+                        row["etag"] = hashlib.md5(f.read()).hexdigest()
+                rows.append(row)
+        ddl = (
             "bucket int, path string, kind string, schema_version int, "
             "bytes bigint, rows bigint"
         )
-        return self.spark.createDataFrame(rows, schema)
+        if with_etag:
+            ddl += ", etag string"
+        return self.spark.createDataFrame(rows, T.StructType.fromDDL(ddl))
 
     # -- write path ---------------------------------------------------------
 

@@ -210,6 +210,36 @@ def quality_gate(
     return {"verdict": verdict, "rows": n, "failures": failures}
 
 
+class EnvMismatchError(RuntimeError):
+    """F7: refusing to write across environments."""
+
+
+def check_env_consistency(
+    table: LakeTable, expected_env: str, prop: str = "env"
+) -> str:
+    """F7 env-consistency guard (reference:
+    scripts/run_ingest_register.py:50-64 — the target bucket's environment
+    must equal the collection's environment before any write is attempted).
+
+    The table carries its environment as a snapshot property (set once via
+    ``update_props({'env': ...})``); writers call this precondition with the
+    environment they were launched for and get an exception — not a silent
+    cross-env write — on mismatch. A table with no recorded env adopts the
+    caller's (first-writer-wins stamping, like the reference's collection
+    creation path). Returns the env now in force."""
+    snap = table.current()
+    actual = snap.props.get(prop)
+    if actual is None:
+        table.update_props({prop: expected_env})
+        return expected_env
+    if actual != expected_env:
+        raise EnvMismatchError(
+            f"table env {actual!r} != caller env {expected_env!r} "
+            f"(refusing cross-environment write)"
+        )
+    return actual
+
+
 def backfill(
     table: LakeTable,
     commit_key: str,

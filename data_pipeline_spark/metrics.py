@@ -105,3 +105,69 @@ def read_metrics(table: LakeTable, sub: str = "commits"):
     """Metrics as a Spark DataFrame (for queries / assertions)."""
     d = os.path.join(table.root, METRICS_DIR, sub)
     return table.spark.read.parquet(d)
+
+
+# ---------------------------------------------------------------------------
+# K7: aggregation publish with replace-by-rel link update
+# ---------------------------------------------------------------------------
+
+AGGREGATES_DIR = "_aggregates"
+
+
+def publish_aggregate(table: LakeTable, agg_df, rel: str, commit_key: str):
+    """K7 aggregation publish (reference: scripts/aggregate_items.py:121-199 —
+    aggregation blobs uploaded to S3, then the collection's link with the
+    same ``rel`` is REPLACED to point at the new blob).
+
+    Spark analog: write the aggregate DataFrame to an immutable
+    ``_aggregates/<rel>/<commit_key>/`` parquet directory, then atomically
+    swap the links document so ``rel`` points at the new publish. Readers
+    always follow the link — a half-written parquet dir is unreachable until
+    the link lands (same write-then-swap discipline as table snapshots).
+    Idempotent on ``commit_key``: a re-publish of a recorded key is a no-op
+    (the crash-redelivery contract all sinks here share).
+
+    Returns the link record now active for ``rel``."""
+    import json
+    import tempfile
+
+    links_path = os.path.join(table.root, AGGREGATES_DIR, "links.json")
+    links: dict[str, dict] = {}
+    if os.path.exists(links_path):
+        with open(links_path) as f:
+            links = json.load(f)
+    prev = links.get(rel)
+    if prev is not None and prev["commit_key"] == commit_key:
+        return prev  # idempotent re-publish
+    rel_dir = os.path.join(AGGREGATES_DIR, rel, commit_key)
+    out = os.path.join(table.root, rel_dir)
+    agg_df.write.mode("overwrite").parquet(out)
+    n_rows = sum(
+        pq.read_metadata(os.path.join(out, f)).num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    links[rel] = {
+        "rel": rel,
+        "path": rel_dir,
+        "commit_key": commit_key,
+        "rows": n_rows,
+        "published_unix_ms": int(time.time() * 1000),
+        "replaced": None if prev is None else prev["commit_key"],
+    }
+    os.makedirs(os.path.dirname(links_path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(links_path))
+    with os.fdopen(fd, "w") as f:
+        json.dump(links, f, indent=1)
+    os.replace(tmp, links_path)  # atomic link swap (replace-by-rel)
+    return links[rel]
+
+
+def read_aggregate(table: LakeTable, rel: str):
+    """Follow the ``rel`` link to the currently-published aggregate."""
+    import json
+
+    links_path = os.path.join(table.root, AGGREGATES_DIR, "links.json")
+    with open(links_path) as f:
+        link = json.load(f)[rel]
+    return table.spark.read.parquet(os.path.join(table.root, link["path"]))

@@ -463,6 +463,129 @@ sql_pair(
     "source_url_utils.py:58-67)",
 )
 
+# S7: decimated data probe — the reference subsamples 1/64 of a GeoTIFF band
+# to test any-valid-pixel before committing to a full read
+# (ingest_v1_s1_rtc.py:130-148). Spark form: a deterministic key-hash sample
+# (1/16 of urls via the first md5 nibble — engine-independent, unlike
+# TABLESAMPLE's RNG) probed for valid payload content, aggregated per site.
+# The sample predicate sits next to the scan so only sampled rows are decoded.
+sql_pair(
+    "cdc_decimated_probe",
+    spark_sql="""
+        SELECT site, count(*) AS sampled,
+               sum(CASE WHEN position('<body>' IN decode(html, 'utf-8')) > 0
+                   THEN 1 ELSE 0 END) AS valid_cnt
+        FROM (SELECT regexp_extract(url, 'https://site-([0-9]+)\\\\.', 1) AS site,
+                     html
+              FROM changelog
+              WHERE op <> 'delete' AND substr(md5(url), 1, 1) = '0')
+        GROUP BY site
+    """,
+    duck_sql=r"""
+        SELECT site, count(*) AS sampled,
+               CAST(sum(CASE WHEN position('<body>' IN decode(html)) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS valid_cnt
+        FROM (SELECT regexp_extract(url, 'https://site-([0-9]+)\.', 1) AS site,
+                     html
+              FROM changelog
+              WHERE op <> 'delete' AND substr(md5(url), 1, 1) = '0')
+        GROUP BY site
+    """,
+    doc="S7 decimated any-valid probe over a deterministic 1/16 key-hash "
+    "sample (ingest_v1_s1_rtc.py:130-148)",
+)
+
+# SF7: query-string percent-encoding with the reference's RFC3986 fix —
+# application/x-www-form-urlencoded then '+' → '%20'
+# (register_v1.py:204-232, _migrate_catalog/migrations/fix_url_encoding.py:7-28).
+# Spark side is the built-in codegen url_encode; the DuckDB oracle spells the
+# same encoding as ordered literal replaces over the synthesized charset
+# ('%' first so later substitutions can't double-encode).
+sql_pair(
+    "cdc_url_encode",
+    spark_sql="""
+        SELECT url,
+               replace(url_encode(concat(url, ' rev+', lang)), '+', '%20') AS enc
+        FROM changelog WHERE op = 'insert'
+    """,
+    duck_sql="""
+        SELECT url,
+               replace(replace(replace(replace(replace(concat(url, ' rev+', lang),
+                 '%','%25'), '+','%2B'), ':','%3A'), '/','%2F'), ' ','%20') AS enc
+        FROM changelog WHERE op = 'insert'
+    """,
+    doc="SF7 percent-encode + RFC3986 plus-fix (register_v1.py:204-232, "
+    "fix_url_encoding.py:7-28)",
+)
+
+# SF6: geodesy math — the reference converts MGRS tile ids to WGS84 bboxes
+# with numeric tolerance handling (watch_cdse_and_process.py:46-83). Columnar
+# analog: haversine great-circle distance over deterministic per-url
+# coordinates (derived from the page id by exact integer math so both engines
+# see identical doubles), rounded to integer meters (double ULP noise is
+# ~1e-8 m at this magnitude — hash-safe). Pure codegen trig, no UDF.
+_HAVERSINE = """
+    SELECT url,
+      CAST(round(2.0 * 6371000.0 * asin(sqrt(
+        sin(radians(lat - 48.8566) / 2) * sin(radians(lat - 48.8566) / 2)
+        + cos(radians(lat)) * cos(radians(48.8566))
+          * sin(radians(lon - 2.3522) / 2) * sin(radians(lon - 2.3522) / 2)
+      ))) AS BIGINT) AS dist_m
+    FROM (
+      SELECT url,
+        CAST(CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT)
+             * 37 % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat,
+        CAST(CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT)
+             * 101 % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+      FROM changelog WHERE op = 'insert')
+"""
+sql_pair(
+    "cdc_geo_distance",
+    spark_sql=_HAVERSINE,
+    duck_sql=_HAVERSINE,
+    doc="SF6 geodesy: haversine over deterministic per-url WGS84 coords, "
+    "integer-meter output (watch_cdse_and_process.py:46-83)",
+)
+
+# K7: aggregation publish — compute an aggregate, publish it as an immutable
+# blob, atomically repoint the collection's link for that rel (replace-by-rel;
+# aggregate_items.py:121-199). The query publishes a STALE aggregate first,
+# then the fresh one under the same rel, then proves idempotent re-publish is
+# a no-op — the oracle only matches if the link swap actually replaced.
+@register(
+    "cdc_aggregate_publish",
+    f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')})
+        SELECT lang, op, CAST(count(*) AS BIGINT) AS n
+        FROM changelog GROUP BY lang, op""",
+    doc="K7 aggregation publish with replace-by-rel link swap "
+    "(aggregate_items.py:121-199)",
+)
+def cdc_aggregate_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.metrics import publish_aggregate, read_aggregate
+
+    _views(spark, sf_dir, ("events",))
+    root = tempfile.mkdtemp(prefix="aggpub_")
+    table = LakeTable.create(
+        spark, root, [("url", "string"), ("lsn", "bigint")], "url", 4
+    )
+    log = spark.table("changelog")
+    rel = "lang-op-histogram"
+    stale = (
+        log.filter("lsn % 2 = 0")
+        .groupBy("lang", "op")
+        .agg(F.count("*").alias("n"))
+    )
+    publish_aggregate(table, stale, rel, commit_key="pub-stale")
+    fresh = log.groupBy("lang", "op").agg(F.count("*").alias("n"))
+    publish_aggregate(table, fresh, rel, commit_key="pub-fresh")
+    # Crash-redelivery of a recorded publish: must be a no-op.
+    publish_aggregate(table, stale, rel, commit_key="pub-fresh")
+    return read_aggregate(table, rel)
+
+
 # SO1: EXCEPT-based stale-key diff — live urls never touched in the last
 # quarter of the log.
 sql_pair(
