@@ -171,6 +171,88 @@ def minhash_near_dup_sql(
 
 # -- transitive dedup clusters (connected components) -------------------------
 
+def connected_components_star(pairs, a: str = "doc_a", b: str = "doc_b",
+                              max_iter: int = 30):
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+
+    * large-star(u): hook every neighbor v > u onto m = min(Γ(u) ∪ {u})
+    * small-star(u): hook every smaller neighbor (and u itself) onto the
+      minimum of u's smaller neighborhood
+
+    Each round is two groupBy+join passes over the edge set; convergence is
+    O(log² n) rounds REGARDLESS of component diameter — the scale-safe
+    choice for adversarial graphs (long chains), where min-label
+    propagation needs O(diameter) shuffles. For shallow near-dup clusters
+    the simpler label propagation (``connected_components``) wins on
+    constant factors; both return identical (doc_id, cluster_id) labels
+    (property-pinned against each other and a union-find reference in
+    tests/test_cc_algorithms.py).
+
+    The stability probe compares edge sets exactly (two anti-join
+    ``limit(1)`` jobs — no checksum false convergence); per-round data
+    never leaves the cluster."""
+    from pyspark.sql import functions as F
+
+    nodes = (
+        pairs.selectExpr(f"{a} AS doc_id")
+        .unionByName(pairs.selectExpr(f"{b} AS doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Canonical directed representation: u → v with v < u.
+    edges = (
+        pairs.selectExpr(
+            f"CASE WHEN {a} > {b} THEN {a} ELSE {b} END AS u",
+            f"CASE WHEN {a} > {b} THEN {b} ELSE {a} END AS v",
+        )
+        .filter("u <> v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star over the symmetric view
+        sym = edges.unionByName(
+            edges.selectExpr("v AS u", "u AS v")
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter("u <> v")
+            .distinct()
+        )
+        # small-star over the to-smaller orientation of ls
+        dir_ = ls.selectExpr(
+            "CASE WHEN u > v THEN u ELSE v END AS u",
+            "CASE WHEN u > v THEN v ELSE u END AS v",
+        ).distinct()
+        mins2 = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        new = (
+            dir_.join(mins2, "u")
+            .selectExpr("v AS w", "m")
+            .unionByName(mins2.selectExpr("u AS w", "m"))
+            .filter("w <> m")
+            .selectExpr("w AS u", "m AS v")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new).limit(1).count()
+        )
+        edges = new
+        if changed == 0:
+            break
+    return nodes.join(
+        edges.selectExpr("u AS doc_id", "v AS root"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+    )
+
+
 def connected_components(pairs, a: str = "doc_a", b: str = "doc_b",
                          max_iter: int = 25):
     """Connected components over near-dup pairs via iterative min-label

@@ -1105,6 +1105,20 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_dedup_clusters_star",
+    _dd.clusters_duckdb_sql(_dd.minhash_near_dup_sql(_dd.DUCK)),
+    doc="Same transitive clusters via alternating large-star/small-star "
+    "hooking (Kiveris et al.) — O(log² n) rounds independent of component "
+    "diameter, the scale-safe variant for adversarial chain graphs; same "
+    "recursive-CTE oracle as docs_dedup_clusters",
+)
+def docs_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("documents",))
+    pairs = spark.sql(_dd.minhash_near_dup_sql(_dd.SPARK))
+    return _dd.connected_components_star(pairs)
+
+
+@register(
     "docs_dedup_cluster_survivors",
     _dd.clusters_duckdb_sql(_dd.minhash_near_dup_sql(_dd.DUCK), survivors=True),
     doc="Transitive dedup DECISION: keep each cluster's min-doc_id "
@@ -1308,6 +1322,50 @@ sql_pair(
     tables=("documents",),
     with_changelog_cte=False,
     doc="Language-ID marker heuristic (single SQL text for both engines)",
+)
+
+
+# Gopher-style repetition filter: share of word-bigram occurrences taken by
+# the single most-frequent bigram — high values flag boilerplate/spam pages.
+# Exact integer ppm via bigint division; docs under two tokens drop out on
+# both sides identically.
+sql_pair(
+    "docs_repetition",
+    spark_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, split(trim(text), '\\s+') AS t FROM documents),
+        grams AS (
+          SELECT doc_id, explode(transform(
+            sequence(1, size(t) - 1),
+            i -> concat(t[i - 1], ' ', t[i]))) AS gram
+          FROM toks WHERE size(t) >= 2),
+        counts AS (
+          SELECT doc_id, gram, count(*) AS c
+          FROM grams GROUP BY doc_id, gram)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST((max(c) * 1000000) div sum(c) AS BIGINT) AS top_bigram_ppm
+        FROM counts GROUP BY doc_id
+    """,
+    duck_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(t) - 1 + 1),
+            i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS gram
+          FROM toks WHERE len(t) >= 2),
+        counts AS (
+          SELECT doc_id, gram, count(*) AS c
+          FROM grams GROUP BY doc_id, gram)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_bigram_ppm
+        FROM counts GROUP BY doc_id
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Repetition ratio (top word-bigram share, exact integer ppm) — the "
+    "boilerplate/spam quality signal for training-data curation",
 )
 
 
