@@ -271,16 +271,37 @@ def run_stream_bench() -> None:
 
 
 def run_scaling(n_small: int = 8) -> None:
+    """SPARK_GRAFT_SCALE_REPS > 1 runs the two levels INTERLEAVED in ABBA
+    order (N, 4N, 4N, N, ...) and keeps the best wall per level: co-tenant
+    drift on this box can shift machine throughput between legs by tens of
+    percent (observable as the pure-codegen CPU control 'scaling' at >1.0
+    — impossible for a real job), and interleaving spreads the drift
+    across both levels instead of crediting it all to one."""
     n_big = 4 * n_small
-    results = {}
-    for cores in (n_small, n_big):
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+    order: list[int] = []
+    for r in range(reps):
+        order += [n_small, n_big] if r % 2 == 0 else [n_big, n_small]
+    legs: dict[int, list[dict]] = {n_small: [], n_big: []}
+    for cores in order:
         proc = subprocess.run(
             [sys.executable, __file__, "--scaling-child", str(cores)],
             capture_output=True, text=True, check=True,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
-    small, big = results[n_small], results[n_big]
+        legs[cores].append(json.loads(line))
+
+    def best(cores: int) -> dict:
+        runs = legs[cores]
+        agg = dict(min(runs, key=lambda r: r["wall_s"]))
+        agg["walls"] = [w for r in runs for w in r["walls"]]
+        agg["wall_s"] = min(agg["walls"])
+        agg["eps"] = round(agg["events"] / agg["wall_s"], 1)
+        agg["cpu_control_s"] = min(r["cpu_control_s"] for r in runs)
+        agg["data_control_s"] = min(r["data_control_s"] for r in runs)
+        return agg
+
+    small, big = best(n_small), best(n_big)
     # Efficiency of throughput scaling from N to 4N cores.
     eff = (big["eps"] / small["eps"]) / (n_big / n_small)
     cpu_eff = (small["cpu_control_s"] / big["cpu_control_s"]) / (n_big / n_small)

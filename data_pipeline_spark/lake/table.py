@@ -529,7 +529,9 @@ class LakeTable:
                     "path": e["path"],
                     "kind": e.get("kind", "base"),
                     "schema_version": e["schema_version"],
-                    "bytes": os.path.getsize(p),
+                    # manifest-recorded size when present (no storage IO);
+                    # stat fallback for pre-recording snapshots
+                    "bytes": e.get("bytes") or os.path.getsize(p),
                     "rows": pq.read_metadata(p).num_rows,
                 }
                 if with_etag:
@@ -637,6 +639,10 @@ class LakeTable:
                     "path": p,
                     "schema_version": snap.schema_version,
                     "kind": "delta",
+                    # File size in the manifest (Iceberg file_size_in_bytes):
+                    # lets maintenance pick compaction candidates by delta
+                    # share without touching storage.
+                    "bytes": os.path.getsize(os.path.join(self.root, p)),
                 }
                 for p in paths
             )
@@ -707,6 +713,7 @@ class LakeTable:
                     "path": p,
                     "schema_version": snap.schema_version,
                     "kind": "base",
+                    "bytes": os.path.getsize(os.path.join(self.root, p)),
                 }
                 for p in paths
             ]
@@ -741,6 +748,7 @@ class LakeTable:
         min_files: int = 2,
         purge_tombstones_where: F.Column | None = None,
         max_buckets: int | None = None,
+        min_delta_ratio: float | None = None,
     ) -> Snapshot | None:
         """Rewrite multi-file buckets down to one base file each (Iceberg
         ``rewrite_data_files``): LWW-collapse base+deltas, optionally purge
@@ -752,9 +760,14 @@ class LakeTable:
         or any delta file. ``max_buckets`` bounds one compaction round to
         the most-fragmented buckets (highest file count first) — at 100 TB
         maintenance runs as bounded incremental rounds, not one full-table
-        job (Iceberg's rewrite job group sizing). Returns the new
-        snapshot, or None when nothing qualifies (no empty commits).
-        Idempotent via ``commit_key``."""
+        job (Iceberg's rewrite job group sizing). ``min_delta_ratio``
+        makes the selection size-tiered: skip buckets whose delta share of
+        the bucket's bytes (from manifest-recorded sizes — no storage IO)
+        is below the threshold, so a huge base file is never rewritten to
+        fold a tiny delta (rewrite-amplification guard; Iceberg's
+        delete-file-threshold analog). Returns the new snapshot, or None
+        when nothing qualifies (no empty commits). Idempotent via
+        ``commit_key``."""
         snap = self.current()
         if commit_key in snap.commits:
             return snap
@@ -766,6 +779,25 @@ class LakeTable:
                     e.get("kind", "base") == "delta" for e in entries
                 ):
                     buckets.add(int(b))
+        if min_delta_ratio is not None:
+
+            def _bytes(e: dict) -> int:
+                return e.get("bytes") or os.path.getsize(
+                    os.path.join(self.root, e["path"])
+                )
+
+            tiered = set()
+            for b in buckets:
+                entries = self.bucket_entries(snap, b)
+                tot = sum(_bytes(e) for e in entries)
+                delta = sum(
+                    _bytes(e)
+                    for e in entries
+                    if e.get("kind", "base") == "delta"
+                )
+                if tot and delta / tot >= min_delta_ratio:
+                    tiered.add(b)
+            buckets = tiered
         if max_buckets is not None and len(buckets) > max_buckets:
             buckets = set(
                 sorted(
