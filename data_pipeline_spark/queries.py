@@ -547,6 +547,34 @@ sql_pair(
     "integer-meter output (watch_cdse_and_process.py:46-83)",
 )
 
+# A-family extension: exact discrete quantiles (both engines define
+# percentile_disc/quantile_disc as the lowest value whose cumulative
+# distribution ≥ p — a data value, not an interpolation, so it hash-matches
+# exactly). At scale this is one pass per group; for sketch-budget use cases
+# Spark's percentile_approx swaps in (no oracle — approximate by design).
+sql_pair(
+    "cdc_size_quantiles",
+    spark_sql="""
+        SELECT lang,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY octet_length(html)) AS p50,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY octet_length(html)) AS p90,
+          percentile_disc(0.99) WITHIN GROUP (ORDER BY octet_length(html)) AS p99,
+          count(*) AS n
+        FROM changelog WHERE op <> 'delete' GROUP BY lang
+    """,
+    duck_sql="""
+        SELECT lang,
+          CAST(quantile_disc(octet_length(html), 0.5) AS BIGINT) AS p50,
+          CAST(quantile_disc(octet_length(html), 0.9) AS BIGINT) AS p90,
+          CAST(quantile_disc(octet_length(html), 0.99) AS BIGINT) AS p99,
+          CAST(count(*) AS BIGINT) AS n
+        FROM changelog WHERE op <> 'delete' GROUP BY lang
+    """,
+    doc="Exact per-group payload-size quantiles (percentile_disc) — the "
+    "distribution-check aggregate for ingest monitoring",
+)
+
+
 # K7: aggregation publish — compute an aggregate, publish it as an immutable
 # blob, atomically repoint the collection's link for that rel (replace-by-rel;
 # aggregate_items.py:121-199). The query publishes a STALE aggregate first,
