@@ -151,10 +151,15 @@ def _scaling_child(cores: int) -> None:
             # Timed work = 4 merge-on-read delta commits + the final
             # compaction that fully materializes the table (the complete
             # engine cost; deltas alone would understate it).
+            # SPARK_GRAFT_COMPACT=0 times the pure apply path (deltas
+            # only) — the "CDC apply throughput" number when compaction
+            # runs on its own maintenance cadence; default includes the
+            # compaction so the timed work is the complete engine cost.
             last_table = replay_log(
                 spark, log, os.path.join(root, f"table{t}"),
                 n_batches=4, n_buckets=64, record_metrics=False,
-                compact_at_end=True)
+                compact_at_end=os.environ.get(
+                    "SPARK_GRAFT_COMPACT", "1") == "1")
             walls.append(time.monotonic() - t0)
         wall = min(walls)
         # Per-stage breakdown from the last trial's commit summaries:
