@@ -547,6 +547,54 @@ sql_pair(
     "integer-meter output (watch_cdse_and_process.py:46-83)",
 )
 
+# As-of (temporal) join — every delete event matched to the latest live
+# version at-or-before the delete's event time. Spark side is the operator's
+# scalable union+window plan (operators/asof.py: ONE shuffle on the key, no
+# probe×versions blow-up); the oracle is DuckDB's NATIVE ASOF LEFT JOIN —
+# decision-level parity with a specialized engine implementation.
+_ASOF_BUILD_PROBE = """
+    build AS (
+      SELECT url, warc_ts, max(lsn) AS lsn
+      FROM changelog WHERE op <> 'delete' GROUP BY url, warc_ts),
+    probe AS (
+      SELECT url, warc_ts, lsn FROM changelog WHERE op = 'delete')
+"""
+sql_pair(
+    "cdc_asof_join",
+    spark_sql=f"""
+        WITH {_ASOF_BUILD_PROBE},
+        u AS (
+          SELECT url, warc_ts, lsn, 0 AS is_probe,
+                 lsn AS b_lsn, warc_ts AS b_ts FROM build
+          UNION ALL
+          SELECT url, warc_ts, lsn, 1,
+                 CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP) FROM probe),
+        w AS (
+          SELECT url, lsn, is_probe,
+            last_value(b_lsn, true) OVER (
+              PARTITION BY url ORDER BY warc_ts, is_probe
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_lsn,
+            last_value(b_ts, true) OVER (
+              PARTITION BY url ORDER BY warc_ts, is_probe
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
+          FROM u)
+        SELECT url, lsn AS probe_lsn, matched_lsn,
+               date_format(m_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS matched_ts_s
+        FROM w WHERE is_probe = 1
+    """,
+    duck_sql=f"""
+        WITH {_ASOF_BUILD_PROBE}
+        SELECT p.url, p.lsn AS probe_lsn, b.lsn AS matched_lsn,
+               strftime(b.warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts_s
+        FROM probe p ASOF LEFT JOIN build b
+          ON p.url = b.url AND p.warc_ts >= b.warc_ts
+    """,
+    doc="As-of temporal join: deletes matched to the latest prior live "
+    "version; union+window single-shuffle plan vs DuckDB native ASOF JOIN "
+    "(ingest_v1_s1_rtc.py:110-123 latest-state probe)",
+)
+
+
 # A-family extension: exact discrete quantiles (both engines define
 # percentile_disc/quantile_disc as the lowest value whose cumulative
 # distribution ≥ p — a data value, not an interpolation, so it hash-matches
