@@ -221,56 +221,72 @@ def _scaling_child(cores: int) -> None:
 
 
 def run_stream_bench() -> None:
-    """Streaming drain vs batch replay over the SAME amplified log: the
-    per-epoch streaming overhead (offset commit, epoch planning) is the
-    gap; bigger epochs amortize it (SPARK_GRAFT_EPOCHS controls how many
-    epochs the backlog becomes)."""
+    """Streaming drain vs batch replay over the SAME WAL FILES: the batch
+    reference applies each segment with apply_batch directly (identical
+    input layout, identical work), so the gap is PURE Structured-Streaming
+    machinery (file-source listing, offset commit, epoch planning) plus the
+    per-epoch path-collect of the re-read mode — not, as a range-layout
+    batch reference would conflate, a measure of WAL file layout.
+    SPARK_GRAFT_EPOCHS controls how many epochs the backlog becomes;
+    SPARK_GRAFT_REREAD=0 benchmarks the direct micro-batch mode instead of
+    the file re-read mode."""
+    import glob
     import tempfile
 
-    from data_pipeline_spark.pipeline import materialize_wal, replay_log
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table, replay_log
     from data_pipeline_spark.session import get_spark
     from data_pipeline_spark.streaming.pipeline import (
+        WAL_SCHEMA,
         stream_to_completion,
         write_wal,
     )
 
     amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "64"))
     epochs = int(os.environ.get("SPARK_GRAFT_EPOCHS", "4"))
+    reread = os.environ.get("SPARK_GRAFT_REREAD", "1") != "0"
     spark = get_spark("stream-bench")
     root = tempfile.mkdtemp(prefix="bench_stream_")
 
-    # batch replay reference (same engine core, no streaming machinery)
-    log = materialize_wal(
-        spark, SF_DIR, os.path.join(root, "wal_b"), amplify=amplify,
-        partitions=4 * spark.sparkContext.defaultParallelism,
+    wal = os.path.join(root, "wal_s")
+    write_wal(spark, SF_DIR, wal, n_files=epochs, amplify=amplify)
+    log = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(WAL_SCHEMA).parquet(wal)
     )
     n_events = log.count()
+    # warm-up replay (JVM + page cache), untimed
     replay_log(spark, log, os.path.join(root, "warm"), n_batches=1,
                n_buckets=64, record_metrics=False)
+
+    # batch reference: apply each WAL segment directly — exactly the rows
+    # each streaming epoch processes, zero streaming machinery
+    table_b = ensure_table(spark, os.path.join(root, "tb"), 64)
+    segs = sorted(glob.glob(os.path.join(wal, "seg-*")))
     t0 = time.monotonic()
-    replay_log(spark, log, os.path.join(root, "tb"), n_batches=epochs,
-               n_buckets=64, record_metrics=False)
+    for i, seg in enumerate(segs):
+        apply_batch(table_b, spark.read.schema(WAL_SCHEMA).parquet(seg),
+                    commit_key=f"b{i}", record_metrics=False)
     batch_s = time.monotonic() - t0
 
     # streaming drain: one epoch per WAL segment via availableNow
-    wal = os.path.join(root, "wal_s")
-    write_wal(spark, SF_DIR, wal, n_files=epochs, amplify=amplify)
-    # one WAL segment (= defaultParallelism files) per epoch
     t0 = time.monotonic()
     stream_to_completion(
         spark, wal, os.path.join(root, "ts"), os.path.join(root, "ckpt"),
         n_buckets=64, record_metrics=False,
         max_files_per_trigger=spark.sparkContext.defaultParallelism,
+        reread_files=reread,
     )
     stream_s = time.monotonic() - t0
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({
         "metric": "streaming_vs_batch_drain",
         "events": n_events, "epochs": epochs, "amplify": amplify,
+        "reread_files": reread,
         "batch_s": round(batch_s, 3), "stream_s": round(stream_s, 3),
         "batch_eps": round(n_events / batch_s, 1),
         "stream_eps": round(n_events / stream_s, 1),
         "stream_over_batch": round(stream_s / batch_s, 3),
+        "machinery_s_per_epoch": round((stream_s - batch_s) / epochs, 3),
         "sf": _sf_of(SF_DIR),
     }))
 

@@ -78,18 +78,43 @@ def write_wal(
     return n
 
 
-def wal_stream(spark: SparkSession, wal_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """The change feed as a streaming DataFrame (checkpointed file offsets)."""
-    schema = (
-        "url string, lsn bigint, warc_ts timestamp, op string, "
-        "html binary, lang string"
-    )
-    return (
-        spark.readStream.schema(schema)
+# The WAL wire schema (fixed: table-side schema evolution never changes the
+# feed; see test_mid_stream_schema_evolution).
+WAL_SCHEMA = (
+    "url string, lsn bigint, warc_ts timestamp, op string, "
+    "html binary, lang string"
+)
+
+
+def wal_stream(
+    spark: SparkSession,
+    wal_dir: str,
+    max_files_per_trigger: int = 1,
+    paths_only: bool = False,
+) -> DataFrame:
+    """The change feed as a streaming DataFrame (checkpointed file offsets).
+
+    ``paths_only=True`` projects the stream down to the per-file
+    ``_metadata.file_path`` pseudo-column: the streaming query then carries
+    only the epoch's FILE LIST (offsets/checkpoint semantics unchanged) and
+    the consumer re-reads those files as a plain batch scan. Rationale: a
+    foreachBatch micro-batch surfaces as ``Scan ExistingRDD`` — column
+    pruning and predicate pushdown never reach the parquet reader, so every
+    action inside the epoch drags the wide html payload off disk. The
+    re-read path restores real FileScans (ReadSchema pruning, pushed
+    filters, AQE) for the whole apply plan.
+    """
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.readStream.schema(WAL_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("recursiveFileLookup", "true")
         .parquet(wal_dir)
     )
+    if paths_only:
+        return base.select(F.col("_metadata.file_path").alias("wal_path"))
+    return base
 
 
 def run_stream(
@@ -105,6 +130,7 @@ def run_stream(
     fail_mode: str = "before",
     watermark_days: int | None = None,
     max_fail_ratio: float | None = None,
+    reread_files: bool = True,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -122,14 +148,39 @@ def run_stream(
     null order, duplicate (key, order), event-time envelope) and a FAIL
     verdict raises :class:`CircuitBreakerOpen` BEFORE the table commit —
     the stream stops, the table stays on the previous snapshot, and a
-    restart after the feed is fixed resumes from the checkpointed offset."""
+    restart after the feed is fixed resumes from the checkpointed offset.
+
+    ``reread_files=True`` (default) streams only the epoch's file list and
+    re-reads those files as a batch parquet scan inside foreachBatch (see
+    :func:`wal_stream` ``paths_only``): identical rows, identical offsets/
+    exactly-once behavior, but the apply plan gets column pruning, pushed
+    filters and AQE instead of an unpruned ``Scan ExistingRDD``. Files from
+    a redelivered epoch that were deleted meanwhile (feed repair rewrote a
+    segment in place) are skipped — the file source will list the
+    replacement files as a fresh epoch."""
     table = ensure_table(spark, table_root, n_buckets)
     seen = {"n": 0}
+
+    def _reread(batch: DataFrame) -> DataFrame:
+        sess = batch.sparkSession
+        paths = [r[0] for r in batch.select("wal_path").distinct().collect()]
+        # Local-FS existence filter (scheme "file:"): a redelivered epoch
+        # may reference files an in-place repair deleted. Non-local URIs
+        # pass through untouched (object stores are immutable-by-key).
+        live = [
+            p for p in paths
+            if not p.startswith("file:") or os.path.exists(p[len("file:"):])
+        ]
+        if not live:
+            return sess.createDataFrame([], WAL_SCHEMA)
+        return sess.read.schema(WAL_SCHEMA).parquet(*live)
 
     def apply_epoch(batch: DataFrame, batch_id: int) -> None:
         crash = fail_after_batches is not None and seen["n"] >= fail_after_batches
         if crash and fail_mode == "before":
             raise RuntimeError("injected mid-replay failure (before apply)")
+        if reread_files:
+            batch = _reread(batch)
         if max_fail_ratio is not None:
             from data_pipeline_spark.maintenance import quality_gate
 
@@ -151,7 +202,8 @@ def run_stream(
             raise RuntimeError("injected post-commit failure (before checkpoint)")
 
     writer = (
-        wal_stream(spark, wal_dir, max_files_per_trigger)
+        wal_stream(spark, wal_dir, max_files_per_trigger,
+                   paths_only=reread_files)
         .writeStream.foreachBatch(apply_epoch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

@@ -70,6 +70,17 @@ def test_stream_drain_equals_batch_replay(spark, wal, batch_final):
     assert _state(t) == batch_final
 
 
+def test_stream_drain_direct_mode_equals_batch(spark, wal, batch_final):
+    """The non-default direct micro-batch mode (reread_files=False, the
+    pre-r2-final path operating on the foreachBatch DataFrame itself) must
+    stay state-identical to the file re-read mode and the batch replay."""
+    root = tempfile.mkdtemp(prefix="lake_s1d_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_s1d_")
+    t = _drain(spark, wal, root, ckpt, reread_files=False)
+    assert len(t.current().commits) == N_SEGMENTS
+    assert _state(t) == batch_final
+
+
 def test_kill_and_resume_from_checkpoint(spark, wal, batch_final):
     root = tempfile.mkdtemp(prefix="lake_s2_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_s2_")
