@@ -258,6 +258,37 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_envelope_roundtrip",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')})
+        SELECT url, lsn, op, lang,
+               {SHA_DUCK.format(c='decode(html)')} AS html_sha,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s
+        FROM changelog
+    """,
+    doc="Debezium-envelope codec (source surface): WAL rows -> JSON "
+    "envelope (to_json, base64 payload, micro-ts) -> typed WAL rows "
+    "(from_json); oracle projects the changelog directly, so any loss in "
+    "either codec direction breaks the hash (operators/envelope.py)",
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.envelope import (
+        decode_envelope,
+        encode_envelope,
+    )
+
+    _views(spark, sf_dir, ("events",))
+    feed = encode_envelope(spark.table("changelog"))
+    return decode_envelope(feed).select(
+        "url", "lsn", "op", "lang",
+        F.sha2(F.decode("html", "UTF-8"), 256).alias("html_sha"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+    )
+
+
 # J1/J2: source-vs-target anti-join dedup — "skip item if already in target".
 sql_pair(
     "cdc_anti_join_new",
