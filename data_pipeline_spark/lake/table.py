@@ -92,6 +92,11 @@ class Snapshot:
     summary: dict[str, Any] = field(default_factory=dict)
     order_col: str = "lsn"  # LWW order column for merge-on-read collapse
     props: dict[str, Any] = field(default_factory=dict)  # table properties
+    # Partition evolution (linear-hashing bucket splits): base bucket id →
+    # split depth (> 0 only; absent = unsplit). A base bucket b at depth d
+    # owns sub-buckets {x in [0, n_buckets·2^d) : x ≡ b (mod n_buckets)},
+    # each its own manifest. Keys route via pmod(hash, n_buckets·2^depth).
+    depths: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -254,6 +259,7 @@ class LakeTable:
             summary={"op": "evolve", "add": add_columns or {}, "widen": widen or {}},
             order_col=snap.order_col,
             props=dict(snap.props),
+            depths=dict(snap.depths),
         )
         if commit_key:
             new.commits[commit_key] = new.version
@@ -281,8 +287,102 @@ class LakeTable:
     def bucket_expr(self, snap: Snapshot, key_col: str | None = None) -> F.Column:
         """Deterministic bucket id: pmod(xxhash64(key), n_buckets) — the
         url-hash-bucketed layout the north_star mandates. xxhash64 is
-        JVM-side, codegen'd, seed-stable across Spark versions."""
-        return F.pmod(F.xxhash64(F.col(key_col or snap.key)), F.lit(snap.n_buckets))
+        JVM-side, codegen'd, seed-stable across Spark versions.
+
+        After bucket splits (:meth:`split_bucket`), keys whose BASE bucket
+        (mod n_buckets) was split route to the finer id
+        ``pmod(hash, n_buckets * 2^depth)``: because n_buckets divides the
+        finer modulus, ids from different base buckets never collide, so
+        the expanded id space stays unambiguous. Still one codegen'd
+        expression — the depth lookup folds to a literal CASE over the few
+        split bases."""
+        h = F.xxhash64(F.col(key_col or snap.key))
+        if not snap.depths:
+            return F.pmod(h, F.lit(snap.n_buckets))
+        base = F.pmod(h, F.lit(snap.n_buckets))
+        modulus = F.lit(snap.n_buckets)
+        for b, d in sorted(snap.depths.items(), key=lambda kv: int(kv[0])):
+            modulus = (
+                F.when(base == int(b), F.lit(snap.n_buckets * (2 ** d)))
+                .otherwise(modulus)
+            )
+        return F.pmod(h, modulus)
+
+    def sub_buckets(self, snap: Snapshot, base: int) -> list[int]:
+        """The expanded bucket ids owned by ``base`` at its current depth."""
+        d = snap.depths.get(str(base), 0)
+        return [base + i * snap.n_buckets for i in range(2 ** d)]
+
+    def split_bucket(self, base: int, commit_key: str) -> Snapshot:
+        """Partition evolution: double ``base``'s split depth — its rows
+        redistribute over twice as many sub-buckets (linear-hashing split).
+
+        Cost is O(that base bucket's data): only its sub-bucket manifests
+        are rewritten; every other bucket carries forward by reference. At
+        100 TB this is how a hot url-domain's bucket is thinned without the
+        full-table rewrite a global ``n_buckets`` change would need
+        (Iceberg's partition-spec evolution is the metadata-only analog;
+        with hash buckets on the merge key, correct key-pruned reads need
+        the data co-located, hence the localized rewrite). Writers pick up
+        the finer routing on their next ``current()`` read; in-flight
+        commits against the old snapshot fail the CAS parent check.
+        Idempotent via ``commit_key``."""
+        snap = self.current()
+        if commit_key in snap.commits:
+            return snap
+        if not 0 <= base < snap.n_buckets:
+            raise ValueError(f"base bucket out of range: {base}")
+        old_ids = set(self.sub_buckets(snap, base))
+        content = self.read(
+            buckets=old_ids, snap=snap, include_tombstones=True
+        )
+        version = snap.version + 1
+        new_depths = {**snap.depths, str(base): snap.depths.get(str(base), 0) + 1}
+        routed = Snapshot(**{**snap.__dict__, "depths": new_depths})
+        t0 = time.monotonic()
+        rel_dir, written = self._write_data_files(
+            self._prep_write(content, routed), version
+        )
+        t_write = time.monotonic() - t0
+        t0 = time.monotonic()
+        new_manifests = dict(snap.manifests)
+        for nid in self.sub_buckets(routed, base):
+            files = written.get(nid, [])
+            entries = [
+                {
+                    "path": os.path.join(rel_dir, f"{BUCKET_COL}={nid}", fn),
+                    "schema_version": snap.schema_version,
+                    "kind": "base",
+                    "bytes": os.path.getsize(
+                        os.path.join(
+                            self.root, rel_dir, f"{BUCKET_COL}={nid}", fn
+                        )
+                    ),
+                }
+                for fn in files
+            ]
+            new_manifests[str(nid)] = self._write_manifest(version, nid, entries)
+        new = Snapshot(
+            version=version,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key=snap.key,
+            manifests=new_manifests,
+            commits={**snap.commits, commit_key: version},
+            summary={
+                "op": "split",
+                "base": base,
+                "depth": new_depths[str(base)],
+                "t_write_s": round(t_write, 3),
+                "t_meta_s": round(time.monotonic() - t0, 3),
+            },
+            order_col=snap.order_col,
+            props=dict(snap.props),
+            depths=new_depths,
+        )
+        self._write_snapshot(new, expect_parent=snap.version)
+        return new
 
     def read(
         self,
@@ -671,6 +771,7 @@ class LakeTable:
             },
             order_col=snap.order_col,
             props={**snap.props, **(props_update or {})},
+            depths=dict(snap.depths),
         )
         self._write_snapshot(new, expect_parent=snap.version)
         return new
@@ -737,6 +838,7 @@ class LakeTable:
             },
             order_col=snap.order_col,
             props=dict(snap.props),
+            depths=dict(snap.depths),
         )
         self._write_snapshot(new, expect_parent=snap.version)
         return new

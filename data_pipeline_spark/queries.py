@@ -226,6 +226,51 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_split_final_state",
+    _final_state_duck(),
+    doc="Partition evolution: replay, then linear-hashing SPLIT of the two "
+    "hottest base buckets (O(bucket) rewrite, others carry forward by "
+    "manifest reference), then a post-split merge — final state must still "
+    "match the oracle (lake/table.py split_bucket)",
+)
+def cdc_split_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import replay
+
+    root = tempfile.mkdtemp(prefix="lake_sp_")
+    table = replay(
+        spark, sf_dir, root, n_batches=2, n_buckets=16, record_metrics=False,
+    )
+    snap = table.current()
+    hot = [
+        int(r["b"])
+        for r in table.read()
+        .groupBy(
+            F.pmod(F.xxhash64(snap.key), F.lit(snap.n_buckets)).alias("b")
+        )
+        .count()
+        .orderBy(F.desc("count"), F.asc("b"))
+        .limit(2)
+        .collect()
+    ]
+    for i, b in enumerate(hot):
+        table.split_bucket(b, f"split-{i}")
+    # a merge AFTER the split must route through the finer bucket ids
+    last = cl.changelog(spark, sf_dir).orderBy(F.desc("lsn")).limit(50)
+    from data_pipeline_spark.pipeline import apply_batch
+
+    apply_batch(table, last, "post-split", record_metrics=False)
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_stream_final_state",
     _final_state_duck(),
     doc="Same final state via the STREAMING engine: Structured Streaming "
