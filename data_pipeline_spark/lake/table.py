@@ -75,6 +75,18 @@ BUCKET_COL = "__bucket"
 # the key. Never part of the logical schema; filtered on read.
 TOMBSTONE_COL = "__deleted"
 
+def _epoch_us(dt: Any) -> int:
+    """Datetime (naive or aware, as pyarrow footer stats yield) → epoch
+    micros, without float rounding (``.timestamp()`` goes through a
+    double and loses sub-micro precision past 2242)."""
+    import datetime
+
+    if isinstance(dt, int):
+        return dt
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+    delta = dt - epoch
+    return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer advanced ``_CURRENT`` since this commit started."""
@@ -349,16 +361,11 @@ class LakeTable:
         for nid in self.sub_buckets(routed, base):
             files = written.get(nid, [])
             entries = [
-                {
-                    "path": os.path.join(rel_dir, f"{BUCKET_COL}={nid}", fn),
-                    "schema_version": snap.schema_version,
-                    "kind": "base",
-                    "bytes": os.path.getsize(
-                        os.path.join(
-                            self.root, rel_dir, f"{BUCKET_COL}={nid}", fn
-                        )
-                    ),
-                }
+                self._entry(
+                    os.path.join(rel_dir, f"{BUCKET_COL}={nid}", fn),
+                    snap.schema_version,
+                    "base",
+                )
                 for fn in files
             ]
             new_manifests[str(nid)] = self._write_manifest(version, nid, entries)
@@ -384,6 +391,61 @@ class LakeTable:
         self._write_snapshot(new, expect_parent=snap.version)
         return new
 
+    def _select_files(
+        self,
+        snap: Snapshot,
+        buckets: set[int] | None = None,
+        min_order: int | None = None,
+    ) -> tuple[dict[int, list[str]], bool]:
+        """Resolve the data files a scan must read, applying bucket
+        pruning and manifest-stats file skipping; returns
+        ``({schema_version: [abs paths]}, any_delta_retained)``.
+
+        ``min_order`` skips every file whose recorded max of the order
+        column is ≤ the threshold — it cannot contain a row that passes
+        ``order > min_order``. Files without recorded stats (pre-stats
+        snapshots) are never skipped. This is the Iceberg
+        upper-bounds/lower-bounds skip at manifest level: an incremental
+        consumer polling "changes since LSN X" reads O(recent delta
+        files), not O(table)."""
+        groups: dict[int, list[str]] = {}
+        has_delta = False
+        for b in snap.manifests:
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for e in self.bucket_entries(snap, b):
+                if min_order is not None:
+                    bounds = (e.get("stats") or {}).get(snap.order_col)
+                    if bounds is not None and bounds[1] <= min_order:
+                        continue
+                if e.get("kind", "base") == "delta":
+                    has_delta = True
+                groups.setdefault(e["schema_version"], []).append(
+                    os.path.join(self.root, e["path"])
+                )
+        return groups, has_delta
+
+    def read_since(
+        self, order_gt: int, include_tombstones: bool = False
+    ) -> DataFrame:
+        """Incremental consumption: current winner rows whose order value
+        (lsn) is strictly greater than ``order_gt`` — "what changed since
+        LSN X" for a downstream consumer, with manifest-stats file
+        skipping so a recent cursor reads O(new delta files), not
+        O(table). ``include_tombstones=True`` surfaces applied deletes
+        (``__deleted`` flag) so the consumer sees retractions too.
+
+        Sound under LWW collapse even though losing rows may hide in
+        skipped files: a skipped file has max(order) ≤ X, so (a) any key
+        whose true winner has order > X keeps that winner in a retained
+        file and still wins the collapse there, and (b) any key whose
+        true winner has order ≤ X can at most surface an even-older
+        retained row, which the post-collapse ``order > X`` filter
+        removes. (Iceberg incremental scan / changelog-read analog.)"""
+        return self.read(
+            min_order=order_gt, include_tombstones=include_tombstones
+        )
+
     def read(
         self,
         buckets: set[int] | None = None,
@@ -391,8 +453,14 @@ class LakeTable:
         include_tombstones: bool = False,
         raw: bool = False,
         align_snap: Snapshot | None = None,
+        min_order: int | None = None,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
+
+        ``min_order`` keeps only rows whose winning order-column value is
+        strictly greater — with FILE-LEVEL skipping from manifest stats
+        before Spark ever lists the data (see :meth:`read_since` for why
+        that is sound under LWW collapse).
 
         Files are grouped by their write-schema version; each group is read
         with that exact schema (no inference) and aligned to the current
@@ -415,17 +483,7 @@ class LakeTable:
         """
         snap = snap or self.current()
         sch = align_snap or snap
-        groups: dict[int, list[str]] = {}
-        has_delta = False
-        for b in snap.manifests:
-            if buckets is not None and int(b) not in buckets:
-                continue
-            for e in self.bucket_entries(snap, b):
-                if e.get("kind", "base") == "delta":
-                    has_delta = True
-                groups.setdefault(e["schema_version"], []).append(
-                    os.path.join(self.root, e["path"])
-                )
+        groups, has_delta = self._select_files(snap, buckets, min_order)
         cur_fields = self.schema_fields(sch)
         phys_fields = cur_fields + [(TOMBSTONE_COL, "boolean")]
         if not groups:
@@ -467,6 +525,8 @@ class LakeTable:
             out = packed.select(
                 key, *[F.col(f"__w.{c}").alias(c) for c in others]
             )
+        if min_order is not None:
+            out = out.filter(F.col(snap.order_col) > min_order)
         if include_tombstones:
             return out
         return out.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
@@ -651,6 +711,77 @@ class LakeTable:
     def is_committed(self, commit_key: str) -> bool:
         return commit_key in self.current().commits
 
+    def _footer_stats(self, abs_path: str) -> dict[str, list[int]]:
+        """Per-file min/max column stats from the parquet footer (Iceberg
+        ``lower_bounds``/``upper_bounds`` analog) for every int64 and
+        timestamp column — in this schema exactly the order column (lsn)
+        and the event time (warc_ts). Timestamps are stored as epoch
+        micros so manifests stay plain JSON. Footer-only: no data IO; at
+        cluster scale Iceberg computes these executor-side in the writer,
+        here the commit's driver-side file enumeration already touches
+        each footer-sized object once, so cost stays O(files-in-commit).
+        Columns with absent/unusable footer stats are simply omitted —
+        readers treat a missing stat as "cannot prune"."""
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(abs_path)
+        schema = md.schema.to_arrow_schema()
+        out: dict[str, list[int]] = {}
+        for i, field in enumerate(schema):
+            t = field.type
+            is_ts = str(t).startswith("timestamp")
+            if not (t == "int64" or is_ts) or md.num_rows == 0:
+                continue
+            mins, maxs = [], []
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                if is_ts:
+                    mn, mx = _epoch_us(mn), _epoch_us(mx)
+                mins.append(mn)
+                maxs.append(mx)
+            if ok and mins:
+                out[field.name] = [min(mins), max(maxs)]
+        return out
+
+    def _entry(
+        self, rel_path: str, schema_version: int, kind: str
+    ) -> dict[str, Any]:
+        """One manifest file entry: path, write-schema version, kind
+        (base|delta), byte size (Iceberg file_size_in_bytes — lets
+        maintenance pick compaction candidates by delta share without
+        touching storage), and footer min/max stats for data skipping."""
+        abs_p = os.path.join(self.root, rel_path)
+        return {
+            "path": rel_path,
+            "schema_version": schema_version,
+            "kind": kind,
+            "bytes": os.path.getsize(abs_p),
+            "stats": self._footer_stats(abs_p),
+        }
+
+    def _entries(
+        self, paths: list[str], schema_version: int, kind: str
+    ) -> dict[str, dict]:
+        """Manifest entries for many files at once, footers read on a
+        thread pool: the footer read is ~0.3 ms of GIL-releasing file IO,
+        but a wide fanout delta commit can emit thousands of files and
+        the commit path is driver-serial — keeping it off the measured
+        t_meta_s tail preserves the N→4N scaling efficiency."""
+        if len(paths) <= 4:
+            return {p: self._entry(p, schema_version, kind) for p in paths}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(16) as ex:
+            es = list(
+                ex.map(lambda p: self._entry(p, schema_version, kind), paths)
+            )
+        return dict(zip(paths, es))
+
     def _write_data_files(
         self, df: DataFrame, version: int
     ) -> tuple[str, dict[int, list[str]]]:
@@ -660,6 +791,12 @@ class LakeTable:
         snap_dir = f"v{version:08d}"
         rel_dir = os.path.join(DATA_DIR, snap_dir)
         out_dir = os.path.join(self.root, rel_dir)
+        # INT96 (Spark's legacy default) carries no usable footer min/max;
+        # micros is the modern parquet timestamp and gives the manifest
+        # stats their warc_ts bounds. Runtime-settable SQL conf.
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         (
             df.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
@@ -729,23 +866,20 @@ class LakeTable:
         t0 = time.monotonic()
         new_manifests = dict(snap.manifests)
         added: dict[str, list[str]] = {}
-        for b, files in written.items():
-            entries = list(self.bucket_entries(snap, b))
-            paths = [
+        by_bucket = {
+            b: [
                 os.path.join(rel_dir, f"{BUCKET_COL}={b}", fn) for fn in files
             ]
-            entries.extend(
-                {
-                    "path": p,
-                    "schema_version": snap.schema_version,
-                    "kind": "delta",
-                    # File size in the manifest (Iceberg file_size_in_bytes):
-                    # lets maintenance pick compaction candidates by delta
-                    # share without touching storage.
-                    "bytes": os.path.getsize(os.path.join(self.root, p)),
-                }
-                for p in paths
-            )
+            for b, files in written.items()
+        }
+        made = self._entries(
+            [p for ps in by_bucket.values() for p in ps],
+            snap.schema_version,
+            "delta",
+        )
+        for b, paths in by_bucket.items():
+            entries = list(self.bucket_entries(snap, b))
+            entries.extend(made[p] for p in paths)
             new_manifests[str(b)] = self._write_manifest(version, b, entries)
             added[str(b)] = paths
         new = Snapshot(
@@ -810,13 +944,7 @@ class LakeTable:
                 os.path.join(rel_dir, f"{BUCKET_COL}={b}", fn) for fn in files
             ]
             entries = [
-                {
-                    "path": p,
-                    "schema_version": snap.schema_version,
-                    "kind": "base",
-                    "bytes": os.path.getsize(os.path.join(self.root, p)),
-                }
-                for p in paths
+                self._entry(p, snap.schema_version, "base") for p in paths
             ]
             new_manifests[str(b)] = self._write_manifest(version, b, entries)
             added[str(b)] = paths

@@ -271,6 +271,48 @@ def cdc_split_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_read_since",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest
+        WHERE op <> 'delete'
+          AND lsn > (SELECT (MIN(lsn) + 3 * MAX(lsn)) // 4 FROM changelog)
+    """,
+    doc="Incremental consumption with manifest-stats file skipping: replay, "
+    "then read_since(mid-LSN cursor) — winners newer than the cursor, with "
+    "files whose max lsn <= cursor pruned from metadata before the scan "
+    "(lake/table.py read_since/_select_files)",
+)
+def cdc_read_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import replay
+
+    root = tempfile.mkdtemp(prefix="lake_rs_")
+    table = replay(
+        spark, sf_dir, root, n_batches=4, n_buckets=16, record_metrics=False,
+    )
+    r = cl.changelog(spark, sf_dir).agg(
+        F.min("lsn").alias("mn"), F.max("lsn").alias("mx")
+    ).first()
+    cursor = (r["mn"] + 3 * r["mx"]) // 4
+    return table.read_since(cursor).select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_stream_final_state",
     _final_state_duck(),
     doc="Same final state via the STREAMING engine: Structured Streaming "
