@@ -303,3 +303,42 @@ def backfill(
         op="backfill",
     )
     return True
+
+
+def auto_split(
+    table: LakeTable,
+    commit_key: str,
+    max_bucket_bytes: int,
+    max_splits: int | None = None,
+) -> list[int]:
+    """Skew-driven partition evolution: split every BASE bucket whose live
+    data bytes exceed ``max_bucket_bytes``, purely from manifest-recorded
+    file sizes — a metadata-only decision, no data scan (Iceberg's
+    partition-spec evolution triggered the way a hot url-domain actually
+    shows up: one bucket's bytes outgrowing the rest).
+
+    Each split is its own atomic snapshot commit costing O(that bucket)
+    (see LakeTable.split_bucket); untouched buckets carry forward by
+    reference. ``max_splits`` bounds one maintenance round, like
+    compaction's ``max_buckets`` — at 100 TB maintenance runs as bounded
+    incremental rounds. Re-running with the same ``commit_key`` is a
+    no-op per already-split bucket (key is suffixed per base id, so a
+    crash mid-round resumes where it stopped).
+
+    Returns the base bucket ids split this round (largest first).
+    """
+    snap = table.current()
+    sizes: dict[int, int] = {}
+    for b in snap.manifests:
+        base = int(b) % snap.n_buckets
+        for e in table.bucket_entries(snap, b):
+            sizes[base] = sizes.get(base, 0) + (e.get("bytes") or 0)
+    over = sorted(
+        (b for b, n in sizes.items() if n > max_bucket_bytes),
+        key=lambda b: -sizes[b],
+    )
+    if max_splits is not None:
+        over = over[:max_splits]
+    for b in over:
+        table.split_bucket(b, f"{commit_key}/base={b}")
+    return over

@@ -137,3 +137,31 @@ def test_split_is_idempotent_by_commit_key(spark):
     s2 = t.split_bucket(hot, "split-x")  # replay of the same commit
     assert s2.version == v
     assert s2.depths == {str(hot): 1}
+
+
+def test_auto_split_targets_only_oversized_buckets(spark):
+    from data_pipeline_spark.maintenance import auto_split
+
+    t = _replayed(spark)
+    snap = t.current()
+    sizes = {
+        int(b): sum(e.get("bytes") or 0 for e in t.bucket_entries(snap, b))
+        for b in snap.manifests
+        if t.bucket_entries(snap, b)
+    }
+    ranked = sorted(sizes, key=lambda b: -sizes[b])
+    # threshold chosen so exactly the two largest buckets qualify
+    thresh = sizes[ranked[2]]
+    before = _state(t)
+    split = auto_split(t, "as-1", max_bucket_bytes=thresh)
+    assert set(split) == set(ranked[:2])
+    assert t.current().depths == {str(b): 1 for b in ranked[:2]}
+    assert _state(t) == before
+    # replaying the same round is a no-op (same per-base commit keys)
+    v = t.current().version
+    assert set(auto_split(t, "as-1", max_bucket_bytes=thresh)) == set(ranked[:2])
+    assert t.current().version == v
+    # sub-bucket bytes now count toward the BASE id: a finer threshold
+    # uses post-split sizes, and max_splits bounds the round
+    split2 = auto_split(t, "as-2", max_bucket_bytes=0, max_splits=1)
+    assert len(split2) == 1
