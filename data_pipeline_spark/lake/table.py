@@ -589,26 +589,55 @@ class LakeTable:
             for k in set(a.manifests) | set(b.manifests)
             if a.manifests.get(k) != b.manifests.get(k)
         }
-        key = b.key
-        old = self.read(buckets=touched, snap=a, align_snap=b)
-        new = self.read(buckets=touched, snap=b)
-        o = old.select(F.col(key), F.struct(*[c for c in old.columns]).alias("__o"))
-        n = new.select(F.col(key), F.struct(*[c for c in new.columns]).alias("__n"))
+        key, order = b.key, b.order_col
+        # Both sides WITH tombstones: a delete's feed row keeps the
+        # before-image payload (Iceberg changelog convention) but takes
+        # its ORDER value from the tombstone fence — the delete event's
+        # lsn, not the deleted row's. A downstream mirror applying the
+        # feed then lays down the same fence the source holds; with the
+        # old row's lsn the mirror's tombstone would TIE the row it
+        # deletes and could lose the LWW collapse (resurrection).
+        old = self.read(
+            buckets=touched, snap=a, align_snap=b, include_tombstones=True
+        )
+        new = self.read(buckets=touched, snap=b, include_tombstones=True)
+        cols = [c for c in new.columns if c != TOMBSTONE_COL]
+        o = old.select(F.col(key), F.struct(*old.columns).alias("__o"))
+        n = new.select(F.col(key), F.struct(*new.columns).alias("__n"))
         joined = o.join(n, key, "full_outer")
+        o_live = F.col("__o").isNotNull() & ~F.col("__o").getField(
+            TOMBSTONE_COL
+        )
+        n_live = F.col("__n").isNotNull() & ~F.col("__n").getField(
+            TOMBSTONE_COL
+        )
         op = (
-            F.when(F.col("__o").isNull(), "insert")
-            .when(F.col("__n").isNull(), "delete")
+            F.when(~o_live & n_live, "insert")
+            .when(o_live & ~n_live, "delete")
             .otherwise("update")
         )
+        # changed = at least one side live, and not an identical live pair
         changed = joined.filter(
-            F.col("__o").isNull()
-            | F.col("__n").isNull()
-            | (F.col("__o") != F.col("__n"))
+            (o_live | n_live)
+            & (~(o_live & n_live) | (F.col("__o") != F.col("__n")))
         )
-        winner = F.coalesce(F.col("__n"), F.col("__o"))
-        out_cols = [
-            winner.getField(c).alias(c) for c in new.columns if c != key
-        ]
+        is_delete = o_live & ~n_live
+        base = F.when(is_delete, F.col("__o")).otherwise(
+            F.coalesce(F.col("__n"), F.col("__o"))
+        )
+        out_cols = []
+        for c in cols:
+            if c == key:
+                continue
+            expr = base.getField(c)
+            if c == order:
+                # delete fence: tombstone's lsn when retained, else the
+                # before-image's (tombstone already purged by retention)
+                expr = F.when(
+                    is_delete & F.col("__n").isNotNull(),
+                    F.col("__n").getField(order),
+                ).otherwise(expr)
+            out_cols.append(expr.alias(c))
         return changed.select(F.col(key), op.alias("op"), *out_cols)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

@@ -271,6 +271,37 @@ def cdc_split_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_table_feed_mirror",
+    _final_state_duck(),
+    doc="Table-as-change-feed source: replay into a source table, tail its "
+    "commit log one version per epoch into a downstream mirror table "
+    "(changes_between feeds, idempotent epoch keys), return the MIRROR's "
+    "final state — must equal the direct-replay oracle "
+    "(streaming/table_feed.py follow_table/mirror_to)",
+)
+def cdc_table_feed_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import ensure_table, replay
+    from data_pipeline_spark.streaming.table_feed import mirror_to
+
+    src_root = tempfile.mkdtemp(prefix="lake_fsrc_")
+    replay(spark, sf_dir, src_root, n_batches=3, n_buckets=16,
+           record_metrics=False)
+    src = ensure_table(spark, src_root, 16)
+    mirror = ensure_table(spark, tempfile.mkdtemp(prefix="lake_fmir_"), 16)
+    mirror_to(src, mirror, tempfile.mkdtemp(prefix="lake_fck_"),
+              max_versions_per_epoch=1)
+    return mirror.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_read_since",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

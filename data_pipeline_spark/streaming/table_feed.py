@@ -1,0 +1,128 @@
+"""The lake table itself as a change-feed SOURCE: downstream consumers
+tail the table's commit log and receive each interval's net row changes —
+Iceberg's incremental scan / changelog-table read, closing the CDC loop
+(the table that was built FROM a change feed can feed the next table).
+
+Reference analog: downstream catalogs re-sync from the registered
+collection rather than the raw source (operator-tools/_migrate_catalog
+re-drives targets from catalog state, runner.py:31-54) — here that
+re-drive is incremental instead of a full re-list.
+
+Design (scale-first):
+
+* The cursor is a tiny atomically-replaced JSON file (same ``os.replace``
+  protocol as the table's ``_CURRENT`` pointer) holding the last DELIVERED
+  snapshot version — O(1) state, no log of its own.
+* Each epoch delivers ``changes_between(v0, v1)`` — bucket-pruned to
+  manifests that differ, so a tail that keeps up reads O(new deltas), not
+  O(table) (see LakeTable.changes_between).
+* Delivery is at-least-once; **exactly-once composes from the consumer's
+  idempotency**: the epoch key is derived from the version interval, so a
+  crash between apply and cursor-advance re-delivers the SAME key and an
+  idempotent consumer (e.g. a mirror LakeTable keyed on commit_key)
+  no-ops — identical to the WAL pipeline's epoch contract
+  (streaming/pipeline.py).
+* Maintenance commits (compact / split / vacuum) are state-preserving, so
+  their intervals produce empty feeds; the cursor still advances past
+  them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from data_pipeline_spark.lake.table import LakeTable, _atomic_write
+
+
+def _cursor_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "table_feed_cursor.json")
+
+
+def read_cursor(checkpoint_dir: str) -> int | None:
+    p = _cursor_path(checkpoint_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["version"]
+
+
+def write_cursor(checkpoint_dir: str, version: int) -> None:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    _atomic_write(_cursor_path(checkpoint_dir), json.dumps({"version": version}))
+
+
+def follow_table(
+    table: LakeTable,
+    checkpoint_dir: str,
+    apply_fn: Callable[[DataFrame, str], None],
+    max_versions_per_epoch: int | None = None,
+    start_version: int | None = None,
+) -> int:
+    """Drain the table's commit log from the checkpointed cursor to the
+    current snapshot, delivering one change-feed DataFrame per epoch to
+    ``apply_fn(df, epoch_key)``; returns the number of epochs delivered.
+
+    ``max_versions_per_epoch`` bounds how many commits one epoch spans
+    (backpressure: a consumer resuming after downtime chews through the
+    backlog in bounded bites instead of one giant diff).
+    ``start_version`` seeds a fresh cursor (default: the table's oldest
+    retained snapshot — a brand-new consumer bootstraps with the full
+    state as one "insert" feed from the empty initial snapshot; after
+    ``expire_snapshots`` the oldest retained version is the floor).
+
+    Call again later to pick up new commits; each call is one polling
+    drain (wrap in the caller's trigger loop / scheduler for continuous
+    tailing — the same shape as streaming/pipeline.run_stream epochs).
+    """
+    cur = table.current().version
+    v0 = read_cursor(checkpoint_dir)
+    if v0 is None:
+        if start_version is not None:
+            v0 = start_version
+        else:
+            v0 = min(s.version for s in table.snapshot_log())
+        write_cursor(checkpoint_dir, v0)
+    epochs = 0
+    while v0 < cur:
+        v1 = cur
+        if max_versions_per_epoch is not None:
+            v1 = min(cur, v0 + max_versions_per_epoch)
+        feed = table.changes_between(v0, v1)
+        if not feed.isEmpty():
+            apply_fn(feed, f"table-feed-{v0}-{v1}")
+        write_cursor(checkpoint_dir, v1)
+        v0 = v1
+        epochs += 1
+    return epochs
+
+
+def mirror_to(
+    source: LakeTable,
+    mirror: LakeTable,
+    checkpoint_dir: str,
+    max_versions_per_epoch: int | None = None,
+) -> int:
+    """Incrementally replicate ``source`` into ``mirror`` (downstream
+    sync): each feed epoch is applied as a normal idempotent merge batch,
+    so replicas inherit the engine's whole exactly-once machinery — a
+    re-delivered epoch key is a no-op on the mirror's commit log.
+
+    The feed's delete rows carry the last live payload with op='delete';
+    the apply path turns them into mirror tombstones. Extraction re-runs
+    on the mirror, which is byte-identical by the frozen extractor
+    contract (extraction.py EXTRACTOR_VERSION)."""
+    from data_pipeline_spark.pipeline import apply_batch
+
+    def _apply(df: DataFrame, epoch_key: str) -> None:
+        apply_batch(mirror, df, epoch_key, record_metrics=False)
+
+    return follow_table(
+        source,
+        checkpoint_dir,
+        _apply,
+        max_versions_per_epoch=max_versions_per_epoch,
+    )
