@@ -114,15 +114,43 @@ def mirror_to(
     The feed's delete rows carry the last live payload with op='delete';
     the apply path turns them into mirror tombstones. Extraction re-runs
     on the mirror, which is byte-identical by the frozen extractor
-    contract (extraction.py EXTRACTOR_VERSION)."""
+    contract (extraction.py EXTRACTOR_VERSION).
+
+    **Schema evolution propagates**: each epoch's feed is aligned to the
+    interval-end snapshot's schema (changes_between contract), so before
+    applying, any columns the mirror lacks (or holds narrower) are added
+    / widened via an idempotent metadata-only evolve commit keyed off the
+    epoch — the mirror crosses the source's add-column boundary exactly
+    one epoch after the source does."""
     from data_pipeline_spark.pipeline import apply_batch
 
+    def _sync_schema(src_snap) -> None:
+        want = source.schema_fields(src_snap)
+        have = dict(mirror.schema_fields(mirror.current()))
+        add = {n: d for n, d in want if n not in have}
+        widen = {n: d for n, d in want if n in have and have[n] != d}
+        if add or widen:
+            # keyed on the SOURCE schema version: replays and later
+            # epochs seeing the same evolution all no-op
+            mirror.evolve_schema(
+                add_columns=add or None,
+                widen=widen or None,
+                commit_key=f"table-feed-evolve-{src_snap.schema_version}",
+            )
+
     def _apply(df: DataFrame, epoch_key: str) -> None:
+        # epoch key format "table-feed-{v0}-{v1}" (follow_table contract)
+        v1 = int(epoch_key.rsplit("-", 1)[1])
+        _sync_schema(source.snapshot(v1))
         apply_batch(mirror, df, epoch_key, record_metrics=False)
 
-    return follow_table(
+    epochs = follow_table(
         source,
         checkpoint_dir,
         _apply,
         max_versions_per_epoch=max_versions_per_epoch,
     )
+    # schema parity even when the post-evolution data hasn't arrived yet
+    # (an evolve commit alone produces an empty feed, skipping _apply)
+    _sync_schema(source.snapshot(read_cursor(checkpoint_dir)))
+    return epochs

@@ -92,3 +92,40 @@ def test_maintenance_commits_yield_empty_feed_but_advance_cursor(spark):
     n = follow_table(src, ckpt, lambda df, k: seen.append(k))
     assert n == 1 and seen == []  # state-preserving commit: no feed rows
     assert read_cursor(ckpt) == src.current().version
+
+
+def test_schema_evolution_propagates_to_mirror(spark):
+    """Source evolves add-column mid-feed; the mirror evolves itself from
+    the interval-end snapshot schema and converges, pre-evolution rows
+    carrying typed NULLs in the new column on BOTH sides."""
+    src, mir, ckpt = _tables(spark)
+    mirror_to(src, mir, ckpt, max_versions_per_epoch=1)
+
+    src.evolve_schema(add_columns={"fetch_status": "int"}, commit_key="ev")
+    sample = src.read().orderBy("url").limit(3)
+    upd = sample.select("url", "lsn", "warc_ts", "html", "text", "lang") \
+        .withColumn("lsn", F.col("lsn") + 10**9) \
+        .withColumn("fetch_status", F.lit(200)) \
+        .withColumn("op", F.lit("update"))
+    apply_batch(src, upd, "post-ev", record_metrics=False)
+
+    mirror_to(src, mir, ckpt, max_versions_per_epoch=1)
+    assert dict(mir.schema_fields(mir.current()))["fetch_status"] == "int"
+
+    cols = ["url", "lsn", "lang", "fetch_status"]
+    def full(t):
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in t.read().select(*cols).collect()
+        )
+    assert full(mir) == full(src)
+    touched = {r["url"] for r in upd.select("url").collect()}
+    stat = {u: s for u, _, _, s in full(mir)}
+    assert all(stat[u] == 200 for u in touched)
+    assert all(s is None for u, s in stat.items() if u not in touched)
+
+    # replay of the evolve epoch is a no-op on the mirror too
+    v = mir.current().version
+    write_cursor(ckpt, src.current().version - 1)
+    mirror_to(src, mir, ckpt, max_versions_per_epoch=1)
+    assert mir.current().version == v
