@@ -34,8 +34,13 @@ import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from data_pipeline_spark.lake.table import LakeTable, _atomic_write
+from data_pipeline_spark.lake.table import (
+    TOMBSTONE_COL,
+    LakeTable,
+    _atomic_write,
+)
 
 
 def _cursor_path(checkpoint_dir: str) -> str:
@@ -79,13 +84,38 @@ def follow_table(
     tailing — the same shape as streaming/pipeline.run_stream epochs).
     """
     cur = table.current().version
+    oldest = min(s.version for s in table.snapshot_log())
     v0 = read_cursor(checkpoint_dir)
     if v0 is None:
-        if start_version is not None:
-            v0 = start_version
-        else:
-            v0 = min(s.version for s in table.snapshot_log())
+        v0 = start_version if start_version is not None else oldest
         write_cursor(checkpoint_dir, v0)
+    if v0 < oldest:
+        # The cursor points past `expire_snapshots`' horizon — the missed
+        # intervals no longer exist as diffs. The LWW table still holds
+        # the full CONVERGENCE state (live winners + tombstone fences),
+        # so recovery is one resync epoch: current state with tombstones
+        # surfaced as deletes. Applied through the same idempotent merge,
+        # a lagged mirror converges exactly (unchanged rows re-deliver
+        # their own winner — a same-(key,lsn) tie with an identical
+        # payload, harmless by construction). The one unrecoverable case
+        # is a delete whose tombstone retention ALSO lapsed — the same
+        # horizon coupling the merge path already enforces for late
+        # events: keep retention ≥ max consumer lag.
+        full = table.read(include_tombstones=True)
+        feed = full.select(
+            F.col(table.current().key),
+            F.when(F.col(TOMBSTONE_COL), "delete")
+            .otherwise("insert")
+            .alias("op"),
+            *[
+                c
+                for c in full.columns
+                if c not in (table.current().key, TOMBSTONE_COL)
+            ],
+        )
+        apply_fn(feed, f"table-feed-resync-{v0}-{cur}")
+        write_cursor(checkpoint_dir, cur)
+        return 1
     epochs = 0
     while v0 < cur:
         v1 = cur

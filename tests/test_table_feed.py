@@ -129,3 +129,39 @@ def test_schema_evolution_propagates_to_mirror(spark):
     write_cursor(ckpt, src.current().version - 1)
     mirror_to(src, mir, ckpt, max_versions_per_epoch=1)
     assert mir.current().version == v
+
+
+def test_expired_cursor_recovers_via_resync_epoch(spark):
+    """expire_snapshots past the cursor: the missed diffs are gone, but
+    one resync epoch (current state + tombstones-as-deletes) converges
+    the mirror exactly — including a delete the mirror never saw."""
+    src, mir, ckpt = _tables(spark)
+    mirror_to(src, mir, ckpt)
+
+    # mirror goes dark; source keeps moving: an update batch and a delete
+    sample = src.read().orderBy("url").limit(3)
+    upd = sample.select("url", "lsn", "warc_ts", "html", "text", "lang") \
+        .withColumn("lsn", F.col("lsn") + 10**9) \
+        .withColumn("op", F.lit("update"))
+    apply_batch(src, upd, "while-dark-1", record_metrics=False)
+    victim = src.read().orderBy(F.desc("url")).limit(1)
+    gone_url = victim.first()["url"]
+    dele = victim.select("url", "lsn", "warc_ts", "html", "text", "lang") \
+        .withColumn("lsn", F.col("lsn") + 10**9) \
+        .withColumn("op", F.lit("delete"))
+    apply_batch(src, dele, "while-dark-2", record_metrics=False)
+
+    src.expire_snapshots(keep_last=1)
+    src.vacuum()
+    assert read_cursor(ckpt) < min(s.version for s in src.snapshot_log())
+
+    n = mirror_to(src, mir, ckpt)
+    assert n == 1
+    assert _state(mir) == _state(src)
+    assert gone_url not in {u for u, _, _ in _state(mir)}
+    assert read_cursor(ckpt) == src.current().version
+    # a later expired-cursor drain converges again
+    write_cursor(ckpt, 0)
+    src.expire_snapshots(keep_last=1)
+    mirror_to(src, mir, ckpt)
+    assert _state(mir) == _state(src)
