@@ -302,6 +302,48 @@ def cdc_table_feed_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_feed_envelope_bridge",
+    _final_state_duck(),
+    doc="CDC-out interop: tail the source table's commit log, serialize "
+    "each feed epoch to Debezium JSON envelopes (the Kafka record shape), "
+    "decode them back to WAL rows, and apply to a downstream mirror — the "
+    "mirror's final state must equal the direct-replay oracle, proving the "
+    "envelope stream is a lossless transport for the table's change feed "
+    "(streaming/table_feed.py + operators/envelope.py)",
+)
+def cdc_feed_envelope_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.envelope import (
+        decode_envelope,
+        encode_envelope,
+    )
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table, replay
+    from data_pipeline_spark.streaming.table_feed import follow_table
+
+    src_root = tempfile.mkdtemp(prefix="lake_esrc_")
+    replay(spark, sf_dir, src_root, n_batches=3, n_buckets=16,
+           record_metrics=False)
+    src = ensure_table(spark, src_root, 16)
+    mirror = ensure_table(spark, tempfile.mkdtemp(prefix="lake_emir_"), 16)
+
+    def _apply(df, epoch_key):
+        wire = encode_envelope(df)  # one JSON string column — the wire
+        apply_batch(mirror, decode_envelope(wire), epoch_key,
+                    record_metrics=False)
+
+    follow_table(src, tempfile.mkdtemp(prefix="lake_eck_"), _apply,
+                 max_versions_per_epoch=1)
+    return mirror.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_read_since",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
