@@ -571,32 +571,22 @@ class LakeTable:
         """Time-travel read: the table exactly as of ``version``."""
         return self.read(snap=self.snapshot(version))
 
-    def changes_between(self, from_version: int, to_version: int) -> DataFrame:
-        """Incremental change read (Iceberg changelog-scan analog): the
-        net row-level changes between two snapshots as a change feed
-        ``(op ∈ insert|update|delete, url, ...)``.
-
-        Computed as a keyed full-outer diff of the two states — O(both
-        states) worst case, but bucket-pruned to buckets whose manifests
-        differ between the snapshots (untouched buckets can't contribute
-        changes), which at scale is O(touched data) like Iceberg's
-        incremental scan. Both sides align to the NEWER snapshot's schema,
-        so the feed crosses schema-evolution boundaries (pre-evolution
-        rows carry typed NULLs in added columns)."""
-        a, b = self.snapshot(from_version), self.snapshot(to_version)
+    def _keyed_diff(
+        self, a: Snapshot, b: Snapshot
+    ) -> tuple[DataFrame, F.Column, F.Column, list[str]]:
+        """Bucket-pruned keyed full-outer diff of two snapshots — the
+        shared plan under :meth:`changes_between` and
+        :meth:`changelog_rows`. Returns ``(changed, o_live, n_live,
+        cols)`` where ``changed`` holds one row per key whose image
+        differs, as (key, ``__o``, ``__n``) struct pairs aligned to the
+        newer snapshot's schema (tombstones included so the caller can
+        classify deletes and carry before-images)."""
         touched = {
             int(k)
             for k in set(a.manifests) | set(b.manifests)
             if a.manifests.get(k) != b.manifests.get(k)
         }
-        key, order = b.key, b.order_col
-        # Both sides WITH tombstones: a delete's feed row keeps the
-        # before-image payload (Iceberg changelog convention) but takes
-        # its ORDER value from the tombstone fence — the delete event's
-        # lsn, not the deleted row's. A downstream mirror applying the
-        # feed then lays down the same fence the source holds; with the
-        # old row's lsn the mirror's tombstone would TIE the row it
-        # deletes and could lose the LWW collapse (resurrection).
+        key = b.key
         old = self.read(
             buckets=touched, snap=a, align_snap=b, include_tombstones=True
         )
@@ -611,15 +601,86 @@ class LakeTable:
         n_live = F.col("__n").isNotNull() & ~F.col("__n").getField(
             TOMBSTONE_COL
         )
-        op = (
-            F.when(~o_live & n_live, "insert")
-            .when(o_live & ~n_live, "delete")
-            .otherwise("update")
-        )
         # changed = at least one side live, and not an identical live pair
         changed = joined.filter(
             (o_live | n_live)
             & (~(o_live & n_live) | (F.col("__o") != F.col("__n")))
+        )
+        return changed, o_live, n_live, cols
+
+    def changelog_rows(self, from_version: int, to_version: int) -> DataFrame:
+        """Retract-stream changelog (Iceberg ``create_changelog_view``
+        analog): the net row-level changes between two snapshots with
+        ``op ∈ {insert, delete, update_preimage, update_postimage}``.
+
+        Unlike :meth:`changes_between` (a merge-feed: one row per changed
+        key, delete rows fenced at the tombstone's lsn so a mirror's
+        MERGE lays down the same fence), this emits TWO rows per update —
+        the before-image retracted and the after-image asserted — and a
+        delete's row is the unmodified before-image. Weighting ops ±1
+        therefore lets any distributive aggregate (count, sum) be
+        maintained incrementally from the stream (matview.py), the
+        Flink-style retract-stream contract.
+
+        Same scale shape as the diff it shares: bucket-pruned to
+        manifests that differ, O(touched data) not O(table).
+
+        Reference analog: downstream aggregation jobs recompute summaries
+        from full catalog state (scripts/aggregate_items.py:42-77); the
+        retract stream is what lets that rollup advance by O(delta)
+        instead."""
+        a, b = self.snapshot(from_version), self.snapshot(to_version)
+        key = b.key
+        changed, o_live, n_live, cols = self._keyed_diff(a, b)
+        payload = [c for c in cols if c != key]
+        is_ins = ~o_live & n_live
+        is_del = o_live & ~n_live
+        is_upd = o_live & n_live
+
+        def image(side: str, op: str) -> F.Column:
+            return F.struct(
+                F.lit(op).alias("op"),
+                *[F.col(side).getField(c).alias(c) for c in payload],
+            )
+
+        rows = changed.select(
+            F.col(key),
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.when(is_ins, image("__n", "insert")),
+                        F.when(is_del, image("__o", "delete")),
+                        F.when(is_upd, image("__o", "update_preimage")),
+                        F.when(is_upd, image("__n", "update_postimage")),
+                    )
+                )
+            ).alias("__r"),
+        )
+        return rows.select(
+            F.col(key),
+            F.col("__r.op").alias("op"),
+            *[F.col(f"__r.{c}").alias(c) for c in payload],
+        )
+
+    def changes_between(self, from_version: int, to_version: int) -> DataFrame:
+        """Incremental change read (Iceberg changelog-scan analog): the
+        net row-level changes between two snapshots as a change feed
+        ``(op ∈ insert|update|delete, url, ...)``.
+
+        Computed as a keyed full-outer diff of the two states — O(both
+        states) worst case, but bucket-pruned to buckets whose manifests
+        differ between the snapshots (untouched buckets can't contribute
+        changes), which at scale is O(touched data) like Iceberg's
+        incremental scan. Both sides align to the NEWER snapshot's schema,
+        so the feed crosses schema-evolution boundaries (pre-evolution
+        rows carry typed NULLs in added columns)."""
+        a, b = self.snapshot(from_version), self.snapshot(to_version)
+        key, order = b.key, b.order_col
+        changed, o_live, n_live, cols = self._keyed_diff(a, b)
+        op = (
+            F.when(~o_live & n_live, "insert")
+            .when(o_live & ~n_live, "delete")
+            .otherwise("update")
         )
         is_delete = o_live & ~n_live
         base = F.when(is_delete, F.col("__o")).otherwise(

@@ -344,6 +344,55 @@ def cdc_feed_envelope_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incr_matview",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (
+          SELECT url, lsn, {extract_text_duckdb('html')} AS text
+          FROM latest WHERE op <> 'delete')
+        SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(length(text)) AS BIGINT) AS text_chars,
+               CAST(sum(lsn) AS BIGINT) AS lsn_sum
+        FROM live GROUP BY 1
+    """,
+    doc="Incrementally-maintained materialized view: replay into the lake "
+    "table, then fold its retract-stream changelog (changelog_rows: "
+    "update_preimage/update_postimage pairs) into a per-domain rollup one "
+    "source commit per epoch — the incremental fold must equal the oracle's "
+    "from-scratch recompute over the final state (matview.IncrementalView; "
+    "reference recomputes summaries from full catalog state, "
+    "aggregate_items.py:42-77)",
+)
+def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.matview import AggSpec, IncrementalView
+    from data_pipeline_spark.pipeline import ensure_table, replay
+
+    root = tempfile.mkdtemp(prefix="lake_mvq_")
+    replay(spark, sf_dir, root, n_batches=4, n_buckets=16,
+           record_metrics=False)
+    view = IncrementalView(
+        spark,
+        ensure_table(spark, root, 16),
+        tempfile.mkdtemp(prefix="lake_mvv_"),
+        group_by=[
+            ("domain", "string", "regexp_extract(url, 'https://([^/]+)/', 1)")
+        ],
+        aggs=[
+            AggSpec("n_pages", "count"),
+            AggSpec("text_chars", "sum", "length(text)"),
+            AggSpec("lsn_sum", "sum", "lsn"),
+        ],
+    )
+    view.refresh(max_versions_per_epoch=1)
+    return view.read()
+
+
+@register(
     "cdc_read_since",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
