@@ -88,6 +88,23 @@ def _epoch_us(dt: Any) -> int:
     return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
 
 
+BLOOM_K = 4  # hash functions per manifest key-bloom
+
+
+def _bloom_positions(key: str, m: int) -> list[int]:
+    """Bloom bit positions for one key value: ``BLOOM_K`` independent
+    md5("key#seed") hashes mod ``m``. Writer (:meth:`LakeTable._entry`)
+    and reader (:meth:`LakeTable._select_files`) both call THIS function,
+    so manifest blooms and lookup pruning can never disagree on hashing —
+    no false negatives by construction."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{key}#{s}".encode()).hexdigest()[:15], 16) % m
+        for s in range(BLOOM_K)
+    ]
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer advanced ``_CURRENT`` since this commit started."""
 
@@ -145,6 +162,7 @@ class LakeTable:
         key: str = "url",
         n_buckets: int = 64,
         order_col: str = "lsn",
+        props: dict[str, Any] | None = None,
     ) -> "LakeTable":
         os.makedirs(os.path.join(root, SNAPSHOT_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
@@ -159,6 +177,7 @@ class LakeTable:
             commits={},
             summary={"op": "create"},
             order_col=order_col,
+            props=dict(props or {}),
         )
         t = LakeTable(spark, root)
         t._write_snapshot(snap, expect_parent=None)
@@ -365,6 +384,7 @@ class LakeTable:
                     os.path.join(rel_dir, f"{BUCKET_COL}={nid}", fn),
                     snap.schema_version,
                     "base",
+                    self._bloom_conf(snap),
                 )
                 for fn in files
             ]
@@ -396,6 +416,7 @@ class LakeTable:
         snap: Snapshot,
         buckets: set[int] | None = None,
         min_order: int | None = None,
+        point_keys: list[str] | None = None,
     ) -> tuple[dict[int, list[str]], bool]:
         """Resolve the data files a scan must read, applying bucket
         pruning and manifest-stats file skipping; returns
@@ -407,7 +428,29 @@ class LakeTable:
         snapshots) are never skipped. This is the Iceberg
         upper-bounds/lower-bounds skip at manifest level: an incremental
         consumer polling "changes since LSN X" reads O(recent delta
-        files), not O(table)."""
+        files), not O(table).
+
+        ``point_keys`` additionally skips files whose manifest key-bloom
+        says NONE of the keys can be present (sound for point lookups:
+        such a file contributes no rows for those keys, including
+        tombstone fences — blooms are built over tombstone rows too).
+        Files without a bloom (table opted out, or pre-opt-in files) are
+        never skipped."""
+        import base64
+
+        pos_cache: dict[tuple[str, int], list[int]] = {}
+
+        def _bloom_may_contain(e: dict) -> bool:
+            bl = e.get("bloom")
+            if not bl:
+                return True
+            m, bits = bl["m"], base64.b64decode(bl["b"])
+            for k in point_keys:
+                ps = pos_cache.setdefault((k, m), _bloom_positions(k, m))
+                if all(bits[p >> 3] & (1 << (p & 7)) for p in ps):
+                    return True
+            return False
+
         groups: dict[int, list[str]] = {}
         has_delta = False
         for b in snap.manifests:
@@ -418,12 +461,49 @@ class LakeTable:
                     bounds = (e.get("stats") or {}).get(snap.order_col)
                     if bounds is not None and bounds[1] <= min_order:
                         continue
+                if point_keys is not None and not _bloom_may_contain(e):
+                    continue
                 if e.get("kind", "base") == "delta":
                     has_delta = True
                 groups.setdefault(e["schema_version"], []).append(
                     os.path.join(self.root, e["path"])
                 )
         return groups, has_delta
+
+    def lookup(
+        self,
+        keys: list[str],
+        snap: Snapshot | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Point lookup: current winner rows for ``keys``, opening only
+        (a) the keys' hash buckets and (b) files whose manifest key-bloom
+        may contain at least one key (``bloom_bits`` table property; see
+        :func:`_bloom_positions`). On a bloom-enabled table a single-key
+        lookup touches O(files-holding-that-key) objects instead of a
+        bucket's whole file list — the difference between a primary-key
+        GET and a partition scan at 100 TB.
+
+        The key→bucket routing runs as one tiny local Spark job over the
+        key list (bucket hashing is the table's codegen'd xxhash64
+        expression — reusing it beats reimplementing split-aware routing
+        driver-side and cannot drift from the write path)."""
+        snap = snap or self.current()
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], self._ddl_schema([(snap.key, "string")])
+        )
+        bs = {
+            int(r["b"])
+            for r in kdf.select(self.bucket_expr(snap).alias("b"))
+            .distinct()
+            .collect()
+        }
+        return self.read(
+            buckets=bs,
+            snap=snap,
+            include_tombstones=include_tombstones,
+            point_keys=keys,
+        )
 
     def read_since(
         self, order_gt: int, include_tombstones: bool = False
@@ -454,8 +534,17 @@ class LakeTable:
         raw: bool = False,
         align_snap: Snapshot | None = None,
         min_order: int | None = None,
+        point_keys: list[str] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
+
+        ``point_keys`` prunes with manifest key-blooms (files that cannot
+        contain any of the keys are skipped before Spark lists anything)
+        and pushes ``key IN (...)`` into the parquet scan. Sound under
+        LWW collapse: the filter keeps EVERY physical row of a requested
+        key (winners, losers, tombstones), so the collapse sees the same
+        candidates it would in a full scan. Use :meth:`lookup` for the
+        bucket-pruned public entry point.
 
         ``min_order`` keeps only rows whose winning order-column value is
         strictly greater — with FILE-LEVEL skipping from manifest stats
@@ -483,7 +572,9 @@ class LakeTable:
         """
         snap = snap or self.current()
         sch = align_snap or snap
-        groups, has_delta = self._select_files(snap, buckets, min_order)
+        groups, has_delta = self._select_files(
+            snap, buckets, min_order, point_keys
+        )
         cur_fields = self.schema_fields(sch)
         phys_fields = cur_fields + [(TOMBSTONE_COL, "boolean")]
         if not groups:
@@ -497,6 +588,10 @@ class LakeTable:
                 self.schema_fields(sch, sv) + [(TOMBSTONE_COL, "boolean")]
             )
             df = self.spark.read.schema(read_schema).parquet(*files)
+            if point_keys is not None:
+                # pushed to the parquet reader (row-group dictionary/
+                # stats filtering under the manifest-level bloom skip)
+                df = df.filter(F.col(snap.key).isin(point_keys))
             have = set(df.columns)
             parts.append(
                 df.select(
@@ -838,21 +933,55 @@ class LakeTable:
                 out[field.name] = [min(mins), max(maxs)]
         return out
 
+    def _bloom_conf(self, snap: Snapshot) -> tuple[str, int] | None:
+        """(key_col, m_bits) when the table opted into manifest key-blooms
+        (``bloom_bits`` table property), else None. Opt-in because the
+        writer pays one key-column read per new file; hot-path replay
+        tables that never serve point lookups skip it."""
+        m = int(snap.props.get("bloom_bits", 0) or 0)
+        return (snap.key, m) if m > 0 else None
+
     def _entry(
-        self, rel_path: str, schema_version: int, kind: str
+        self,
+        rel_path: str,
+        schema_version: int,
+        kind: str,
+        bloom: tuple[str, int] | None = None,
     ) -> dict[str, Any]:
         """One manifest file entry: path, write-schema version, kind
         (base|delta), byte size (Iceberg file_size_in_bytes — lets
         maintenance pick compaction candidates by delta share without
-        touching storage), and footer min/max stats for data skipping."""
+        touching storage), and footer min/max stats for data skipping.
+
+        ``bloom``: when the table opted in, a per-file bloom filter over
+        the key column (Iceberg/Delta file-skipping-index analog) so a
+        point lookup opens only files that may contain the key. Cost is
+        one key-column read per NEW file — key pages are a sliver of the
+        payload (html dominates) and the read rides the same GIL-releasing
+        thread pool as the footer stats; at cluster scale the same bitmap
+        would be computed executor-side in the writer (the manifest format
+        is the contract, not the compute location)."""
         abs_p = os.path.join(self.root, rel_path)
-        return {
+        e = {
             "path": rel_path,
             "schema_version": schema_version,
             "kind": kind,
             "bytes": os.path.getsize(abs_p),
             "stats": self._footer_stats(abs_p),
         }
+        if bloom is not None:
+            import base64
+
+            import pyarrow.parquet as pq
+
+            key_col, m = bloom
+            bits = bytearray(m // 8)
+            tbl = pq.read_table(abs_p, columns=[key_col])
+            for k in tbl.column(0).to_pylist():
+                for p in _bloom_positions(k, m):
+                    bits[p >> 3] |= 1 << (p & 7)
+            e["bloom"] = {"m": m, "b": base64.b64encode(bytes(bits)).decode()}
+        return e
 
     def _entries(
         self, paths: list[str], schema_version: int, kind: str
@@ -862,13 +991,19 @@ class LakeTable:
         but a wide fanout delta commit can emit thousands of files and
         the commit path is driver-serial — keeping it off the measured
         t_meta_s tail preserves the N→4N scaling efficiency."""
+        bloom = self._bloom_conf(self.current())
         if len(paths) <= 4:
-            return {p: self._entry(p, schema_version, kind) for p in paths}
+            return {
+                p: self._entry(p, schema_version, kind, bloom) for p in paths
+            }
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(16) as ex:
             es = list(
-                ex.map(lambda p: self._entry(p, schema_version, kind), paths)
+                ex.map(
+                    lambda p: self._entry(p, schema_version, kind, bloom),
+                    paths,
+                )
             )
         return dict(zip(paths, es))
 
@@ -1034,7 +1169,9 @@ class LakeTable:
                 os.path.join(rel_dir, f"{BUCKET_COL}={b}", fn) for fn in files
             ]
             entries = [
-                self._entry(p, snap.schema_version, "base") for p in paths
+                self._entry(p, snap.schema_version, "base",
+                            self._bloom_conf(snap))
+                for p in paths
             ]
             new_manifests[str(b)] = self._write_manifest(version, b, entries)
             added[str(b)] = paths

@@ -393,6 +393,55 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_point_lookup",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        picked AS (SELECT url FROM live ORDER BY url LIMIT 20)
+        SELECT url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM live WHERE url IN (SELECT url FROM picked)
+    """,
+    doc="Primary-key point lookup on a bloom-enabled table: replay with "
+    "manifest key-blooms (bloom_bits table property), then lookup() 20 "
+    "urls — bucket pruning + per-file bloom skipping open O(files-holding-"
+    "those-keys), not a partition scan (lake/table.py lookup/_bloom_"
+    "positions; reference fetches items by id via pgSTAC GET, "
+    "operator-tools/_migrate_catalog/runner.py:31-54)",
+)
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import ensure_table, replay
+
+    root = tempfile.mkdtemp(prefix="lake_pl_")
+    ensure_table(spark, root, 16).update_props({"bloom_bits": 2048})
+    table = replay(
+        spark, sf_dir, root, n_batches=4, n_buckets=16, record_metrics=False,
+    )
+    keys = [
+        r["url"]
+        for r in table.read()
+        .select("url")
+        .orderBy("url")
+        .limit(20)
+        .collect()
+    ]
+    return table.lookup(keys).select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_read_since",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
