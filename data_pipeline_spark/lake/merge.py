@@ -74,6 +74,7 @@ def merge_into(
     with_stats: bool = False,
     precollapsed: bool = False,
     props_update: dict[str, Any] | None = None,
+    stage_id: str | None = None,
 ) -> MergeStats:
     """Apply one batch of change events (current-schema cols + ``op``).
 
@@ -85,6 +86,10 @@ def merge_into(
     ``props_update`` merges table properties into the committed snapshot
     (the apply path records its watermark here so maintenance can derive
     the tombstone purge fence from it).
+
+    ``stage_id`` stages the merge as a write-audit-publish commit: fully
+    written but invisible to readers until ``table.publish_staged`` —
+    validate it first with ``quality_gate(table.read(snap=staged))``.
     """
     snap: Snapshot = table.current()
     if commit_key in snap.commits:
@@ -142,6 +147,7 @@ def merge_into(
         commit_key,
         summary={"batch_rows": batch_rows},
         props_update=props_update,
+        stage_id=stage_id,
     )
     return MergeStats(
         commit_key=commit_key,

@@ -69,6 +69,8 @@ CURRENT_FILE = "_CURRENT"
 SNAPSHOT_DIR = "_snapshots"
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+STAGED_DIR = "_staged"
+REFS_FILE = "_refs.json"
 BUCKET_COL = "__bucket"
 # Hidden tombstone marker: delete winners persist (payload nulled) so
 # late out-of-order events older than an applied delete cannot resurrect
@@ -800,12 +802,19 @@ class LakeTable:
         """Drop all but the newest ``keep_last`` snapshots (Iceberg
         expire_snapshots). Returns the expired version numbers. Data files
         still referenced by surviving snapshots are untouched — run
-        :meth:`vacuum` afterwards to reclaim orphaned files."""
+        :meth:`vacuum` afterwards to reclaim orphaned files. Tagged
+        versions (and staged commits' parents) always survive — tags are
+        the rollback anchors expiry must not eat."""
         snaps = self.snapshot_log()
         if len(snaps) <= keep_last:
             return []
         cur = self.current().version
         keep = {s.version for s in snaps[-keep_last:]} | {cur}
+        keep |= set(self.tags().values())
+        keep |= {
+            s.summary["staged_parent"]
+            for s in self.staged_snapshots().values()
+        }
         expired = []
         for s in snaps:
             if s.version not in keep:
@@ -817,11 +826,15 @@ class LakeTable:
 
     def vacuum(self) -> int:
         """Delete data files and manifests referenced by NO surviving
-        snapshot. Returns the number of data files removed. Safe under the
-        single-writer model: only ever called between commits."""
+        snapshot — pending staged (WAP) commits count as live roots, so
+        an audit window can outlast a vacuum; an ABORTED stage's files
+        are exactly what this reclaims. Returns the number of data files
+        removed. Safe under the single-writer model: only ever called
+        between commits."""
         live: set[str] = set()
         live_manifests: set[str] = set()
-        for s in self.snapshot_log():
+        roots = self.snapshot_log() + list(self.staged_snapshots().values())
+        for s in roots:
             for name in s.manifests.values():
                 if name:
                     live_manifests.add(name)
@@ -1008,12 +1021,15 @@ class LakeTable:
         return dict(zip(paths, es))
 
     def _write_data_files(
-        self, df: DataFrame, version: int
+        self, df: DataFrame, version: int, dir_name: str | None = None
     ) -> tuple[str, dict[int, list[str]]]:
-        """Write ``df`` bucket-partitioned under data/v<version>; return
-        (rel_dir, {bucket: [file names]}) discovered from the output tree
-        (no extra Spark job to learn the touched set)."""
-        snap_dir = f"v{version:08d}"
+        """Write ``df`` bucket-partitioned under data/v<version> (or
+        ``dir_name`` — staged WAP commits use their stage id so a
+        concurrent main-line commit at the same tentative version can
+        never overwrite their files); return (rel_dir, {bucket: [file
+        names]}) discovered from the output tree (no extra Spark job to
+        learn the touched set)."""
+        snap_dir = dir_name or f"v{version:08d}"
         rel_dir = os.path.join(DATA_DIR, snap_dir)
         out_dir = os.path.join(self.root, rel_dir)
         # INT96 (Spark's legacy default) carries no usable footer min/max;
@@ -1073,19 +1089,33 @@ class LakeTable:
         commit_key: str,
         summary: dict[str, Any] | None = None,
         props_update: dict[str, Any] | None = None,
+        stage_id: str | None = None,
     ) -> Snapshot:
         """Append ``df`` as delta files to the buckets it touches (merge-on-
         read MERGE): writes O(batch) data + O(touched) manifests; nothing
         is rewritten. ``df`` must carry current-schema columns (plus an
         optional ``__deleted`` tombstone flag) with at most one row per
-        key — readers resolve key versions by max-order-wins collapse."""
+        key — readers resolve key versions by max-order-wins collapse.
+
+        ``stage_id`` (write-audit-publish): the commit is fully written —
+        data, manifests, snapshot JSON — but parked under ``_staged/``
+        instead of advancing ``_CURRENT``. Readers never see it until
+        :meth:`publish_staged`; audit jobs validate it via
+        ``read(snap=staged)``. Idempotent on the stage id."""
         snap = self.current()
         if commit_key in snap.commits:
             return snap  # idempotent replay — exactly-once keystone
+        if stage_id is not None:
+            prior = self._staged_path(stage_id)
+            if os.path.exists(prior):
+                with open(prior) as f:
+                    return Snapshot.from_json(f.read())
         version = snap.version + 1
         t0 = time.monotonic()
         rel_dir, written = self._write_data_files(
-            self._prep_write(df, snap, fanout=True), version
+            self._prep_write(df, snap, fanout=True),
+            version,
+            dir_name=f"staged-{stage_id}" if stage_id is not None else None,
         )
         t_write = time.monotonic() - t0
         t0 = time.monotonic()
@@ -1127,12 +1157,132 @@ class LakeTable:
                 "t_write_s": round(t_write, 3),
                 "t_meta_s": round(time.monotonic() - t0, 3),
                 **(summary or {}),
+                **(
+                    {"staged_parent": snap.version, "wap_id": stage_id}
+                    if stage_id is not None
+                    else {}
+                ),
             },
             order_col=snap.order_col,
             props={**snap.props, **(props_update or {})},
             depths=dict(snap.depths),
         )
+        if stage_id is not None:
+            os.makedirs(os.path.join(self.root, STAGED_DIR), exist_ok=True)
+            _atomic_write(self._staged_path(stage_id), new.to_json())
+            return new
         self._write_snapshot(new, expect_parent=snap.version)
+        return new
+
+    # -- write-audit-publish (staged commits), tags, rollback -------------
+
+    def _staged_path(self, stage_id: str) -> str:
+        return os.path.join(self.root, STAGED_DIR, f"{stage_id}.json")
+
+    def staged_snapshots(self) -> dict[str, Snapshot]:
+        """Pending staged (write-audit-publish) commits by stage id."""
+        d = os.path.join(self.root, STAGED_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[: -len(".json")]] = Snapshot.from_json(f.read())
+        return out
+
+    def publish_staged(self, stage_id: str) -> Snapshot:
+        """Fast-forward ``_CURRENT`` to a staged commit (the WAP publish
+        step, Iceberg's cherry-pick of a ``wap.id`` snapshot). Refuses if
+        the main line advanced past the staged commit's parent — the
+        staged snapshot's manifests and commit map were built against
+        that parent, so publishing over a newer head would silently drop
+        the intervening commits (re-stage on the new head instead)."""
+        p = self._staged_path(stage_id)
+        with open(p) as f:
+            staged = Snapshot.from_json(f.read())
+        parent = staged.summary["staged_parent"]
+        cur = self.current().version
+        if cur != parent:
+            raise ConcurrentCommitError(
+                f"staged {stage_id} was built on v{parent}, head is v{cur}"
+            )
+        self._write_snapshot(staged, expect_parent=parent)
+        os.remove(p)
+        return staged
+
+    def abort_staged(self, stage_id: str) -> None:
+        """Drop a staged commit that failed its audit. Metadata goes now;
+        its data files become orphans that :meth:`vacuum` reclaims."""
+        os.remove(self._staged_path(stage_id))
+
+    def _read_refs(self) -> dict[str, Any]:
+        p = os.path.join(self.root, REFS_FILE)
+        if not os.path.exists(p):
+            return {"tags": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named immutable ref to a snapshot (Iceberg tag): tagged
+        versions survive :meth:`expire_snapshots`, so tags are the
+        rollback/audit anchors ("last-known-good", "pre-migration").
+        Re-tagging the same version is a no-op; moving a tag is an error
+        (tags are immutable — delete via :meth:`untag` first)."""
+        version = self.current().version if version is None else version
+        # materialize the target so the tag cannot dangle
+        self.snapshot(version)
+        refs = self._read_refs()
+        have = refs["tags"].get(name)
+        if have is not None and have != version:
+            raise ValueError(
+                f"tag {name!r} already pins v{have}; tags are immutable"
+            )
+        refs["tags"][name] = version
+        _atomic_write(
+            os.path.join(self.root, REFS_FILE), json.dumps(refs, sort_keys=True)
+        )
+        return version
+
+    def untag(self, name: str) -> None:
+        refs = self._read_refs()
+        refs["tags"].pop(name, None)
+        _atomic_write(
+            os.path.join(self.root, REFS_FILE), json.dumps(refs, sort_keys=True)
+        )
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._read_refs()["tags"])
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Time-travel read by ref name (VERSION AS OF 'tag')."""
+        return self.read(snap=self.snapshot(self.tags()[name]))
+
+    def rollback_to(self, version: int, commit_key: str) -> Snapshot:
+        """Metadata-only rollback (Iceberg ``rollback_to_snapshot``): a
+        NEW head whose manifests/schema/props are the old snapshot's —
+        history stays intact (the rolled-back-over commits remain in the
+        log and in the change feed as one reverting diff). The target's
+        files must still exist: tag what you may roll back to, so
+        expire+vacuum keeps it."""
+        cur = self.current()
+        if commit_key in cur.commits:
+            return cur
+        old = self.snapshot(version)
+        new = Snapshot(
+            version=cur.version + 1,
+            schema_version=old.schema_version,
+            schemas=old.schemas,
+            n_buckets=old.n_buckets,
+            key=old.key,
+            manifests=dict(old.manifests),
+            commits={**cur.commits, commit_key: cur.version + 1},
+            summary={"op": "rollback", "to": version},
+            order_col=old.order_col,
+            props=dict(old.props),
+            depths=dict(old.depths),
+        )
+        self._write_snapshot(new, expect_parent=cur.version)
         return new
 
     def commit_buckets(

@@ -45,9 +45,12 @@ def apply_batch(
     record_metrics: bool = True,
     with_stats: bool = False,
     watermark_days: int | None = None,
+    stage_id: str | None = None,
 ) -> MergeStats:
     """One micro-batch: [late-drop] → LWW winner selection → extraction →
-    MERGE (delta commit).
+    MERGE (delta commit). ``stage_id`` stages the commit for
+    write-audit-publish instead of advancing the table head
+    (lake/table.py publish_staged).
 
     Winner selection runs FIRST so the extraction UDF touches only per-url
     winners (O(distinct urls)), not every change event; deletes skip
@@ -92,6 +95,7 @@ def apply_batch(
     )
     stats = merge_into(
         table, enriched, commit_key, with_stats=with_stats, precollapsed=True,
+        stage_id=stage_id,
         # The purge fence in maintenance derives from this recorded horizon
         # (tombstones may only age out once the watermark guarantees no
         # admissible event could still lose to them).

@@ -393,6 +393,43 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_wap_final_state",
+    _final_state_duck(),
+    doc="Write-audit-publish: apply the first half of the log normally, "
+    "STAGE the second half (merge_into stage_id — fully written, invisible "
+    "to readers), audit the staged snapshot with quality_gate, then "
+    "publish_staged fast-forwards the head; the final state must equal the "
+    "direct-replay oracle (lake/table.py publish_staged; reference verifies "
+    "then registers atomically, validate_s1_rtc.py:38-135)",
+)
+def cdc_wap_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.maintenance import quality_gate
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    b = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_wapq_"), 16)
+    apply_batch(table, log.filter(F.col("lsn") <= cut), "wap-base",
+                record_metrics=False)
+    apply_batch(table, log.filter(F.col("lsn") > cut), "wap-head",
+                record_metrics=False, stage_id="audit-1")
+    staged = table.staged_snapshots()["audit-1"]
+    verdict = quality_gate(table.read(snap=staged))
+    assert verdict["verdict"] != "FAIL", verdict
+    table.publish_staged("audit-1")
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_point_lookup",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
