@@ -49,6 +49,8 @@ HEADLINE = [
     "docs_token_stats",
     "docs_minhash_near_dup_fast",
     "emb_ann_bruteforce",
+    "cdc_incr_matview",         # retract-stream fold vs full recompute
+    "cdc_point_lookup",         # bloom + bucket pruned primary-key GET
 ]
 
 

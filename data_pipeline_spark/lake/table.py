@@ -243,7 +243,11 @@ class LakeTable:
     ) -> str:
         if not entries:
             return ""
-        name = f"b{int(bucket):05d}-v{version:08d}.json"
+        # uuid suffix: two optimistic writers at the same tentative version
+        # must never overwrite each other's manifest before the snapshot
+        # CAS decides the winner (names are opaque pointers — only the
+        # snapshot's manifests map gives them meaning)
+        name = f"b{int(bucket):05d}-v{version:08d}-{uuid.uuid4().hex[:8]}.json"
         _atomic_write(
             os.path.join(self.root, MANIFEST_DIR, name),
             json.dumps(entries, sort_keys=True),
@@ -537,6 +541,7 @@ class LakeTable:
         align_snap: Snapshot | None = None,
         min_order: int | None = None,
         point_keys: list[str] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
 
@@ -571,6 +576,13 @@ class LakeTable:
 
         ``raw=True`` returns the physical rows (no collapse, tombstone
         column included) — diagnostics and compaction internals only.
+
+        ``columns`` projects BELOW the LWW collapse: the winner per key is
+        decided by the order column alone, so collapsing projected rows
+        yields the projected winner — and the pruning reaches the parquet
+        scan AND keeps the collapse's shuffled structs narrow (a
+        (url, lsn) consumer never pays for html bytes on the exchange).
+        The key, order, and tombstone columns ride along implicitly.
         """
         snap = snap or self.current()
         sch = align_snap or snap
@@ -578,6 +590,9 @@ class LakeTable:
             snap, buckets, min_order, point_keys
         )
         cur_fields = self.schema_fields(sch)
+        if columns is not None:
+            keep = {snap.key, snap.order_col, *columns}
+            cur_fields = [f for f in cur_fields if f[0] in keep]
         phys_fields = cur_fields + [(TOMBSTONE_COL, "boolean")]
         if not groups:
             empty = self.spark.createDataFrame([], self._ddl_schema(phys_fields))
@@ -668,6 +683,31 @@ class LakeTable:
         """Time-travel read: the table exactly as of ``version``."""
         return self.read(snap=self.snapshot(version))
 
+    # Ops that cannot change a live row's payload while keeping its order
+    # value: merges assign fresh lsns; evolve/props are metadata-only;
+    # split/compact are state-preserving rewrites; retention_sweep only
+    # REMOVES rows (a presence change the narrow diff sees). backfill
+    # (payload rewrite at constant lsn) and rollback (can revert a
+    # backfill) are deliberately absent — they force the full struct diff.
+    _ORDER_SAFE_OPS = frozenset(
+        {"create", "merge", "evolve", "props", "split", "compact",
+         "retention_sweep"}
+    )
+
+    def _diff_trusts_order(self, a: Snapshot, b: Snapshot) -> bool:
+        """True when every commit in ``(a, b]`` provably cannot mutate a
+        live row's payload without changing its order value — then
+        (key, order, tombstone) is a sufficient change fingerprint.
+        Expired (missing) intermediate snapshots force the conservative
+        full diff: their op is unknowable."""
+        for v in range(a.version + 1, b.version + 1):
+            p = os.path.join(self.root, SNAPSHOT_DIR, f"v{v:08d}.json")
+            if not os.path.exists(p):
+                return False
+            if self.snapshot(v).summary.get("op") not in self._ORDER_SAFE_OPS:
+                return False
+        return True
+
     def _keyed_diff(
         self, a: Snapshot, b: Snapshot
     ) -> tuple[DataFrame, F.Column, F.Column, list[str]]:
@@ -677,27 +717,69 @@ class LakeTable:
         cols)`` where ``changed`` holds one row per key whose image
         differs, as (key, ``__o``, ``__n``) struct pairs aligned to the
         newer snapshot's schema (tombstones included so the caller can
-        classify deletes and carry before-images)."""
+        classify deletes and carry before-images).
+
+        Two physical strategies, same result:
+
+        * **narrow** (the common case — :meth:`_diff_trusts_order`):
+          change classification joins only (key, order, tombstone) — the
+          scans are column-pruned to three columns and the full-outer
+          exchange never carries payload bytes. Wide rows are then
+          fetched ONLY for changed keys (AQE broadcasts the changed-key
+          set when small, so at steady state the payload scan streams
+          map-side). An incremental tail pays O(keys) narrow + O(changed)
+          wide instead of shuffling two whole snapshots of html.
+        * **full**: the original wide struct comparison — runs whenever
+          the interval contains a commit that can rewrite payload at
+          constant order (backfill, rollback) or expired snapshots hide
+          what happened."""
         touched = {
             int(k)
             for k in set(a.manifests) | set(b.manifests)
             if a.manifests.get(k) != b.manifests.get(k)
         }
-        key = b.key
+        key, order = b.key, b.order_col
         old = self.read(
             buckets=touched, snap=a, align_snap=b, include_tombstones=True
         )
         new = self.read(buckets=touched, snap=b, include_tombstones=True)
         cols = [c for c in new.columns if c != TOMBSTONE_COL]
-        o = old.select(F.col(key), F.struct(*old.columns).alias("__o"))
-        n = new.select(F.col(key), F.struct(*new.columns).alias("__n"))
-        joined = o.join(n, key, "full_outer")
         o_live = F.col("__o").isNotNull() & ~F.col("__o").getField(
             TOMBSTONE_COL
         )
         n_live = F.col("__n").isNotNull() & ~F.col("__n").getField(
             TOMBSTONE_COL
         )
+        if self._diff_trusts_order(a, b):
+            fp = F.struct(F.col(order).alias("v"),
+                          F.col(TOMBSTONE_COL).alias("t"))
+            o_n = self.read(
+                buckets=touched, snap=a, align_snap=b,
+                include_tombstones=True, columns=[],
+            ).select(F.col(key), fp.alias("__of"))
+            n_n = self.read(
+                buckets=touched, snap=b, include_tombstones=True, columns=[],
+            ).select(F.col(key), fp.alias("__nf"))
+            of_live = F.col("__of").isNotNull() & ~F.col("__of.t")
+            nf_live = F.col("__nf").isNotNull() & ~F.col("__nf.t")
+            ck = (
+                o_n.join(n_n, key, "full_outer")
+                .filter(
+                    (of_live | nf_live)
+                    & (
+                        ~(of_live & nf_live)
+                        | (F.col("__of.v") != F.col("__nf.v"))
+                    )
+                )
+                .select(key)
+            )
+            o_w = old.select(F.col(key), F.struct(*old.columns).alias("__o"))
+            n_w = new.select(F.col(key), F.struct(*new.columns).alias("__n"))
+            changed = ck.join(o_w, key, "left").join(n_w, key, "left")
+            return changed, o_live, n_live, cols
+        o = old.select(F.col(key), F.struct(*old.columns).alias("__o"))
+        n = new.select(F.col(key), F.struct(*new.columns).alias("__n"))
+        joined = o.join(n, key, "full_outer")
         # changed = at least one side live, and not an identical live pair
         changed = joined.filter(
             (o_live | n_live)
@@ -1028,8 +1110,15 @@ class LakeTable:
         concurrent main-line commit at the same tentative version can
         never overwrite their files); return (rel_dir, {bucket: [file
         names]}) discovered from the output tree (no extra Spark job to
-        learn the touched set)."""
-        snap_dir = dir_name or f"v{version:08d}"
+        learn the touched set).
+
+        The default dir name carries a uuid suffix: two OPTIMISTIC writers
+        at the same tentative version (commit_delta's rebase protocol)
+        must never land in the same directory — the second's
+        ``mode("overwrite")`` would wipe the first's files before the
+        snapshot CAS decides. Dir names are opaque; only manifest entries
+        give paths meaning."""
+        snap_dir = dir_name or f"v{version:08d}-{uuid.uuid4().hex[:8]}"
         rel_dir = os.path.join(DATA_DIR, snap_dir)
         out_dir = os.path.join(self.root, rel_dir)
         # INT96 (Spark's legacy default) carries no usable footer min/max;
@@ -1063,7 +1152,12 @@ class LakeTable:
         """Project to the physical schema + bucket column.
 
         ``fanout=False`` (compaction / bucket rewrites): shuffle on the
-        bucket id — exactly one writer task and one output file per bucket.
+        bucket id — exactly one writer task and one output file per
+        bucket, KEY-SORTED within the file so every parquet row group
+        carries tight key min/max stats (point lookups and key-range
+        predicates prune row groups inside the base file; clustering is
+        free here because the rewrite shuffles anyway — Iceberg's
+        sort-order-on-rewrite).
 
         ``fanout=True`` (delta commits): NO extra exchange — every task
         writes its local rows into per-bucket files (Spark's dynamic
@@ -1081,7 +1175,9 @@ class LakeTable:
         out = df.select(*cur_cols, tomb.alias(TOMBSTONE_COL)).withColumn(
             BUCKET_COL, self.bucket_expr(snap)
         )
-        return out if fanout else out.repartition(BUCKET_COL)
+        if fanout:
+            return out
+        return out.repartition(BUCKET_COL).sortWithinPartitions(snap.key)
 
     def commit_delta(
         self,
@@ -1101,7 +1197,17 @@ class LakeTable:
         data, manifests, snapshot JSON — but parked under ``_staged/``
         instead of advancing ``_CURRENT``. Readers never see it until
         :meth:`publish_staged`; audit jobs validate it via
-        ``read(snap=staged)``. Idempotent on the stage id."""
+        ``read(snap=staged)``. Idempotent on the stage id.
+
+        **Optimistic concurrency** (Iceberg's commit protocol): losing the
+        snapshot CAS does not abort — the commit REBASES onto the new head
+        and retries, because delta files and their manifests stay valid
+        verbatim when the interleaved commit touched DISJOINT buckets
+        (both writers appended to different manifest chains). Real
+        conflicts — same bucket touched, schema evolved, buckets split —
+        still raise :class:`ConcurrentCommitError`: rebasing those needs
+        re-running the batch against the new head, which is the caller's
+        call."""
         snap = self.current()
         if commit_key in snap.commits:
             return snap  # idempotent replay — exactly-once keystone
@@ -1137,42 +1243,72 @@ class LakeTable:
             entries.extend(made[p] for p in paths)
             new_manifests[str(b)] = self._write_manifest(version, b, entries)
             added[str(b)] = paths
-        new = Snapshot(
-            version=version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key=snap.key,
-            manifests=new_manifests,
-            commits={**snap.commits, commit_key: version},
-            summary={
-                "op": "merge",
-                "touched": sorted(written),
-                "added": added,
-                # Per-commit stage split: t_write_s is the distributed
-                # Spark job (scan+collapse+extract+shuffle+parquet);
-                # t_meta_s is the driver-serial tail (output listing,
-                # manifest + snapshot writes) — the part that does NOT
-                # scale with executors and must stay ≪ t_write_s.
-                "t_write_s": round(t_write, 3),
-                "t_meta_s": round(time.monotonic() - t0, 3),
-                **(summary or {}),
-                **(
-                    {"staged_parent": snap.version, "wap_id": stage_id}
-                    if stage_id is not None
-                    else {}
-                ),
-            },
-            order_col=snap.order_col,
-            props={**snap.props, **(props_update or {})},
-            depths=dict(snap.depths),
+        ours = {str(b) for b in by_bucket}
+        base = snap
+        for _attempt in range(10):
+            new = Snapshot(
+                version=base.version + 1,
+                schema_version=base.schema_version,
+                schemas=base.schemas,
+                n_buckets=base.n_buckets,
+                key=base.key,
+                manifests={
+                    **base.manifests,
+                    **{b: new_manifests[b] for b in ours},
+                },
+                commits={**base.commits, commit_key: base.version + 1},
+                summary={
+                    "op": "merge",
+                    "touched": sorted(written),
+                    "added": added,
+                    # Per-commit stage split: t_write_s is the distributed
+                    # Spark job (scan+collapse+extract+shuffle+parquet);
+                    # t_meta_s is the driver-serial tail (output listing,
+                    # manifest + snapshot writes) — the part that does NOT
+                    # scale with executors and must stay ≪ t_write_s.
+                    "t_write_s": round(t_write, 3),
+                    "t_meta_s": round(time.monotonic() - t0, 3),
+                    **(summary or {}),
+                    **(
+                        {"staged_parent": base.version, "wap_id": stage_id}
+                        if stage_id is not None
+                        else {}
+                    ),
+                },
+                order_col=base.order_col,
+                props={**base.props, **(props_update or {})},
+                depths=dict(base.depths),
+            )
+            if stage_id is not None:
+                os.makedirs(
+                    os.path.join(self.root, STAGED_DIR), exist_ok=True
+                )
+                _atomic_write(self._staged_path(stage_id), new.to_json())
+                return new
+            try:
+                self._write_snapshot(new, expect_parent=base.version)
+                return new
+            except ConcurrentCommitError:
+                head = self.current()
+                if commit_key in head.commits:
+                    return head  # the other writer WAS this commit (retry)
+                conflicted = (
+                    head.schema_version != base.schema_version
+                    or head.depths != base.depths
+                    or head.n_buckets != base.n_buckets
+                    or any(
+                        head.manifests.get(b) != base.manifests.get(b)
+                        for b in ours
+                    )
+                )
+                if conflicted:
+                    raise
+                # disjoint interleaved commit: our manifests (head's chain
+                # for our buckets is unchanged) apply verbatim — rebase
+                base = head
+        raise ConcurrentCommitError(
+            f"gave up rebasing {commit_key!r} after 10 attempts"
         )
-        if stage_id is not None:
-            os.makedirs(os.path.join(self.root, STAGED_DIR), exist_ok=True)
-            _atomic_write(self._staged_path(stage_id), new.to_json())
-            return new
-        self._write_snapshot(new, expect_parent=snap.version)
-        return new
 
     # -- write-audit-publish (staged commits), tags, rollback -------------
 
