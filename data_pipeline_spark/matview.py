@@ -52,20 +52,31 @@ _ASSERT_OPS = ("insert", "update_postimage")
 
 @dataclass
 class AggSpec:
-    """One maintained aggregate: ``count`` (live rows per group) or
-    ``sum`` of a SQL expression over source columns. ``ddl`` must be an
-    integral type for exact maintenance (float retraction drifts)."""
+    """One maintained aggregate over a SQL expression of source columns.
+
+    ``count`` (live rows per group) and ``sum`` are self-maintainable
+    under retraction by pure ±deltas; for ``sum``, ``ddl`` must be an
+    integral type (float retraction drifts).
+
+    ``min``/``max`` are NOT retraction-maintainable in general — dropping
+    the stored extremum leaves the runner-up unknown — so they use the
+    production pattern: asserts fold in with greatest/least, and an epoch
+    retracting a value that TIES-or-beats the stored extremum marks the
+    group dirty and re-derives just those groups from the source snapshot
+    (Flink's retract-agg fallback / Materialize's reduction hierarchy,
+    collapsed to one recompute level). Epochs that never touch an
+    extremum pay nothing."""
 
     name: str
-    kind: str  # 'count' | 'sum'
-    expr: str | None = None  # SQL expr over source columns (sum only)
+    kind: str  # 'count' | 'sum' | 'min' | 'max'
+    expr: str | None = None  # SQL expr over source columns (non-count)
     ddl: str = "bigint"
 
     def __post_init__(self) -> None:
-        if self.kind not in ("count", "sum"):
+        if self.kind not in ("count", "sum", "min", "max"):
             raise ValueError(f"unsupported aggregate kind: {self.kind}")
-        if self.kind == "sum" and not self.expr:
-            raise ValueError("sum aggregate needs an expr")
+        if self.kind != "count" and not self.expr:
+            raise ValueError(f"{self.kind} aggregate needs an expr")
 
 
 class IncrementalView:
@@ -86,11 +97,15 @@ class IncrementalView:
         group_by: list[tuple[str, str, str]],
         aggs: list[AggSpec],
         n_buckets: int = 16,
+        source_columns: list[str] | None = None,
     ):
         self.spark = spark
         self.source = source
         self.group_by = group_by
         self.aggs = aggs
+        # columns the group/value expressions need — lets the dirty-group
+        # min/max recompute read a pruned source scan (None = all)
+        self.source_columns = source_columns
         names = [n for n, _, _ in group_by]
         if len(set(names)) != len(names):
             raise ValueError("duplicate group column names")
@@ -163,6 +178,7 @@ class IncrementalView:
             return
         names = [n for n, _, _ in self.group_by]
         sums = [a for a in self.aggs if a.kind == "sum"]
+        exts = [a for a in self.aggs if a.kind in ("min", "max")]
 
         rows = self.source.changelog_rows(v0, v1)
         w = (
@@ -170,13 +186,23 @@ class IncrementalView:
             .otherwise(F.lit(-1))
             .alias("__w")
         )
+        val_aggs = []
+        for a in exts:
+            comb = F.max if a.kind == "max" else F.min
+            v = F.col(f"__v_{a.name}")
+            val_aggs += [
+                # asserted extremum: folds into the stored value
+                comb(F.when(F.col("__w") == 1, v)).alias(f"__a_{a.name}"),
+                # retracted extremum: decides whether the group is dirty
+                comb(F.when(F.col("__w") == -1, v)).alias(f"__r_{a.name}"),
+            ]
         delta = (
             rows.select(
                 *[F.expr(e).alias(n) for n, _, e in self.group_by],
                 w,
                 *[
                     F.expr(a.expr).cast(a.ddl).alias(f"__v_{a.name}")
-                    for a in sums
+                    for a in sums + exts
                 ],
             )
             .groupBy(*names)
@@ -188,6 +214,7 @@ class IncrementalView:
                     .alias(f"__d_{a.name}")
                     for a in sums
                 ],
+                *val_aggs,
             )
             .withColumn("__g", self._group_key())
         )
@@ -223,12 +250,32 @@ class IncrementalView:
                 *[F.col(n).alias(f"__dg_{n}") for n in names],
                 "__dn",
                 *[F.col(f"__d_{a.name}") for a in sums],
+                *[
+                    c
+                    for a in exts
+                    for c in (F.col(f"__a_{a.name}"), F.col(f"__r_{a.name}"))
+                ],
             )
             m = cur_state.join(d, "__g", "full_outer")
             new_n = F.coalesce(F.col("__n_live"), F.lit(0)) + F.coalesce(
                 F.col("__dn"), F.lit(0)
             )
-            batch = m.select(
+            ext_cols = []
+            dirty_flags = []
+            for a in exts:
+                cur, av, rv = (
+                    F.col(a.name),
+                    F.col(f"__a_{a.name}"),
+                    F.col(f"__r_{a.name}"),
+                )
+                comb = F.greatest if a.kind == "max" else F.least
+                beats = (rv >= cur) if a.kind == "max" else (rv <= cur)
+                dirty = cur.isNotNull() & rv.isNotNull() & beats
+                dirty_flags.append(dirty.alias(f"__dirty_{a.name}"))
+                # greatest/least skip NULLs: new groups take the asserted
+                # extremum; assert-free epochs keep the stored one
+                ext_cols.append(comb(cur, av).cast(a.ddl).alias(a.name))
+            pre = m.select(
                 F.col("__g"),
                 F.lit(v1).cast("bigint").alias("lsn"),
                 *[
@@ -245,13 +292,16 @@ class IncrementalView:
                     .alias(a.name)
                     for a in sums
                 ],
+                *ext_cols,
                 *[
                     F.lit(None).cast(a.ddl).alias(a.name)
                     for a in self.aggs
                     if a.kind == "count"
                 ],
+                *dirty_flags,
                 F.when(new_n <= 0, "delete").otherwise("upsert").alias("op"),
             )
+            batch = self._resolve_dirty(pre, exts, names, v1)
             merge_into(
                 self.table,
                 batch,
@@ -261,3 +311,62 @@ class IncrementalView:
             )
         finally:
             delta.unpersist()
+
+    def _resolve_dirty(self, pre, exts, names, v1):
+        """Re-derive min/max for groups whose stored extremum may have
+        been retracted this epoch: one scan of the SOURCE snapshot at the
+        epoch boundary, column-pruned to what the group/value expressions
+        need, semi-joined down to the dirty groups (broadcast — the dirty
+        set is a subset of this epoch's changed groups). Groups that were
+        not dirtied never touch the source."""
+        if not exts:
+            return pre.drop(*[c for c in pre.columns if c.startswith("__dirty_")])
+        flags = [F.col(f"__dirty_{a.name}") for a in exts]
+        any_dirty = flags[0]
+        for f in flags[1:]:
+            any_dirty = any_dirty | f
+        dirty = pre.filter(any_dirty & (F.col("op") != "delete")).select(
+            "__g", *names
+        )
+        src = self.source.read(
+            snap=self.source.snapshot(v1), columns=self.source_columns
+        )
+        rec = (
+            src.select(
+                *[F.expr(e).alias(n) for n, _, e in self.group_by],
+                *[
+                    F.expr(a.expr).cast(a.ddl).alias(f"__v_{a.name}")
+                    for a in exts
+                ],
+            )
+            .join(F.broadcast(dirty.select(*names)), names, "left_semi")
+            .groupBy(*names)
+            .agg(
+                *[
+                    (F.max if a.kind == "max" else F.min)(
+                        F.col(f"__v_{a.name}")
+                    ).alias(f"__t_{a.name}")
+                    for a in exts
+                ]
+            )
+            .withColumn("__g", self._group_key())
+            .select("__g", *[f"__t_{a.name}" for a in exts])
+        )
+        out = pre.join(rec, "__g", "left")
+        keep = [
+            c
+            for c in pre.columns
+            if not c.startswith("__dirty_") and c not in {a.name for a in exts}
+        ]
+        return out.select(
+            *keep,
+            *[
+                F.when(
+                    F.col(f"__dirty_{a.name}"), F.col(f"__t_{a.name}")
+                )
+                .otherwise(F.col(a.name))
+                .cast(a.ddl)
+                .alias(a.name)
+                for a in exts
+            ],
+        )

@@ -357,7 +357,9 @@ def cdc_feed_envelope_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
                CAST(count(*) AS BIGINT) AS n_pages,
                CAST(sum(length(text)) AS BIGINT) AS text_chars,
-               CAST(sum(lsn) AS BIGINT) AS lsn_sum
+               CAST(sum(lsn) AS BIGINT) AS lsn_sum,
+               CAST(max(lsn) AS BIGINT) AS lsn_max,
+               CAST(min(length(text)) AS BIGINT) AS chars_min
         FROM live GROUP BY 1
     """,
     doc="Incrementally-maintained materialized view: replay into the lake "
@@ -386,7 +388,12 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             AggSpec("n_pages", "count"),
             AggSpec("text_chars", "sum", "length(text)"),
             AggSpec("lsn_sum", "sum", "lsn"),
+            # min/max exercise the dirty-group recompute (deletes in the
+            # log retract per-domain extrema mid-replay)
+            AggSpec("lsn_max", "max", "lsn"),
+            AggSpec("chars_min", "min", "length(text)"),
         ],
+        source_columns=["text"],
     )
     view.refresh(max_versions_per_epoch=1)
     return view.read()

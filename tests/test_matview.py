@@ -199,6 +199,66 @@ def test_group_death_is_retracted(spark):
     assert _state(view) == _recompute(t) == {("a", 1, 7), ("b", 1, 20)}
 
 
+def test_minmax_with_dirty_group_recompute(spark):
+    """min/max under retraction: epochs that retract the stored extremum
+    re-derive just those groups from the source snapshot; all others fold
+    incrementally. Covers extremum retraction, a duplicated extremum,
+    group move, new group, and group death+rebirth."""
+    t = _mk(spark)
+    view = IncrementalView(
+        spark, t, tempfile.mkdtemp(prefix="mv_mm_"),
+        group_by=[("grp", "string", "grp")],
+        aggs=[AggSpec("n_rows", "count"),
+              AggSpec("v_max", "max", "val"),
+              AggSpec("v_min", "min", "val")],
+        n_buckets=4,
+    )
+
+    def check():
+        got = {
+            (r["grp"], r["n_rows"], r["v_max"], r["v_min"])
+            for r in view.read().collect()
+        }
+        want = {
+            (r["grp"], r["n"], r["mx"], r["mn"])
+            for r in t.read().groupBy("grp").agg(
+                F.count("*").alias("n"), F.max("val").alias("mx"),
+                F.min("val").alias("mn")).collect()
+        }
+        assert got == want, (got, want)
+
+    merge_into(t, _rows(spark, [
+        ("u1", 1, TS, "a", 10, "upsert"),
+        ("u2", 2, TS, "a", 30, "upsert"),   # a's max
+        ("u3", 3, TS, "a", 30, "upsert"),   # duplicated extremum
+        ("u4", 4, TS, "b", 7, "upsert"),
+    ]), "c1")
+    view.refresh()
+    check()
+    # retract ONE copy of the duplicated max: recompute must keep 30
+    merge_into(t, _rows(spark, [("u2", 5, TS, "a", 30, "delete")]), "c2")
+    view.refresh()
+    check()
+    # retract the last copy: max falls back to the runner-up
+    merge_into(t, _rows(spark, [("u3", 6, TS, "a", 30, "delete")]), "c3")
+    view.refresh()
+    check()
+    # non-extremum insert folds without any recompute; min retraction via
+    # group move (u1 takes its value 10 from a to b)
+    merge_into(t, _rows(spark, [
+        ("u5", 7, TS, "a", 20, "upsert"),
+        ("u1", 8, TS, "b", 10, "upsert"),
+    ]), "c4")
+    view.refresh()
+    check()
+    # group death then rebirth with a fresh extremum
+    merge_into(t, _rows(spark, [("u4", 9, TS, "b", 7, "delete"),
+                                ("u1", 10, TS, "b", 10, "delete")]), "c5")
+    merge_into(t, _rows(spark, [("u9", 11, TS, "b", 99, "upsert")]), "c6")
+    view.refresh(max_versions_per_epoch=1)
+    check()
+
+
 def test_view_write_is_o_changed_groups(spark):
     """Scale invariant: an epoch touching one group writes O(changed
     groups) rows into the view, not O(groups) — untouched view buckets
