@@ -1,0 +1,104 @@
+"""Multi-table transactions: both tables or neither — including crash
+recovery on either side of the manifest commit point."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.lake.table import LakeTable
+from data_pipeline_spark.lake.txn import (
+    MultiTableTransaction,
+    recover_transactions,
+)
+
+
+def _mk(spark):
+    return LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="lake_txn_"),
+        [("url", "string"), ("lsn", "bigint"), ("warc_ts", "timestamp"),
+         ("v", "string")],
+        "url", 4,
+    )
+
+
+def _rows(spark, data):
+    df = spark.createDataFrame(
+        data, "url string, lsn bigint, warc_ts string, v string, op string"
+    )
+    return df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+TS = "2026-01-01 00:00:00"
+
+
+def _state(t):
+    return {(r["url"], r["v"]) for r in t.read().collect()}
+
+
+def test_commit_publishes_all_participants(spark):
+    t1, t2 = _mk(spark), _mk(spark)
+    txn = MultiTableTransaction(tempfile.mkdtemp(prefix="txn_"))
+    txn.stage(t1, _rows(spark, [("u1", 1, TS, "a", "upsert")]), "e1")
+    txn.stage(t2, _rows(spark, [("u2", 2, TS, "b", "upsert")]), "e1")
+    assert _state(t1) == set() and _state(t2) == set()
+    txn.commit()
+    assert _state(t1) == {("u1", "a")} and _state(t2) == {("u2", "b")}
+
+
+def test_abort_leaves_both_untouched(spark):
+    t1, t2 = _mk(spark), _mk(spark)
+    txn = MultiTableTransaction(tempfile.mkdtemp(prefix="txn_"))
+    txn.stage(t1, _rows(spark, [("u1", 1, TS, "a", "upsert")]), "e1")
+    txn.stage(t2, _rows(spark, [("u2", 2, TS, "b", "upsert")]), "e1")
+    txn.abort()
+    assert _state(t1) == set() and _state(t2) == set()
+    assert t1.staged_snapshots() == {} and t2.staged_snapshots() == {}
+    t1.vacuum()  # aborted files are reclaimable orphans
+
+
+def test_crash_after_commit_point_recovers_to_all(spark):
+    """Manifest written, only the FIRST participant published, then
+    crash: recovery must finish the second publish."""
+    t1, t2 = _mk(spark), _mk(spark)
+    txn_dir = tempfile.mkdtemp(prefix="txn_")
+    txn = MultiTableTransaction(txn_dir)
+    txn.stage(t1, _rows(spark, [("u1", 1, TS, "a", "upsert")]), "e1")
+    txn.stage(t2, _rows(spark, [("u2", 2, TS, "b", "upsert")]), "e1")
+    orig = LakeTable.publish_staged
+    calls = {"n": 0}
+
+    def crashing(self, sid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash mid-publish")
+        return orig(self, sid)
+
+    LakeTable.publish_staged = crashing
+    try:
+        try:
+            txn.commit()
+        except OSError:
+            pass
+    finally:
+        LakeTable.publish_staged = orig
+    assert _state(t1) == {("u1", "a")} and _state(t2) == set()
+    res = recover_transactions(spark, txn_dir)
+    assert res == {txn.txn_id: "finished"}
+    assert _state(t2) == {("u2", "b")}
+    # recovery is idempotent
+    assert recover_transactions(spark, txn_dir) == {
+        txn.txn_id: "already_committed"
+    }
+
+
+def test_crash_before_commit_point_publishes_nothing(spark):
+    t1, t2 = _mk(spark), _mk(spark)
+    txn_dir = tempfile.mkdtemp(prefix="txn_")
+    txn = MultiTableTransaction(txn_dir)
+    txn.stage(t1, _rows(spark, [("u1", 1, TS, "a", "upsert")]), "e1")
+    txn.stage(t2, _rows(spark, [("u2", 2, TS, "b", "upsert")]), "e1")
+    # crash here: no manifest was ever written
+    assert recover_transactions(spark, txn_dir) == {}
+    assert _state(t1) == set() and _state(t2) == set()
+    assert os.listdir(txn_dir) == []
