@@ -709,7 +709,10 @@ class LakeTable:
         return True
 
     def _keyed_diff(
-        self, a: Snapshot, b: Snapshot
+        self,
+        a: Snapshot,
+        b: Snapshot,
+        columns: list[str] | None = None,
     ) -> tuple[DataFrame, F.Column, F.Column, list[str]]:
         """Bucket-pruned keyed full-outer diff of two snapshots — the
         shared plan under :meth:`changes_between` and
@@ -739,16 +742,30 @@ class LakeTable:
             if a.manifests.get(k) != b.manifests.get(k)
         }
         key, order = b.key, b.order_col
-        old = self.read(
-            buckets=touched, snap=a, align_snap=b, include_tombstones=True
+        new = self.read(
+            buckets=touched, snap=b, include_tombstones=True, columns=columns
         )
-        new = self.read(buckets=touched, snap=b, include_tombstones=True)
         cols = [c for c in new.columns if c != TOMBSTONE_COL]
         o_live = F.col("__o").isNotNull() & ~F.col("__o").getField(
             TOMBSTONE_COL
         )
         n_live = F.col("__n").isNotNull() & ~F.col("__n").getField(
             TOMBSTONE_COL
+        )
+        if not any(a.manifests.values()):
+            # bootstrap fast path: diff against the empty initial snapshot
+            # is just "everything live is an insert" — no old-side read,
+            # no join (the common consumer-onboarding epoch)
+            n_struct = F.struct(*new.columns)
+            changed = new.select(
+                F.col(key),
+                F.when(F.lit(False), n_struct).alias("__o"),
+                n_struct.alias("__n"),
+            ).filter(n_live)
+            return changed, o_live, n_live, cols
+        old = self.read(
+            buckets=touched, snap=a, align_snap=b, include_tombstones=True,
+            columns=columns,
         )
         if self._diff_trusts_order(a, b):
             fp = F.struct(F.col(order).alias("v"),
@@ -787,7 +804,12 @@ class LakeTable:
         )
         return changed, o_live, n_live, cols
 
-    def changelog_rows(self, from_version: int, to_version: int) -> DataFrame:
+    def changelog_rows(
+        self,
+        from_version: int,
+        to_version: int,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
         """Retract-stream changelog (Iceberg ``create_changelog_view``
         analog): the net row-level changes between two snapshots with
         ``op ∈ {insert, delete, update_preimage, update_postimage}``.
@@ -807,10 +829,19 @@ class LakeTable:
         Reference analog: downstream aggregation jobs recompute summaries
         from full catalog state (scripts/aggregate_items.py:42-77); the
         retract stream is what lets that rollup advance by O(delta)
-        instead."""
+        instead.
+
+        ``columns`` prunes the stream to the listed payload columns (key,
+        order, tombstone ride along) — the diff's wide reads then never
+        touch the other columns (html stays on disk for a text-only
+        consumer). The change set is computed WITH RESPECT TO the
+        projection: in the rare full-diff fallback (backfill/rollback
+        intervals), a payload rewrite confined to pruned-away columns is
+        invisible — exactly right for consumers (like matview) whose
+        derivations only read the projected columns."""
         a, b = self.snapshot(from_version), self.snapshot(to_version)
         key = b.key
-        changed, o_live, n_live, cols = self._keyed_diff(a, b)
+        changed, o_live, n_live, cols = self._keyed_diff(a, b, columns)
         payload = [c for c in cols if c != key]
         is_ins = ~o_live & n_live
         is_del = o_live & ~n_live

@@ -180,7 +180,9 @@ class IncrementalView:
         sums = [a for a in self.aggs if a.kind == "sum"]
         exts = [a for a in self.aggs if a.kind in ("min", "max")]
 
-        rows = self.source.changelog_rows(v0, v1)
+        rows = self.source.changelog_rows(
+            v0, v1, columns=self.source_columns
+        )
         w = (
             F.when(F.col("op").isin(*_ASSERT_OPS), F.lit(1))
             .otherwise(F.lit(-1))

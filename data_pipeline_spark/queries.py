@@ -375,7 +375,7 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_spark.pipeline import ensure_table, replay
 
     root = tempfile.mkdtemp(prefix="lake_mvq_")
-    replay(spark, sf_dir, root, n_batches=4, n_buckets=16,
+    replay(spark, sf_dir, root, n_batches=3, n_buckets=16,
            record_metrics=False)
     view = IncrementalView(
         spark,
@@ -395,7 +395,9 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         source_columns=["text"],
     )
-    view.refresh(max_versions_per_epoch=1)
+    # two epochs: still a multi-epoch incremental fold (epoch 2 must merge
+    # into epoch 1's state), without paying per-epoch fixed costs 4x
+    view.refresh(max_versions_per_epoch=2)
     return view.read()
 
 
