@@ -58,6 +58,53 @@ def classify_expired(
     )
 
 
+def delete_where(
+    table: LakeTable,
+    predicate: Column,
+    commit_key: str,
+) -> "MergeStats":
+    """Predicate delete (``DELETE FROM t WHERE ...``) as a normal DELTA
+    commit: every currently-live row matching ``predicate`` gets a
+    tombstone fenced at the table's high-watermark lsn + 1 — i.e. the
+    delete happens "as of this snapshot": any event already reflected in
+    the table loses the read-time LWW race to the fence, while a genuinely
+    NEWER event (lsn above the snapshot's high watermark) still wins and
+    resurrects the key, exactly like a keyed delete racing an upsert.
+
+    Writes O(matching rows) via the merge-on-read delta path — no bucket
+    rewrite (contrast :func:`retention_sweep`, which rewrites buckets to
+    physically reclaim space; run compaction to fold these tombstones
+    down later). Idempotent on ``commit_key``.
+
+    Reference analog: criteria-driven cleanup deletes items matching a
+    filter rather than an id list (scripts/s3_item_cleanup.py:196-238).
+    """
+    from data_pipeline_spark.lake.merge import MergeStats, merge_into
+
+    snap = table.current()
+    if commit_key in snap.commits:
+        return MergeStats(commit_key, False, snap.version, 0)
+    order = snap.order_col
+    fence = table.read(columns=[]).agg(F.max(order)).first()[0]
+    if fence is None:
+        return MergeStats(commit_key, False, snap.version, 0)
+    hit = table.read().filter(predicate)
+    batch = hit.select(
+        F.col(snap.key),
+        *[
+            (
+                F.lit(fence + 1).cast(d).alias(n)
+                if n == order
+                else F.col(n)
+            )
+            for n, d in table.schema_fields(snap)
+            if n != snap.key
+        ],
+        F.lit("delete").alias("op"),
+    )
+    return merge_into(table, batch, commit_key, precollapsed=True)
+
+
 def retention_sweep(
     table: LakeTable,
     commit_key: str,

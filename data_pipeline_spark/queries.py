@@ -402,6 +402,50 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_predicate_delete",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        victim AS (SELECT min(lang) AS m FROM live)
+        SELECT url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM live
+        WHERE lang IS DISTINCT FROM (SELECT m FROM victim)
+    """,
+    doc="Predicate delete: replay, then DELETE WHERE lang = <min lang> as "
+    "one O(matching) delta commit — tombstones fenced at the snapshot's "
+    "high-watermark lsn, so already-reflected events lose the read-time "
+    "race and genuinely newer events still resurrect "
+    "(maintenance.delete_where; reference: criteria-driven cleanup, "
+    "s3_item_cleanup.py:196-238)",
+)
+def cdc_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.maintenance import delete_where
+    from data_pipeline_spark.pipeline import replay
+
+    root = tempfile.mkdtemp(prefix="lake_pd_")
+    table = replay(
+        spark, sf_dir, root, n_batches=2, n_buckets=16, record_metrics=False,
+    )
+    victim = table.read(columns=["lang"]).agg(F.min("lang")).first()[0]
+    delete_where(table, F.col("lang").eqNullSafe(F.lit(victim)), "pd-1")
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_wap_final_state",
     _final_state_duck(),
     doc="Write-audit-publish: apply the first half of the log normally, "
