@@ -270,8 +270,18 @@ class LakeTable:
         add_columns: dict[str, str] | None = None,
         widen: dict[str, str] | None = None,
         commit_key: str | None = None,
+        drop_columns: list[str] | None = None,
     ) -> Snapshot:
-        """Add-column / type-widen as a metadata-only commit (no data rewrite)."""
+        """Add-column / type-widen / drop-column as a metadata-only commit
+        (no data rewrite). Dropped columns leave the current field list:
+        readers align every file to the current schema, so the column
+        disappears from all reads immediately while old files keep their
+        bytes until compaction rewrites them. Caveat vs Iceberg's
+        id-based drops: alignment is by NAME, so re-ADDING a dropped name
+        resurfaces pre-drop values from not-yet-compacted files — re-add
+        under a fresh name, or compact between drop and re-add, when
+        clean-slate semantics matter. The key, order, and event-time
+        columns are structural and cannot be dropped."""
         snap = self.current()
         fields = dict(self.schema_fields(snap))
         for n, d in (widen or {}).items():
@@ -282,6 +292,13 @@ class LakeTable:
             if n in fields:
                 raise KeyError(f"add_columns: column exists {n}")
             fields[n] = d
+        protected = {snap.key, snap.order_col, "warc_ts"}
+        for n in drop_columns or []:
+            if n not in fields:
+                raise KeyError(f"drop_columns: no such column {n}")
+            if n in protected:
+                raise ValueError(f"drop_columns: {n} is structural")
+            del fields[n]
         new_sv = snap.schema_version + 1
         schemas = dict(snap.schemas)
         schemas[str(new_sv)] = [[n, d] for n, d in fields.items()]
@@ -293,7 +310,12 @@ class LakeTable:
             key=snap.key,
             manifests=dict(snap.manifests),
             commits=dict(snap.commits),
-            summary={"op": "evolve", "add": add_columns or {}, "widen": widen or {}},
+            summary={
+                "op": "evolve",
+                "add": add_columns or {},
+                "widen": widen or {},
+                "drop": drop_columns or [],
+            },
             order_col=snap.order_col,
             props=dict(snap.props),
             depths=dict(snap.depths),
@@ -937,13 +959,17 @@ class LakeTable:
                 expired.append(s.version)
         return expired
 
-    def vacuum(self) -> int:
+    def vacuum(self, min_age_s: float = 0.0) -> int:
         """Delete data files and manifests referenced by NO surviving
         snapshot — pending staged (WAP) commits count as live roots, so
         an audit window can outlast a vacuum; an ABORTED stage's files
         are exactly what this reclaims. Returns the number of data files
-        removed. Safe under the single-writer model: only ever called
-        between commits."""
+        removed. Safe under the single-writer model when called between
+        commits; with OPTIMISTIC concurrent writers, pass ``min_age_s``
+        (Iceberg's orphan-file retention): a racer's freshly-written
+        files are unreferenced until its snapshot CAS lands, and an
+        age floor longer than any in-flight commit keeps them safe."""
+        now = time.time()
         live: set[str] = set()
         live_manifests: set[str] = set()
         roots = self.snapshot_log() + list(self.staged_snapshots().values())
@@ -960,6 +986,8 @@ class LakeTable:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
                 if fn.endswith(".parquet") and rel not in live:
+                    if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                        continue  # too young: possibly an in-flight commit
                     os.remove(full)
                     removed += 1
             if not os.listdir(dirpath):

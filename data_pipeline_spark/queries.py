@@ -402,6 +402,46 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_drop_column",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete'
+    """,
+    doc="Drop-column schema evolution mid-replay: apply half the log, "
+    "DROP the lang column (metadata-only), apply the rest — post-drop "
+    "merges align to the narrowed schema and the final state (sans lang) "
+    "matches the oracle (lake/table.py evolve_schema drop_columns)",
+)
+def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    b = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_dc_"), 16)
+    apply_batch(table, log.filter(F.col("lsn") <= cut), "dc-1",
+                record_metrics=False)
+    table.evolve_schema(drop_columns=["lang"], commit_key="dc-evo")
+    apply_batch(table, log.filter(F.col("lsn") > cut), "dc-2",
+                record_metrics=False)
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_predicate_delete",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

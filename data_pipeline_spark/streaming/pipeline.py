@@ -131,6 +131,8 @@ def run_stream(
     watermark_days: int | None = None,
     max_fail_ratio: float | None = None,
     reread_files: bool = True,
+    compact_every: int | None = None,
+    compact_min_delta_ratio: float | None = 0.2,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -157,7 +159,19 @@ def run_stream(
     filters and AQE instead of an unpruned ``Scan ExistingRDD``. Files from
     a redelivered epoch that were deleted meanwhile (feed repair rewrote a
     segment in place) are skipped — the file source will list the
-    replacement files as a fresh epoch."""
+    replacement files as a fresh epoch.
+
+    ``compact_every=N`` folds merge-on-read deltas back into base files
+    every N applied epochs, INSIDE the stream loop: a continuous tail
+    otherwise accretes one delta file per bucket per epoch forever, and
+    read amplification grows without bound. The compaction commit is
+    keyed on the epoch id (idempotent across stream restarts — a
+    redelivered epoch re-issues the same compaction key, a no-op), runs
+    AFTER the epoch's apply commit, and is size-tiered via
+    ``compact_min_delta_ratio`` so delta-light buckets are skipped (no
+    rewrite amplification). A compaction failure does not lose data —
+    the apply commit already landed; the next trigger retries under the
+    same key."""
     table = ensure_table(spark, table_root, n_buckets)
     seen = {"n": 0}
 
@@ -198,6 +212,11 @@ def run_stream(
             watermark_days=watermark_days,
         )
         seen["n"] += 1
+        if compact_every is not None and seen["n"] % compact_every == 0:
+            table.compact(
+                f"stream-compact-{batch_id}",
+                min_delta_ratio=compact_min_delta_ratio,
+            )
         if crash and fail_mode == "after":
             raise RuntimeError("injected post-commit failure (before checkpoint)")
 
