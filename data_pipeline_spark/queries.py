@@ -1883,6 +1883,286 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================================================================
+# History/windowing extensions (SCD2, session + hopping windows, multi-level
+# aggregates) and cross-document n-gram curation signals
+# ============================================================================
+
+# SCD Type-2 dimension build: each non-delete version is valid from its own
+# warc_ts until the NEXT event for the url in LSN order (deletes close the
+# interval but emit no row); the open head carries a sentinel high date.
+# History-preserving variant of the LWW MERGE feed.
+sql_pair(
+    "cdc_scd2_history",
+    spark_sql=f"""
+        WITH v AS (
+          SELECT url, lsn, op, warc_ts,
+                 lead(warc_ts) OVER (PARTITION BY url ORDER BY lsn) AS next_ts
+          FROM changelog)
+        SELECT url, lsn,
+               {TS_SPARK.format(c='warc_ts')} AS valid_from_s,
+               coalesce({TS_SPARK.format(c='next_ts')},
+                        '9999-12-31 23:59:59.999999') AS valid_to_s,
+               CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT)
+                 AS is_current
+        FROM v WHERE op <> 'delete'
+    """,
+    duck_sql=f"""
+        WITH v AS (
+          SELECT url, lsn, op, warc_ts,
+                 lead(warc_ts) OVER (PARTITION BY url ORDER BY lsn) AS next_ts
+          FROM changelog)
+        SELECT url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS valid_from_s,
+               coalesce({TS_DUCK.format(c='next_ts')},
+                        '9999-12-31 23:59:59.999999') AS valid_to_s,
+               CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT)
+                 AS is_current
+        FROM v WHERE op <> 'delete'
+    """,
+    doc="SCD Type-2 validity intervals from the change feed — the "
+    "history-preserving twin of the LWW upsert (trigger_cdse.py:123-141)",
+)
+
+
+def _session_windows_duck() -> str:
+    # Gaps-and-islands twin of Spark's session_window(gap=6h): a new session
+    # starts when the gap to the previous event (per url, event-time order)
+    # reaches the 6h gap; session end = last event + gap, exactly Spark's
+    # window.end extension rule.
+    return f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        ordered AS (
+          SELECT url, lsn, warc_ts,
+                 lag(warc_ts) OVER (PARTITION BY url ORDER BY warc_ts, lsn)
+                   AS prev_ts
+          FROM changelog),
+        marked AS (
+          SELECT *, CASE WHEN prev_ts IS NULL
+                           OR warc_ts >= prev_ts + INTERVAL 6 HOUR
+                         THEN 1 ELSE 0 END AS is_new
+          FROM ordered),
+        islands AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY url ORDER BY warc_ts, lsn
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT url,
+               {TS_DUCK.format(c='min(warc_ts)')} AS session_start,
+               {TS_DUCK.format(c="max(warc_ts) + INTERVAL 6 HOUR")}
+                 AS session_end,
+               CAST(count(*) AS BIGINT) AS n, min(lsn) AS first_lsn
+        FROM islands GROUP BY url, sid
+    """
+
+
+@register(
+    "cdc_session_windows",
+    _session_windows_duck(),
+    doc="Native Spark session_window(6h) per url; oracle is the "
+    "gaps-and-islands construction (B4 sliding-lookback family)",
+)
+def cdc_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir, ("events",))
+    df = spark.table("changelog")
+    return (
+        df.groupBy("url", F.session_window("warc_ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n"), F.min("lsn").alias("first_lsn"))
+        .select(
+            "url",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n",
+            "first_lsn",
+        )
+    )
+
+
+@register(
+    "cdc_hopping_window",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')})
+        SELECT CAST((floor(epoch(warc_ts) / 10800) - off) * 10800 AS BIGINT)
+                 AS win_epoch,
+               CAST(count(*) AS BIGINT) AS n, min(lsn) AS first_lsn
+        FROM changelog
+        CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1 AS off) h
+        GROUP BY 1
+    """,
+    doc="Native Spark sliding window (6h width, 3h slide): every event lands "
+    "in exactly two hops; oracle enumerates both hop offsets arithmetically",
+)
+def cdc_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir, ("events",))
+    df = spark.table("changelog")
+    return (
+        df.groupBy(F.window("warc_ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count("*").alias("n"), F.min("lsn").alias("first_lsn"))
+        .select(
+            F.unix_timestamp("w.start").alias("win_epoch"), "n", "first_lsn"
+        )
+    )
+
+
+# A2 extension: one pass producing per-(lang,op), per-lang, per-op, and grand
+# totals with explicit grouping flags (multi-level rollup without re-scans).
+sql_pair(
+    "cdc_grouping_sets",
+    spark_sql="""
+        SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(op, 'ALL') AS op_g,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               CAST(grouping(op) AS INT) AS g_op,
+               count(*) AS n
+        FROM changelog
+        GROUP BY GROUPING SETS ((lang, op), (lang), (op), ())
+    """,
+    duck_sql="""
+        SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(op, 'ALL') AS op_g,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               CAST(grouping(op) AS INT) AS g_op,
+               CAST(count(*) AS BIGINT) AS n
+        FROM changelog
+        GROUP BY GROUPING SETS ((lang, op), (lang), (op), ())
+    """,
+    doc="A2 multi-level aggregate via GROUPING SETS (single shuffle, "
+    "aggregate_items.py:98-118)",
+)
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "pt")
+
+
+@register(
+    "cdc_pivot_daily_langs",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')})
+        SELECT strftime(date_trunc('day', warc_ts), '%Y-%m-%d') AS day,
+               {', '.join(
+                   f"CAST(sum(CASE WHEN lang = '{x}' THEN 1 ELSE 0 END) "
+                   f"AS BIGINT) AS {x}" for x in _PIVOT_LANGS)}
+        FROM changelog GROUP BY 1
+    """,
+    doc="DataFrame pivot (day x lang counts) with explicit value list so the "
+    "plan is one aggregate, no distinct-scan; conditional-agg oracle",
+)
+def cdc_pivot_daily_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir, ("events",))
+    df = spark.table("changelog").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("warc_ts")), "yyyy-MM-dd")
+    )
+    p = df.groupBy("day").pivot("lang", list(_PIVOT_LANGS)).count()
+    return p.na.fill(0, list(_PIVOT_LANGS))
+
+
+# Dolma-style duplicate-n-gram fraction: share of a doc's word-5-grams that
+# also appear in at least one OTHER document (exact integer ppm). The gram
+# join is an equi-join on the gram string against a pre-aggregated doc-count
+# dim — no all-pairs stage, scales like the MinHash candidate join.
+sql_pair(
+    "docs_dup_ngram_fraction",
+    spark_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, split(trim(text), '\\s+') AS t FROM documents),
+        grams AS (
+          SELECT doc_id, explode(transform(
+            sequence(1, size(t) - 4),
+            i -> concat_ws(' ', t[i - 1], t[i], t[i + 1], t[i + 2], t[i + 3])
+          )) AS g
+          FROM toks WHERE size(t) >= 5),
+        gd AS (
+          SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+        per AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM grams JOIN gd USING (g) GROUP BY doc_id)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST((n_dup * 1000000) div n_grams AS BIGINT) AS dup_ppm
+        FROM per
+    """,
+    duck_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(t) - 4 + 1),
+            i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] || ' ' ||
+                 t[CAST(i + 2 AS INT)] || ' ' || t[CAST(i + 3 AS INT)] ||
+                 ' ' || t[CAST(i + 4 AS INT)])) AS g
+          FROM toks WHERE len(t) >= 5),
+        gd AS (
+          SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+        per AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM grams JOIN gd USING (g) GROUP BY doc_id)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST((n_dup * 1000000) // n_grams AS BIGINT) AS dup_ppm
+        FROM per
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Duplicate-5-gram fraction per doc (cross-document overlap signal "
+    "for training-data curation; equi-join on gram, no all-pairs)",
+)
+
+# Rarity-weighted top term per document: tf scaled by inverse document
+# frequency as an exact integer ratio (tf*1e6 div df) — the deterministic
+# integer twin of tf-idf term extraction (ln() would float-hash-hazard).
+sql_pair(
+    "docs_top_rare_term",
+    spark_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, explode(split(trim(text), '\\s+')) AS word
+          FROM documents),
+        tf AS (
+          SELECT doc_id, word, count(*) AS c FROM toks GROUP BY doc_id, word),
+        dfreq AS (
+          SELECT word, count(DISTINCT doc_id) AS d FROM toks GROUP BY word)
+        SELECT doc_id, word AS top_term,
+               CAST(score AS BIGINT) AS rarity_ppm
+        FROM (
+          SELECT tf.doc_id, tf.word, (tf.c * 1000000) div dfreq.d AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY (tf.c * 1000000) div dfreq.d DESC, tf.word) AS rn
+          FROM tf JOIN dfreq ON tf.word = dfreq.word)
+        WHERE rn = 1
+    """,
+    duck_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents),
+        tf AS (
+          SELECT doc_id, word, count(*) AS c FROM toks GROUP BY doc_id, word),
+        dfreq AS (
+          SELECT word, count(DISTINCT doc_id) AS d FROM toks GROUP BY word)
+        SELECT doc_id, word AS top_term,
+               CAST(score AS BIGINT) AS rarity_ppm
+        FROM (
+          SELECT tf.doc_id, tf.word, (tf.c * 1000000) // dfreq.d AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY (tf.c * 1000000) // dfreq.d DESC, tf.word) AS rn
+          FROM tf JOIN dfreq ON tf.word = dfreq.word)
+        WHERE rn = 1
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Per-doc rarity-weighted top term (integer tf/df ratio; df dim is a "
+    "broadcast-sized aggregate at any corpus scale)",
+)
+
+
 from data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
 
 
