@@ -51,6 +51,7 @@ HEADLINE = [
     "emb_ann_bruteforce",
     "cdc_incr_matview",         # retract-stream fold vs full recompute
     "cdc_point_lookup",         # bloom + bucket pruned primary-key GET
+    "cdc_clustered_scan",       # OPTIMIZE ZORDER BY + stats-bounded scan
 ]
 
 

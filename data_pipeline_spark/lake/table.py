@@ -445,6 +445,7 @@ class LakeTable:
         buckets: set[int] | None = None,
         min_order: int | None = None,
         point_keys: list[str] | None = None,
+        stats_bounds: dict[str, tuple] | None = None,
     ) -> tuple[dict[int, list[str]], bool]:
         """Resolve the data files a scan must read, applying bucket
         pruning and manifest-stats file skipping; returns
@@ -463,7 +464,19 @@ class LakeTable:
         such a file contributes no rows for those keys, including
         tombstone fences — blooms are built over tombstone rows too).
         Files without a bloom (table opted out, or pre-opt-in files) are
-        never skipped."""
+        never skipped.
+
+        ``stats_bounds`` ({col: (lo, hi) inclusive, normalized units —
+        epoch micros for timestamps}) skips files whose recorded [min,
+        max] cannot intersect the interval — but ONLY inside fully
+        compacted buckets. Under merge-on-read a winner row could hide in
+        a skipped file while a LOSER of the same key survives in a
+        retained one and win the collapse — stale-row resurrection. In an
+        all-base bucket every physical row already IS a current winner,
+        so dropping files that cannot contain a predicate-passing row is
+        sound. Buckets still carrying deltas are read in full; the
+        caller's post-collapse predicate filter keeps semantics exact
+        either way."""
         import base64
 
         pos_cache: dict[tuple[str, int], list[int]] = {}
@@ -484,13 +497,26 @@ class LakeTable:
         for b in snap.manifests:
             if buckets is not None and int(b) not in buckets:
                 continue
-            for e in self.bucket_entries(snap, b):
+            entries = self.bucket_entries(snap, b)
+            all_base = all(
+                e.get("kind", "base") == "base" for e in entries
+            )
+            for e in entries:
                 if min_order is not None:
                     bounds = (e.get("stats") or {}).get(snap.order_col)
                     if bounds is not None and bounds[1] <= min_order:
                         continue
                 if point_keys is not None and not _bloom_may_contain(e):
                     continue
+                if stats_bounds is not None and all_base:
+                    skip = False
+                    for col, (lo, hi) in stats_bounds.items():
+                        sb = (e.get("stats") or {}).get(col)
+                        if sb is not None and (sb[0] > hi or sb[1] < lo):
+                            skip = True
+                            break
+                    if skip:
+                        continue
                 if e.get("kind", "base") == "delta":
                     has_delta = True
                 groups.setdefault(e["schema_version"], []).append(
@@ -564,8 +590,16 @@ class LakeTable:
         min_order: int | None = None,
         point_keys: list[str] | None = None,
         columns: list[str] | None = None,
+        stats_bounds: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
+
+        ``stats_bounds`` ({col: (lo, hi) inclusive; values in column
+        units — datetimes for timestamps}) applies the predicate exactly
+        (post-collapse filter) AND skips files via manifest min/max stats
+        wherever that is sound (fully compacted buckets — see
+        :meth:`_select_files`). After a z-order clustered ``compact``
+        the skip serves intervals on ANY clustered column.
 
         ``point_keys`` prunes with manifest key-blooms (files that cannot
         contain any of the keys are skipped before Spark lists anything)
@@ -608,12 +642,23 @@ class LakeTable:
         """
         snap = snap or self.current()
         sch = align_snap or snap
+        norm_bounds = None
+        if stats_bounds is not None:
+            norm_bounds = {
+                c: tuple(
+                    _epoch_us(v) if hasattr(v, "timestamp") else v
+                    for v in lo_hi
+                )
+                for c, lo_hi in stats_bounds.items()
+            }
         groups, has_delta = self._select_files(
-            snap, buckets, min_order, point_keys
+            snap, buckets, min_order, point_keys, norm_bounds
         )
         cur_fields = self.schema_fields(sch)
         if columns is not None:
             keep = {snap.key, snap.order_col, *columns}
+            if stats_bounds is not None:
+                keep |= set(stats_bounds)
             cur_fields = [f for f in cur_fields if f[0] in keep]
         phys_fields = cur_fields + [(TOMBSTONE_COL, "boolean")]
         if not groups:
@@ -661,6 +706,11 @@ class LakeTable:
             )
         if min_order is not None:
             out = out.filter(F.col(snap.order_col) > min_order)
+        if stats_bounds is not None:
+            for c, (lo, hi) in stats_bounds.items():
+                out = out.filter(
+                    (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+                )
         if include_tombstones:
             return out
         return out.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
@@ -1050,26 +1100,30 @@ class LakeTable:
     def is_committed(self, commit_key: str) -> bool:
         return commit_key in self.current().commits
 
-    def _footer_stats(self, abs_path: str) -> dict[str, list[int]]:
+    def _footer_stats(self, abs_path: str) -> dict[str, list]:
         """Per-file min/max column stats from the parquet footer (Iceberg
-        ``lower_bounds``/``upper_bounds`` analog) for every int64 and
-        timestamp column — in this schema exactly the order column (lsn)
-        and the event time (warc_ts). Timestamps are stored as epoch
-        micros so manifests stay plain JSON. Footer-only: no data IO; at
-        cluster scale Iceberg computes these executor-side in the writer,
-        here the commit's driver-side file enumeration already touches
-        each footer-sized object once, so cost stays O(files-in-commit).
-        Columns with absent/unusable footer stats are simply omitted —
-        readers treat a missing stat as "cannot prune"."""
+        ``lower_bounds``/``upper_bounds`` analog) for every int64,
+        timestamp, and string column — in this schema the order column
+        (lsn), the event time (warc_ts), and low-cardinality attributes
+        like lang that z-order clustering makes prunable. Timestamps are
+        stored as epoch micros and strings truncated to 64 chars (Iceberg
+        truncate-transform on bounds) so manifests stay plain JSON.
+        Footer-only: no data IO; at cluster scale Iceberg computes these
+        executor-side in the writer, here the commit's driver-side file
+        enumeration already touches each footer-sized object once, so
+        cost stays O(files-in-commit). Columns with absent/unusable
+        footer stats are simply omitted — readers treat a missing stat
+        as "cannot prune"."""
         import pyarrow.parquet as pq
 
         md = pq.read_metadata(abs_path)
         schema = md.schema.to_arrow_schema()
-        out: dict[str, list[int]] = {}
+        out: dict[str, list] = {}
         for i, field in enumerate(schema):
             t = field.type
             is_ts = str(t).startswith("timestamp")
-            if not (t == "int64" or is_ts) or md.num_rows == 0:
+            is_str = t == "string" or t == "large_string"
+            if not (t == "int64" or is_ts or is_str) or md.num_rows == 0:
                 continue
             mins, maxs = [], []
             ok = True
@@ -1081,6 +1135,19 @@ class LakeTable:
                 mn, mx = st.min, st.max
                 if is_ts:
                     mn, mx = _epoch_us(mn), _epoch_us(mx)
+                elif is_str:
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            ok = False
+                            break
+                    # Truncated max stays a sound UPPER bound only if we
+                    # bump the last kept char past any truncated suffix.
+                    if len(mn) > 64:
+                        mn = mn[:64]
+                    if len(mx) > 64:
+                        mx = mx[:63] + chr(ord(mx[63]) + 1)
                 mins.append(mn)
                 maxs.append(mx)
             if ok and mins:
@@ -1162,7 +1229,11 @@ class LakeTable:
         return dict(zip(paths, es))
 
     def _write_data_files(
-        self, df: DataFrame, version: int, dir_name: str | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        dir_name: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> tuple[str, dict[int, list[str]]]:
         """Write ``df`` bucket-partitioned under data/v<version> (or
         ``dir_name`` — staged WAP commits use their stage id so a
@@ -1186,11 +1257,16 @@ class LakeTable:
         self.spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
-        (
-            df.write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        writer = df.write.partitionBy(BUCKET_COL).mode("overwrite")
+        if max_records_per_file is not None:
+            # Per-write option (not session conf): the sorted stream is
+            # split into consecutive files, each covering a contiguous
+            # slice of the within-bucket order — the file-granularity
+            # clustering stats_bounds skipping feeds on.
+            writer = writer.option(
+                "maxRecordsPerFile", max_records_per_file
+            )
+        writer.parquet(out_dir)
         written: dict[int, list[str]] = {}
         for dname in os.listdir(out_dir):
             if not dname.startswith(f"{BUCKET_COL}="):
@@ -1206,7 +1282,12 @@ class LakeTable:
         return rel_dir, written
 
     def _prep_write(
-        self, df: DataFrame, snap: Snapshot, fanout: bool = False
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        fanout: bool = False,
+        cluster_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> DataFrame:
         """Project to the physical schema + bucket column.
 
@@ -1236,7 +1317,36 @@ class LakeTable:
         )
         if fanout:
             return out
-        return out.repartition(BUCKET_COL).sortWithinPartitions(snap.key)
+        if cluster_by:
+            # Clustered rewrite: order within the bucket by the z-value
+            # (or the hierarchical sort columns); the bucket exchange is
+            # happening anyway, so clustering costs only the sort. The
+            # sort LEADS with the bucket column: the dynamic-partition
+            # writer requires ordering by the partition column and would
+            # otherwise inject its own bucket-only sort, destroying the
+            # clustering — a bucket-prefixed ordering satisfies the
+            # writer's requirement so the clustered order reaches the
+            # files verbatim. The transient __z column is projected away
+            # before the write — within-partition order survives a
+            # projection (no exchange).
+            if zorder:
+                from data_pipeline_spark.lake.zorder import (
+                    Z_COL,
+                    with_zvalue,
+                )
+
+                out = with_zvalue(out, cluster_by)
+                return (
+                    out.repartition(BUCKET_COL)
+                    .sortWithinPartitions(BUCKET_COL, Z_COL, snap.key)
+                    .drop(Z_COL)
+                )
+            return out.repartition(BUCKET_COL).sortWithinPartitions(
+                BUCKET_COL, *cluster_by, snap.key
+            )
+        return out.repartition(BUCKET_COL).sortWithinPartitions(
+            BUCKET_COL, snap.key
+        )
 
     def commit_delta(
         self,
@@ -1487,6 +1597,9 @@ class LakeTable:
         commit_key: str,
         summary: dict[str, Any] | None = None,
         op: str = "rewrite",
+        cluster_by: list[str] | None = None,
+        zorder: bool = False,
+        target_rows_per_file: int | None = None,
     ) -> Snapshot:
         """Replace the contents of ``touched`` buckets with ``df`` atomically
         (copy-on-write: compaction, maintenance rewrites).
@@ -1495,14 +1608,25 @@ class LakeTable:
         (one row per key — callers read with merge-on-read collapse) and
         carry only current-schema columns + the tombstone flag. Buckets in
         ``touched`` with no rows in ``df`` become empty; untouched buckets
-        carry forward by manifest reference."""
+        carry forward by manifest reference.
+
+        ``cluster_by``/``zorder``/``target_rows_per_file`` order rows
+        within each bucket (hierarchical sort, or Morton z-order over the
+        columns) and bound file sizes so each output file covers a tight
+        slice of the clustered space — manifest stats then prune
+        ``stats_bounds`` scans at FILE granularity (Iceberg
+        rewrite-with-sort-order / Delta OPTIMIZE ZORDER BY)."""
         snap = self.current()
         if commit_key in snap.commits:
             return snap  # idempotent replay — exactly-once keystone
         version = snap.version + 1
         t0 = time.monotonic()
         rel_dir, written = self._write_data_files(
-            self._prep_write(df, snap), version
+            self._prep_write(
+                df, snap, cluster_by=cluster_by, zorder=zorder
+            ),
+            version,
+            max_records_per_file=target_rows_per_file,
         )
         t_write = time.monotonic() - t0
         t0 = time.monotonic()
@@ -1551,6 +1675,9 @@ class LakeTable:
         purge_tombstones_where: F.Column | None = None,
         max_buckets: int | None = None,
         min_delta_ratio: float | None = None,
+        cluster_by: list[str] | None = None,
+        zorder: bool = False,
+        target_rows_per_file: int | None = None,
     ) -> Snapshot | None:
         """Rewrite multi-file buckets down to one base file each (Iceberg
         ``rewrite_data_files``): LWW-collapse base+deltas, optionally purge
@@ -1569,7 +1696,18 @@ class LakeTable:
         fold a tiny delta (rewrite-amplification guard; Iceberg's
         delete-file-threshold analog). Returns the new snapshot, or None
         when nothing qualifies (no empty commits). Idempotent via
-        ``commit_key``."""
+        ``commit_key``.
+
+        ``cluster_by`` (+ ``zorder=True`` for Morton interleaving over
+        several columns, ``target_rows_per_file`` for file-granularity
+        slices) clusters the rewritten rows so manifest min/max stats on
+        the clustered columns prune ``read(stats_bounds=...)`` scans —
+        Delta's OPTIMIZE ZORDER BY / Iceberg's rewrite with sort-order.
+        When clustering is requested, ``min_files`` drops to 1 — a
+        single-base-file bucket is exactly what a clustering rewrite
+        wants to reorganize."""
+        if cluster_by:
+            min_files = min(min_files, 1)
         snap = self.current()
         if commit_key in snap.commits:
             return snap
@@ -1620,6 +1758,16 @@ class LakeTable:
             content,
             buckets,
             commit_key,
-            summary={"min_files": min_files},
+            summary={
+                "min_files": min_files,
+                **(
+                    {"cluster_by": cluster_by, "zorder": zorder}
+                    if cluster_by
+                    else {}
+                ),
+            },
             op="compact",
+            cluster_by=cluster_by,
+            zorder=zorder,
+            target_rows_per_file=target_rows_per_file,
         )

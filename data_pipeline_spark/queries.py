@@ -2163,6 +2163,57 @@ sql_pair(
 )
 
 
+@register(
+    "cdc_clustered_scan",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn, {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang
+        FROM latest
+        WHERE op <> 'delete' AND lang = 'en'
+          AND warc_ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND warc_ts <= TIMESTAMP '2024-01-22 00:00:00'
+    """,
+    doc="Z-order clustered rewrite + stats-bounds scan: replay, OPTIMIZE "
+    "ZORDER BY (lang, warc_ts), then a bounded read that file-prunes on "
+    "BOTH clustered columns via manifest min/max stats (lake/zorder.py; "
+    "Delta OPTIMIZE ZORDER / Iceberg rewrite-with-sort-order analog)",
+)
+def cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import replay
+
+    root = tempfile.mkdtemp(prefix="lake_zq_")
+    table = replay(
+        spark, sf_dir, root, n_batches=2, n_buckets=8, record_metrics=False,
+    )
+    table.compact(
+        "zorder-0",
+        cluster_by=["lang", "warc_ts"],
+        zorder=True,
+        target_rows_per_file=64,
+    )
+    lo = dt.datetime(2024, 1, 8)
+    hi = dt.datetime(2024, 1, 22)
+    return table.read(
+        stats_bounds={"lang": ("en", "en"), "warc_ts": (lo, hi)},
+        columns=["lang", "warc_ts"],
+    ).select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "warc_ts_s"
+        ),
+        "lang",
+    )
+
+
 from data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
 
 
