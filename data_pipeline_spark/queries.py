@@ -1023,9 +1023,9 @@ sql_pair(
     "cdc_size_quantiles",
     spark_sql="""
         SELECT lang,
-          percentile_disc(0.5) WITHIN GROUP (ORDER BY octet_length(html)) AS p50,
-          percentile_disc(0.9) WITHIN GROUP (ORDER BY octet_length(html)) AS p90,
-          percentile_disc(0.99) WITHIN GROUP (ORDER BY octet_length(html)) AS p99,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY octet_length(html)) AS BIGINT) AS p50,
+          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY octet_length(html)) AS BIGINT) AS p90,
+          CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY octet_length(html)) AS BIGINT) AS p99,
           count(*) AS n
         FROM changelog WHERE op <> 'delete' GROUP BY lang
     """,
@@ -2212,6 +2212,69 @@ def cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "lang",
     )
+
+
+@register(
+    "cdc_cobucket_join",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        first_ins AS (
+          SELECT url, min(lsn) AS lsn_r,
+                 regexp_extract(url, 'https://site-([0-9]+)\\.', 1) AS site
+          FROM changelog WHERE op = 'insert' GROUP BY url)
+        SELECT l.url, l.lsn, l.lang, f.lsn_r, f.site
+        FROM latest l JOIN first_ins f USING (url)
+        WHERE l.op <> 'delete'
+    """,
+    doc="Storage-partitioned join: two co-bucketed lake tables (CDC state "
+    "+ per-url first-insert profile) joined per bucket with NO table-wide "
+    "shuffle (lake/cojoin.py; Iceberg SPJ / bucket map-join analog; "
+    "fan-out sharding as in prestage_source.py:252-270)",
+)
+def cdc_cobucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.cojoin import cobucketed_join
+    from data_pipeline_spark.lake.merge import merge_into
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.pipeline import replay
+
+    state = replay(
+        spark,
+        sf_dir,
+        tempfile.mkdtemp(prefix="lake_cjl_"),
+        n_batches=2,
+        n_buckets=8,
+        record_metrics=False,
+    )
+    _views(spark, sf_dir, ("events",))
+    profile_src = spark.sql(
+        """
+        SELECT url, min(lsn) AS lsn,
+               regexp_extract(url, 'https://site-([0-9]+)\\\\.', 1) AS site,
+               'update' AS op
+        FROM changelog WHERE op = 'insert' GROUP BY url
+        """
+    )
+    profile = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="lake_cjr_"),
+        [("url", "string"), ("lsn", "bigint"), ("site", "string")],
+        "url",
+        n_buckets=8,
+    )
+    merge_into(profile, profile_src, commit_key="profile-0")
+    # Compacted buckets make each per-bucket side a bare file scan — the
+    # joined plan holds no shuffle exchange (asserted in test_cojoin.py).
+    state.compact("cj-compact-l")
+    profile.compact("cj-compact-r")
+    return cobucketed_join(
+        state, profile, left_columns=["lang"], right_columns=["site"]
+    ).select("url", "lsn", "lang", "lsn_r", "site")
 
 
 from data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
