@@ -232,3 +232,226 @@ def embedding_near_dup_sql(
           ON b.bucket = a.bucket AND a.vec_id < b.vec_id
         WHERE {int_dot('a.qe', 'b.qe', dialect, dim)} >= {threshold_dot}
     """
+
+
+# -- k-means codebook training (Lloyd's, integer-exact) -----------------------
+
+
+def int_l2(a: str, b: str, dialect: str, dim: int = DIM) -> str:
+    """Exact BIGINT squared L2 distance of two quantized vectors."""
+    if dialect == SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)]) * "
+        f"({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])))"
+    )
+
+
+def _floor_div(s: str, n: str, dialect: str) -> str:
+    """Exact floor division for BIGINT SQL across engines.
+
+    ``s - pmod(s, n)`` is an exact multiple of ``n`` (the portable pmod
+    spelling works in both engines regardless of their native ``%``
+    sign), so the final integer division is exact and direction-free;
+    the result equals Python's ``s // n`` — the cross-implementation
+    contract the parity test leans on."""
+    m = f"((({s}) % ({n})) + ({n})) % ({n})"
+    op = "DIV" if dialect == SPARK else "//"
+    return f"((({s}) - ({m})) {op} ({n}))"
+
+
+def kmeans_cte(
+    dialect: str,
+    emb_rel: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = DIM,
+) -> tuple[str, str]:
+    """Unrolled Lloyd's k-means over quantized embeddings as a CTE chain;
+    returns (cte_sql, final_centroid_relation) where the final relation
+    has (cid BIGINT, ce ARRAY<BIGINT>).
+
+    In-engine codebook training (upgrades ann_ivf_sql's "training is an
+    offline job" stand-in): init = the k lowest-vec_id vectors, then
+    ``iters`` assign/update rounds. Everything is integer-exact —
+    distances are BIGINT squared-L2, centroid updates floor-divide the
+    per-dimension BIGINT sums by the cluster size — so Spark and DuckDB
+    produce byte-identical codebooks (no float summation-order hazard).
+    A cluster that loses all members simply drops out (both engines
+    agree). The fixed iteration count keeps the plan finite; the
+    looped-DataFrame form for unbounded iterations is
+    :func:`kmeans_train` (same arithmetic, test-pinned equal).
+
+    Scale shape: assignment is a broadcast (k tiny) cross join + argmin,
+    update is one hash aggregate per round — per round O(corpus) with no
+    corpus self-join anywhere."""
+    qv = quantize("embedding", dialect)
+    idx = (lambda i: f"qe[{i}]") if dialect == SPARK else (
+        lambda i: f"qe[{i + 1}]"
+    )
+    arr = "array" if dialect == SPARK else "list_value"
+    parts = [
+        f"base AS (SELECT vec_id, {qv} AS qe FROM {emb_rel})",
+        f"c0 AS (SELECT vec_id AS cid, qe AS ce FROM base WHERE vec_id < {k})",
+    ]
+    for t in range(1, iters + 1):
+        d = int_l2("v.qe", "c.ce", dialect, dim)
+        parts.append(f"""a{t} AS (
+          SELECT vec_id, qe, cid FROM (
+            SELECT v.vec_id, v.qe, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {d}, c.cid) AS rn
+            FROM base v JOIN c{t - 1} c ON 1 = 1
+          ) s WHERE rn = 1
+        )""")
+        dims = ", ".join(
+            _floor_div(
+                f"CAST(sum({idx(i)}) AS BIGINT)", "count(*)", dialect
+            )
+            for i in range(dim)
+        )
+        parts.append(
+            f"c{t} AS (SELECT cid, {arr}({dims}) AS ce "
+            f"FROM a{t} GROUP BY cid)"
+        )
+    return ",\n".join(parts), f"c{iters}"
+
+
+def kmeans_summary_sql(
+    dialect: str,
+    emb_rel: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = DIM,
+) -> str:
+    """Trained-codebook summary: per cluster, the member count of the
+    final assignment and the exact squared norm of the updated centroid
+    (scalar BIGINTs — hash-safe across engines)."""
+    cte, final = kmeans_cte(dialect, emb_rel, k, iters, dim)
+    # squared norm = exact self dot product of the centroid:
+    if dialect == SPARK:
+        norm = (
+            "aggregate(zip_with(c.ce, c.ce, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    else:
+        norm = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> c.ce[CAST(i AS INT)] * c.ce[CAST(i AS INT)]))"
+        )
+    return f"""
+        WITH {cte}
+        SELECT c.cid, CAST(m.n AS BIGINT) AS n_members,
+               CAST({norm} AS BIGINT) AS c_norm2
+        FROM {final} c
+        JOIN (SELECT cid, count(*) AS n FROM a{iters} GROUP BY cid) m
+          ON m.cid = c.cid
+    """
+
+
+def ann_ivf_trained_sql(
+    dialect: str,
+    emb_rel: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    dim: int = DIM,
+) -> str:
+    """IVF ANN served from an IN-ENGINE-trained codebook: the kmeans_cte
+    chain replaces ann_ivf_sql's lowest-vec_id stand-in, then the same
+    cell-assign / probe / rank tail runs against it."""
+    cte, final = kmeans_cte(dialect, emb_rel, n_centroids, iters, dim)
+    dot_vc = int_l2("v.qe", "c.ce", dialect, dim)
+    dot_qc = int_l2("q.qe", "c.ce", dialect, dim)
+    dot_qn = int_dot("q.qe", "n.qe", dialect, dim)
+    return f"""
+        WITH {cte},
+        assigned AS (
+          SELECT vec_id, qe, cid FROM (
+            SELECT v.vec_id, v.qe, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {dot_vc}, c.cid) AS rn
+            FROM base v JOIN {final} c ON 1 = 1
+          ) a WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {dot_qc}, c.cid) AS rn
+            FROM base q JOIN {final} c ON 1 = 1
+            WHERE q.vec_id < {n_queries}
+          ) p WHERE rn <= {n_probe}
+        ),
+        scored AS (
+          SELECT p.query_id, n.vec_id AS neighbor_id,
+                 {dot_qn} AS dot
+          FROM probes p
+          JOIN assigned n ON n.cid = p.cid
+          JOIN base q ON q.vec_id = p.query_id
+          WHERE n.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot FROM (
+          SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS rn
+          FROM scored
+        ) ranked WHERE rn <= {k}
+    """
+
+
+def kmeans_train(df, vec_col: str = "embedding", k: int = 8,
+                 iters: int = 2, dim: int = DIM) -> list[list[int]]:
+    """Looped-DataFrame Lloyd's k-means — the production form of
+    :func:`kmeans_cte` for unbounded iteration counts (plan depth stays
+    O(1) per round: centroids are collected — k·dim ints, trivially
+    driver-sized — and re-broadcast as literals).
+
+    Same integer-exact arithmetic as the SQL form: BIGINT squared-L2
+    assignment (ties -> lower cid via struct ordering) and Python floor
+    division for updates — so the two forms return identical codebooks
+    (pinned in tests/test_kmeans.py). Returns the centroid list; a
+    cluster that loses all members keeps its previous centroid (the SQL
+    form drops it — documented difference, exercised only on degenerate
+    inputs)."""
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col("vec_id"), F.expr(quantize(vec_col, SPARK)).alias("qe")
+    )
+    init = base.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents: list[list[int]] = [list(r.qe) for r in init]
+    for _ in range(iters):
+        structs = []
+        for cid, c in enumerate(cents):
+            lit = "array(" + ",".join(
+                f"CAST({v} AS BIGINT)" for v in c
+            ) + ")"
+            d = F.expr(
+                f"aggregate(zip_with(qe, {lit}, (x, y) -> (x - y) * (x - y)), "
+                f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            )
+            structs.append(
+                F.struct(d.alias("d"), F.lit(cid).alias("cid"))
+            )
+        assigned = base.withColumn(
+            "cid", F.array_min(F.array(*structs)).getField("cid")
+        )
+        agg = assigned.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("qe")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        by_cid = {r["cid"]: r for r in agg.collect()}
+        cents = [
+            [by_cid[cid][f"s{i}"] // by_cid[cid]["n"] for i in range(dim)]
+            if cid in by_cid
+            else c
+            for cid, c in enumerate(cents)
+        ]
+    return cents

@@ -1715,6 +1715,30 @@ sql_pair(
 )
 
 sql_pair(
+    "emb_kmeans",
+    spark_sql=_sim.kmeans_summary_sql(_sim.SPARK),
+    duck_sql=_sim.kmeans_summary_sql(_sim.DUCK),
+    tables=("embeddings",),
+    with_changelog_cte=False,
+    doc="In-engine k-means codebook training (2 unrolled Lloyd rounds, "
+    "integer-exact: BIGINT squared-L2 assignment, floor-div centroid "
+    "update) — per-cluster member count + exact centroid norm; the "
+    "looped production form is similarity.kmeans_train (test-pinned "
+    "equal, tests/test_kmeans.py)",
+)
+
+sql_pair(
+    "emb_ann_ivf_trained",
+    spark_sql=_sim.ann_ivf_trained_sql(_sim.SPARK),
+    duck_sql=_sim.ann_ivf_trained_sql(_sim.DUCK),
+    tables=("embeddings",),
+    with_changelog_cte=False,
+    doc="IVF ANN served from the in-engine-trained k-means codebook "
+    "(upgrades emb_ann_ivf's offline-training stand-in): same "
+    "cell-assign / nprobe probe / exact-dot rank tail",
+)
+
+sql_pair(
     "emb_near_dup",
     spark_sql=_sim.embedding_near_dup_sql(_sim.SPARK),
     duck_sql=_sim.embedding_near_dup_sql(_sim.DUCK),
