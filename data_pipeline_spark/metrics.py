@@ -50,10 +50,11 @@ def record_commit(
     flow: dict[str, int] | None = None,
 ) -> None:
     """``flow`` carries the per-epoch event-flow counters
-    (events_read/applied/deduped/late_dropped/deletes) whose reconciliation
-    invariant is ``read == applied + deduped + late_dropped`` — the last
-    term is 0 unless a watermark is configured (reference:
-    stamp_expires.report, stamped == modified + failed)."""
+    (events_read/applied/deduped/late_dropped/quarantined/deletes) whose
+    reconciliation invariant is ``read == applied + deduped +
+    late_dropped + quarantined`` — late_dropped is 0 unless a watermark
+    is configured, quarantined is 0 unless a dead-letter table is wired
+    (reference: stamp_expires.report, stamped == modified + failed)."""
     added: dict[str, list[str]] = snap.summary.get("added", {})
     lineage_rows: list[dict] = []
     for b, paths in sorted(added.items(), key=lambda kv: int(kv[0])):
@@ -93,6 +94,9 @@ def record_commit(
                     "events_deduped": (flow or {}).get("events_deduped"),
                     "events_late_dropped": (flow or {}).get(
                         "events_late_dropped"
+                    ),
+                    "events_quarantined": (flow or {}).get(
+                        "events_quarantined"
                     ),
                     "deletes": (flow or {}).get("deletes"),
                 }

@@ -38,6 +38,82 @@ def ensure_table(
     return LakeTable.create(spark, root, TABLE_SCHEMA_V0, key="url", n_buckets=n_buckets)
 
 
+# -- dead-letter queue (per-record quarantine) --------------------------------
+
+# DLQ table schema: the quarantined event's own columns ride along for
+# forensics, keyed by a content-derived id so redelivered batches (and the
+# same bad event arriving in two epochs) land exactly once.
+DLQ_SCHEMA: list[tuple[str, str]] = [
+    ("dlq_id", "string"),
+    ("lsn", "bigint"),
+    ("url", "string"),
+    ("event_op", "string"),
+    ("reason", "string"),
+    ("warc_ts", "timestamp"),
+]
+
+
+def ensure_dlq(spark: SparkSession, root: str, n_buckets: int = 8) -> LakeTable:
+    if LakeTable.exists(root):
+        return LakeTable(spark, root)
+    return LakeTable.create(
+        spark, root, DLQ_SCHEMA, key="dlq_id", n_buckets=n_buckets
+    )
+
+
+def contract_reason(batch: DataFrame) -> F.Column:
+    """First violated feed-contract rule per event, NULL when the event is
+    clean. The rules protect engine invariants, not taste: a NULL key
+    cannot route to a bucket (xxhash64(NULL) -> NULL), a NULL lsn cannot
+    take part in last-writer-wins, an unknown op has no merge semantics,
+    and a NULL payload on a non-delete would extract to a NULL text the
+    table contract forbids (Kafka Connect DLQ / reference failure-page
+    routing, _migrate_catalog/runner.py:342-353 — quarantine instead of
+    abort)."""
+    return (
+        F.when(F.col("url").isNull(), F.lit("null_key"))
+        .when(F.col("lsn").isNull(), F.lit("null_lsn"))
+        .when(
+            ~F.col("op").isin("insert", "update", "delete")
+            | F.col("op").isNull(),
+            F.lit("bad_op"),
+        )
+        .when(
+            (F.col("op") != "delete") & F.col("html").isNull(),
+            F.lit("null_payload"),
+        )
+    )
+
+
+def quarantine(
+    dlq: LakeTable, bad: DataFrame, commit_key: str
+) -> None:
+    """Append contract-violating events (with a ``__reason`` column) to
+    the dead-letter table. The key is a content hash over the event's
+    identifying fields, so the SAME bad event — redelivered after a
+    crash, or replayed in a later epoch — collapses to one DLQ row
+    (idempotent like every other commit in the engine)."""
+    rows = bad.select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("url"), F.lit("∅")),
+                F.coalesce(F.col("lsn").cast("string"), F.lit("∅")),
+                F.coalesce(F.col("op"), F.lit("∅")),
+                F.coalesce(F.col("warc_ts").cast("string"), F.lit("∅")),
+                F.coalesce(F.sha2(F.col("html"), 256), F.lit("∅")),
+            )
+        ).alias("dlq_id"),
+        F.coalesce(F.col("lsn"), F.lit(-1).cast("bigint")).alias("lsn"),
+        F.col("url"),
+        F.col("op").alias("event_op"),
+        F.col("__reason").alias("reason"),
+        F.col("warc_ts"),
+        F.lit("update").alias("op"),
+    )
+    merge_into(dlq, rows, commit_key=f"dlq-{commit_key}")
+
+
 def apply_batch(
     table: LakeTable,
     batch: DataFrame,
@@ -46,6 +122,7 @@ def apply_batch(
     with_stats: bool = False,
     watermark_days: int | None = None,
     stage_id: str | None = None,
+    dlq: LakeTable | None = None,
 ) -> MergeStats:
     """One micro-batch: [late-drop] → LWW winner selection → extraction →
     MERGE (delta commit). ``stage_id`` stages the commit for
@@ -79,6 +156,23 @@ def apply_batch(
     """
     t0 = time.monotonic()
     snap = table.current()
+    n_quarantined = 0
+    if dlq is not None:
+        # Quarantine BEFORE anything else: contract violations (NULL key,
+        # NULL lsn, unknown op, NULL payload) would poison bucket routing,
+        # LWW, and the watermark's max-event-time aggregate. Clean batches
+        # pay one extra scan-level predicate and an emptiness probe; the
+        # DLQ commit happens only when violations exist.
+        flagged = batch.withColumn("__reason", contract_reason(batch))
+        bad = flagged.filter(F.col("__reason").isNotNull())
+        if record_metrics:
+            n_quarantined = bad.count()
+            has_bad = n_quarantined > 0
+        else:
+            has_bad = bool(bad.take(1))
+        if has_bad:
+            quarantine(dlq, bad, commit_key)
+        batch = flagged.filter(F.col("__reason").isNull()).drop("__reason")
     n_late = 0
     if watermark_days is not None:
         hi = batch.agg(F.max("warc_ts")).first()[0]
@@ -117,10 +211,11 @@ def apply_batch(
         }
         n_winners = sum(per_op.values())
         flow = {
-            "events_read": n_read + n_late,
+            "events_read": n_read + n_late + n_quarantined,
             "events_applied": n_winners,
             "events_deduped": n_read - n_winners,
             "events_late_dropped": n_late,
+            "events_quarantined": n_quarantined,
             "deletes": per_op.get("delete", 0),
         }
         metrics_mod.record_commit(
@@ -143,6 +238,7 @@ def replay_log(
     record_metrics: bool = True,
     dense: bool = False,
     compact_at_end: bool = False,
+    dlq: LakeTable | None = None,
 ) -> LakeTable:
     """Replay a change-log DataFrame in LSN-ordered micro-batches.
 
@@ -161,7 +257,7 @@ def replay_log(
             (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
         )
         apply_batch(table, batch, commit_key=f"replay-{i}",
-                    record_metrics=record_metrics)
+                    record_metrics=record_metrics, dlq=dlq)
     if compact_at_end:
         table.compact(commit_key=f"replay-compact-{n_batches}")
     return table

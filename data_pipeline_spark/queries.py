@@ -2301,6 +2301,72 @@ def cdc_cobucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "lsn", "lang", "lsn_r", "site")
 
 
+_DLQ_POISON_SPARK = """
+    SELECT CASE WHEN lsn % 103 = 0 THEN NULL ELSE url END AS url,
+           lsn,
+           warc_ts,
+           CASE WHEN lsn % 101 = 0 THEN 'upsert' ELSE op END AS op,
+           CASE WHEN lsn % 97 = 0 AND op <> 'delete' THEN NULL
+                ELSE html END AS html,
+           lang
+    FROM changelog
+"""
+
+
+@register(
+    "cdc_dlq_quarantine",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        poisoned AS ({_DLQ_POISON_SPARK}),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN url IS NULL THEN 'null_key'
+                      WHEN lsn IS NULL THEN 'null_lsn'
+                      WHEN op NOT IN ('insert','update','delete')
+                           OR op IS NULL THEN 'bad_op'
+                      WHEN op <> 'delete' AND html IS NULL
+                           THEN 'null_payload'
+                 END AS reason
+          FROM poisoned)
+        SELECT url, lsn, op AS event_op, reason,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s
+        FROM flagged WHERE reason IS NOT NULL
+    """,
+    doc="Dead-letter quarantine: replay a deterministically poisoned "
+    "change log (NULL keys, unknown ops, NULL payloads); contract "
+    "violations land exactly once in the DLQ lake table instead of "
+    "failing the stream (pipeline.contract_reason/quarantine; Kafka "
+    "Connect DLQ analog; reference failure routing, "
+    "_migrate_catalog/runner.py:342-353)",
+)
+def cdc_dlq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import ensure_dlq, replay_log
+
+    _views(spark, sf_dir, ("events",))
+    poisoned = spark.sql(_DLQ_POISON_SPARK)
+    dlq = ensure_dlq(spark, tempfile.mkdtemp(prefix="lake_dlq_"))
+    replay_log(
+        spark,
+        poisoned,
+        tempfile.mkdtemp(prefix="lake_dlqt_"),
+        n_batches=2,
+        n_buckets=8,
+        record_metrics=False,
+        dlq=dlq,
+    )
+    return dlq.read().select(
+        "url",
+        "lsn",
+        "event_op",
+        "reason",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "warc_ts_s"
+        ),
+    )
+
+
 from data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
 
 
