@@ -2367,6 +2367,43 @@ def cdc_dlq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_secondary_index",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn, lang FROM latest
+        WHERE op <> 'delete' AND lang = 'en'
+    """,
+    doc="Incrementally-maintained secondary index (index.py): replay, "
+    "fold the retract-stream changelog into a (lang, url) index table, "
+    "cluster it, then answer lang='en' via the two-step indexed GET "
+    "(stats-pruned index probe -> bloom/bucket point lookup) — equal to "
+    "the filtered scan (query_stac.py:152-202 access path as a table)",
+)
+def cdc_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.index import SecondaryIndex
+    from data_pipeline_spark.pipeline import replay
+
+    src = replay(
+        spark,
+        sf_dir,
+        tempfile.mkdtemp(prefix="lake_sidx_s_"),
+        n_batches=2,
+        n_buckets=8,
+        record_metrics=False,
+    )
+    idx = SecondaryIndex(
+        spark, src, tempfile.mkdtemp(prefix="lake_sidx_i_"), "lang", 8
+    )
+    idx.refresh()
+    idx.optimize("sidx-opt", target_rows_per_file=256)
+    return idx.lookup("en").select("url", "lsn", "lang")
+
+
 from data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
 
 
