@@ -1000,6 +1000,17 @@ class LakeTable:
             s.summary["staged_parent"]
             for s in self.staged_snapshots().values()
         }
+        # Live branches resolve pre-fork history from main: keep their
+        # fork snapshots (publish CAS + branch time travel anchor there).
+        from data_pipeline_spark.lake.branch import (
+            branch_handle,
+            list_branches,
+        )
+
+        keep |= {
+            branch_handle(self, b).fork_version()
+            for b in list_branches(self)
+        }
         expired = []
         for s in snaps:
             if s.version not in keep:
@@ -1019,10 +1030,18 @@ class LakeTable:
         (Iceberg's orphan-file retention): a racer's freshly-written
         files are unreferenced until its snapshot CAS lands, and an
         age floor longer than any in-flight commit keeps them safe."""
+        from data_pipeline_spark.lake.branch import branch_snapshot_roots
+
         now = time.time()
         live: set[str] = set()
         live_manifests: set[str] = set()
-        roots = self.snapshot_log() + list(self.staged_snapshots().values())
+        # Live branches are roots too: their unpublished commits reference
+        # data files no main snapshot knows about.
+        roots = (
+            self.snapshot_log()
+            + list(self.staged_snapshots().values())
+            + branch_snapshot_roots(self)
+        )
         for s in roots:
             for name in s.manifests.values():
                 if name:

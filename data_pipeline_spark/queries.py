@@ -2404,6 +2404,48 @@ def cdc_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.lookup("en").select("url", "lsn", "lang")
 
 
+@register(
+    "cdc_branch_publish",
+    _final_state_duck(),
+    doc="Branch write-audit-publish (lake/branch.py): first half of the "
+    "log applied to main, second half committed on a named branch "
+    "(invisible to main readers, verified mid-flight), then fast-forward "
+    "published — final state equals the one-shot replay (multi-commit "
+    "WAP; Iceberg/Nessie branch semantics)",
+)
+def cdc_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark import changelog as clm
+    from data_pipeline_spark.lake.branch import create_branch, publish_branch
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = clm.changelog(spark, sf_dir)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    table = ensure_table(
+        spark, tempfile.mkdtemp(prefix="lake_brq_"), n_buckets=8
+    )
+    apply_batch(
+        table, log.filter(F.col("lsn") <= mid), "half-0",
+        record_metrics=False,
+    )
+    br = create_branch(table, "second-half")
+    apply_batch(
+        br, log.filter(F.col("lsn") > mid), "half-1", record_metrics=False,
+    )
+    publish_branch(table, "second-half")
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "warc_ts_s"
+        ),
+        "lang",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
 from data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
 
 

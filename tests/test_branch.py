@@ -1,0 +1,121 @@
+"""Branches: multi-commit isolation, fast-forward publish, divergence
+refusal, vacuum safety for live branches, and reclamation of abandoned
+ones."""
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.lake.branch import (
+    BranchDivergedError,
+    branch_handle,
+    create_branch,
+    delete_branch,
+    list_branches,
+    publish_branch,
+)
+from data_pipeline_spark.lake.merge import merge_into
+from data_pipeline_spark.pipeline import ensure_table
+
+
+def _batch(spark, rows):
+    df = spark.createDataFrame(
+        rows, "url string, lsn bigint, warc_ts string, html binary, "
+        "lang string, op string"
+    )
+    return df.select(
+        "url", "lsn", F.to_timestamp("warc_ts").alias("warc_ts"), "html",
+        F.lit(None).cast("string").alias("text"), "lang", "op",
+    )
+
+
+def _mk(spark):
+    t = ensure_table(spark, tempfile.mkdtemp(prefix="br_"), 4)
+    merge_into(t, _batch(spark, [
+        ("u1", 1, "2024-01-01 00:00:00", b"a", "en", "insert"),
+        ("u2", 2, "2024-01-01 00:00:00", b"b", "de", "insert"),
+    ]), "m0")
+    return t
+
+
+def _state(handle):
+    return sorted((r.url, r.lsn) for r in handle.read().collect())
+
+
+def test_branch_commits_invisible_then_fast_forward(spark):
+    t = _mk(spark)
+    main_before = _state(t)
+    br = create_branch(t, "audit")
+    merge_into(br, _batch(spark, [
+        ("u3", 3, "2024-01-02 00:00:00", b"c", "fr", "insert"),
+    ]), "b0")
+    merge_into(br, _batch(spark, [
+        ("u1", 4, "2024-01-03 00:00:00", b"a2", "en", "update"),
+        ("u2", 5, "2024-01-03 00:00:00", None, "de", "delete"),
+    ]), "b1")
+    # two commits on the branch, none visible on main
+    assert _state(t) == main_before
+    assert _state(br) == [("u1", 4), ("u3", 3)]
+    assert list_branches(t) == ["audit"]
+
+    head = publish_branch(t, "audit")
+    assert _state(t) == [("u1", 4), ("u3", 3)]
+    assert t.current().version == head.version
+    assert list_branches(t) == []
+    # branch commit keys rode into main: replays stay exactly-once
+    assert t.is_committed("b0") and t.is_committed("b1")
+
+
+def test_diverged_main_refuses_publish(spark):
+    t = _mk(spark)
+    br = create_branch(t, "audit")
+    merge_into(br, _batch(spark, [
+        ("u3", 3, "2024-01-02 00:00:00", b"c", "fr", "insert"),
+    ]), "b0")
+    merge_into(t, _batch(spark, [
+        ("u4", 4, "2024-01-02 00:00:00", b"d", "es", "insert"),
+    ]), "m1")
+    with pytest.raises(BranchDivergedError):
+        publish_branch(t, "audit")
+    # branch state is still intact for inspection / rebuild
+    assert ("u3", 3) in _state(branch_handle(t, "audit"))
+
+
+def test_vacuum_spares_live_branch_then_reclaims_abandoned(spark):
+    t = _mk(spark)
+    br = create_branch(t, "wip")
+    merge_into(br, _batch(spark, [
+        ("u3", 3, "2024-01-02 00:00:00", b"c", "fr", "insert"),
+    ]), "b0")
+    assert t.vacuum() == 0  # live branch files are roots
+    assert _state(br) == [("u1", 1), ("u2", 2), ("u3", 3)]
+    delete_branch(t, "wip")
+    assert t.vacuum() > 0  # abandoned branch data reclaimed
+    # main unaffected
+    assert _state(t) == [("u1", 1), ("u2", 2)]
+
+
+def test_branch_compaction_publishes(spark):
+    t = _mk(spark)
+    br = create_branch(t, "opt")
+    merge_into(br, _batch(spark, [
+        ("u3", 3, "2024-01-02 00:00:00", b"c", "fr", "insert"),
+    ]), "b0")
+    br.compact("b-compact")
+    publish_branch(t, "opt")
+    assert _state(t) == [("u1", 1), ("u2", 2), ("u3", 3)]
+    # post-publish maintenance on main still works over promoted history
+    t.vacuum()
+    assert _state(t) == [("u1", 1), ("u2", 2), ("u3", 3)]
+
+
+def test_empty_branch_publish_is_noop_and_refork_allowed(spark):
+    t = _mk(spark)
+    create_branch(t, "idle")
+    v = t.current().version
+    publish_branch(t, "idle")
+    assert t.current().version == v
+    create_branch(t, "idle")  # name reusable after drop
+    delete_branch(t, "idle")
