@@ -2404,6 +2404,54 @@ def cdc_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.lookup("en").select("url", "lsn", "lang")
 
 
+# Curation: deterministic stratified sampling — an exact per-language
+# quota drawn by hash order (not RNG, so any engine reproduces the same
+# sample; the shuffle is one window per stratum, O(corpus)). The staple
+# "balance the languages before training" pass.
+sql_pair(
+    "docs_stratified_sample",
+    spark_sql="""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 40
+    """,
+    duck_sql="""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 40
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Deterministic stratified sample: exact per-lang quota drawn in "
+    "hash order (engine-reproducible, no RNG) — training-mix balancing",
+)
+
+# Curation: domain diversity cap — keep at most N documents per source
+# (the anti-domination pass: one crawl-heavy domain must not swamp the
+# training mix). Rank by quality proxy (longer docs first), tiebreak id.
+sql_pair(
+    "docs_domain_cap",
+    spark_sql="""
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Per-source diversity cap: top-10 docs per source by length "
+    "(anti-domination curation pass; single window, no self-join)",
+)
+
+
 @register(
     "cdc_branch_publish",
     _final_state_duck(),
