@@ -2453,6 +2453,50 @@ sql_pair(
 
 
 @register(
+    "cdc_shallow_clone",
+    _final_state_duck(),
+    doc="Zero-copy shallow clone (lake/clone.py; Delta SHALLOW CLONE "
+    "analog): replay the first half of the log, clone the table "
+    "(manifest-only, absolute file refs), apply the second half TO THE "
+    "CLONE — the clone's final state equals the one-shot replay while "
+    "the source stays frozen at the half-way state",
+)
+def cdc_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark import changelog as clm
+    from data_pipeline_spark.lake.clone import clone_table
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = clm.changelog(spark, sf_dir)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    source = ensure_table(
+        spark, tempfile.mkdtemp(prefix="lake_clq_s_"), n_buckets=8
+    )
+    apply_batch(
+        source, log.filter(F.col("lsn") <= mid), "half-0",
+        record_metrics=False,
+    )
+    half_rows = source.read().count()
+    clone = clone_table(source, tempfile.mkdtemp(prefix="lake_clq_d_"))
+    apply_batch(
+        clone, log.filter(F.col("lsn") > mid), "half-1",
+        record_metrics=False,
+    )
+    assert source.read().count() == half_rows  # source frozen
+    return clone.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "warc_ts_s"
+        ),
+        "lang",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_branch_publish",
     _final_state_duck(),
     doc="Branch write-audit-publish (lake/branch.py): first half of the "
