@@ -133,6 +133,7 @@ def run_stream(
     reread_files: bool = True,
     compact_every: int | None = None,
     compact_min_delta_ratio: float | None = 0.2,
+    dlq_root: str | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -173,6 +174,14 @@ def run_stream(
     the apply commit already landed; the next trigger retries under the
     same key."""
     table = ensure_table(spark, table_root, n_buckets)
+    # ``dlq_root`` arms per-record quarantine inside every epoch (the
+    # per-epoch circuit breaker above aborts on AGGREGATE failure rate;
+    # the DLQ reroutes INDIVIDUAL contract violations and keeps going).
+    dlq = None
+    if dlq_root is not None:
+        from data_pipeline_spark.pipeline import ensure_dlq
+
+        dlq = ensure_dlq(spark, dlq_root)
     seen = {"n": 0}
 
     def _reread(batch: DataFrame) -> DataFrame:
@@ -210,6 +219,7 @@ def run_stream(
             commit_key=EPOCH_KEY.format(n=batch_id),
             record_metrics=record_metrics,
             watermark_days=watermark_days,
+            dlq=dlq,
         )
         seen["n"] += 1
         if compact_every is not None and seen["n"] % compact_every == 0:
