@@ -389,3 +389,99 @@ def auto_split(
     for b in over:
         table.split_bucket(b, f"{commit_key}/base={b}")
     return over
+
+
+def forget(
+    table: LakeTable,
+    keys: list[str],
+    commit_key: str,
+    keep_fence: bool = True,
+    verify: bool = True,
+) -> dict:
+    """Provable erasure of ``keys`` (right-to-be-forgotten): tombstone the
+    keys, rewrite exactly the buckets that held them, expire history, and
+    vacuum — then PROVE it by raw-scanning every surviving physical file.
+
+    ``keep_fence=True`` (default) retains the key's tombstone row (payload
+    NULLed) so a late pre-delete event cannot resurrect erased content;
+    ``False`` purges the tombstone too — full removal including the key
+    string, at the documented cost that a late event re-inserts the key.
+
+    Refuses while staged commits, live branches, or any snapshot beyond
+    the head would survive expiry — those roots retain the data and would
+    make the erasure claim false. Resolve them first.
+
+    The verification is the point (an audit needs evidence, not a plan):
+    after the sweep, a raw pre-collapse scan of the CURRENT snapshot's
+    files — which, post-vacuum, are the only files on disk — must show
+    either nothing for the keys, or only NULL-payload tombstones.
+
+    Reference analog: id-targeted cleanup with post-delete existence
+    verification (scripts/s3_item_cleanup.py:196-238).
+    """
+    from data_pipeline_spark.lake.branch import list_branches
+    from data_pipeline_spark.lake.table import TOMBSTONE_COL
+
+    if table.staged_snapshots():
+        raise RuntimeError("staged commits retain data: publish/abort first")
+    if list_branches(table):
+        raise RuntimeError("live branches retain data: publish/delete first")
+
+    snap = table.current()
+    pred = F.col(snap.key).isin(list(keys))
+    delete_where(table, pred, f"{commit_key}-del")
+
+    # Exactly the buckets the keys route to (the same hash the writer
+    # used — computed by Spark, not re-implemented driver-side).
+    key_df = table.spark.createDataFrame(
+        [(k,) for k in keys], f"{snap.key} string"
+    )
+    snap = table.current()
+    touched = {
+        r[0]
+        for r in key_df.select(
+            table.bucket_expr(snap, snap.key)
+        ).distinct().collect()
+    }
+    table.compact(
+        f"{commit_key}-compact",
+        buckets=touched,
+        min_files=1,
+        purge_tombstones_where=None if keep_fence else pred,
+    )
+    expired = table.expire_snapshots(keep_last=1)
+    removed = table.vacuum()
+
+    report = {
+        "keys": len(keys),
+        "buckets_rewritten": len(touched),
+        "snapshots_expired": len(expired),
+        "files_removed": removed,
+        "fence_kept": keep_fence,
+    }
+    if verify:
+        raw = table.read(include_tombstones=True, raw=True).filter(pred)
+        # The fence row retains key + lsn + event time (warc_ts — the
+        # retention sweep's tombstone-TTL clock; same keep-set as the
+        # merge delete branch). Everything else must be NULL.
+        payload = [
+            c
+            for c in raw.columns
+            if c not in (snap.key, snap.order_col, TOMBSTONE_COL, "warc_ts")
+        ]
+        if keep_fence:
+            leftover = raw.filter(
+                ~F.col(TOMBSTONE_COL)
+                | F.greatest(
+                    *[F.col(c).isNotNull() for c in payload]
+                )
+            ).count()
+        else:
+            leftover = raw.count()
+        report["leftover_rows"] = leftover
+        if leftover:
+            raise RuntimeError(
+                f"erasure verification failed: {leftover} physical rows "
+                f"still carry data for forgotten keys"
+            )
+    return report

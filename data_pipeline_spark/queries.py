@@ -2453,6 +2453,55 @@ sql_pair(
 
 
 @register(
+    "cdc_forget",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn, lang FROM latest
+        WHERE op <> 'delete'
+          AND CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT)
+              % 37 <> 0
+    """,
+    doc="Right-to-be-forgotten (maintenance.forget): replay, erase every "
+    "url whose page id is divisible by 37 — tombstone, bucket-pruned "
+    "rewrite, expire, vacuum, then a raw physical-file scan PROVES no "
+    "payload bytes remain (s3_item_cleanup.py:196-238 verify-after-"
+    "delete); the query returns the surviving state",
+)
+def cdc_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.maintenance import forget
+    from data_pipeline_spark.pipeline import replay
+
+    table = replay(
+        spark,
+        sf_dir,
+        tempfile.mkdtemp(prefix="lake_fgq_"),
+        n_batches=2,
+        n_buckets=8,
+        record_metrics=False,
+    )
+    doomed = [
+        r.url
+        for r in table.read()
+        .filter(
+            F.regexp_extract("url", r"/page/([0-9]+)$", 1).cast("bigint")
+            % 37
+            == 0
+        )
+        .select("url")
+        .collect()
+    ]
+    rep = forget(table, doomed, "fgq-0")
+    assert rep["leftover_rows"] == 0
+    return table.read().select("url", "lsn", "lang")
+
+
+@register(
     "cdc_shallow_clone",
     _final_state_duck(),
     doc="Zero-copy shallow clone (lake/clone.py; Delta SHALLOW CLONE "
