@@ -1114,6 +1114,32 @@ class LakeTable:
             ddl += ", etag string"
         return self.spark.createDataFrame(rows, T.StructType.fromDDL(ddl))
 
+    def history(self) -> DataFrame:
+        """Snapshot-history metadata table (Iceberg ``table$history`` /
+        ``$snapshots`` analog): one row per surviving snapshot — version,
+        operation, schema version, touched-bucket count, cumulative
+        commit-key count, and whether it is the current head. Metadata
+        only (snapshot JSONs), no data IO."""
+        cur = self.current().version
+        rows = [
+            {
+                "version": s.version,
+                "op": str(s.summary.get("op")),
+                "schema_version": s.schema_version,
+                "touched_buckets": len(s.summary.get("touched", []) or []),
+                "n_commits": len(s.commits),
+                "is_current": s.version == cur,
+            }
+            for s in self.snapshot_log()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            T.StructType.fromDDL(
+                "version int, op string, schema_version int, "
+                "touched_buckets int, n_commits int, is_current boolean"
+            ),
+        )
+
     # -- write path ---------------------------------------------------------
 
     def is_committed(self, commit_key: str) -> bool:
