@@ -122,22 +122,34 @@ def list_branches(table: LakeTable) -> list[str]:
     )
 
 
-def publish_branch(table: LakeTable, name: str) -> Snapshot:
-    """Fast-forward main to the branch head; refuses if main moved since
-    the fork (the branch's commits were validated against a head that no
-    longer exists — rebuild on a fresh branch, same rule as a staged
-    commit whose parent moved)."""
+def publish_branch(
+    table: LakeTable, name: str, rebase: bool = False
+) -> Snapshot:
+    """Fast-forward main to the branch head. If main moved since the
+    fork: with ``rebase=False`` refuse (the branch's commits were
+    validated against a head that no longer exists — same rule as a
+    staged commit whose parent moved); with ``rebase=True`` attempt the
+    branch-level analog of ``commit_delta``'s optimistic rebase — when
+    the branch and post-fork main touched DISJOINT buckets (and neither
+    evolved the schema or split buckets), the branch's bucket manifests
+    are still correct verbatim against the new head (an untouched
+    bucket's manifest chain is identical on both lines), so one rebased
+    snapshot layers them onto main. Overlapping buckets, schema changes,
+    or splits still refuse: replaying those needs the data re-run."""
     h = branch_handle(table, name)
     head = h.current()
     fork = h.fork_version()
-    if table.current().version != fork:
-        raise BranchDivergedError(
-            f"main moved to v{table.current().version}; "
-            f"branch {name!r} forked at v{fork}"
-        )
+    main = table.current()
     if head.version == fork:  # nothing committed — just drop the ref
         delete_branch(table, name)
-        return table.current()
+        return main
+    if main.version != fork:
+        if not rebase:
+            raise BranchDivergedError(
+                f"main moved to v{main.version}; "
+                f"branch {name!r} forked at v{fork}"
+            )
+        return _rebase_publish(table, h, head, fork, main)
     # Promote branch snapshots into main history (oldest first), then CAS
     # the head ref. A crash mid-copy leaves main untouched: _CURRENT only
     # moves in the final step.
@@ -151,6 +163,75 @@ def publish_branch(table: LakeTable, name: str) -> Snapshot:
     table._write_snapshot(head, expect_parent=fork)
     delete_branch(table, name)
     return head
+
+
+def _rebase_publish(
+    table: LakeTable,
+    h: BranchHandle,
+    head: Snapshot,
+    fork: int,
+    main: Snapshot,
+) -> Snapshot:
+    fork_snap = h.snapshot(fork)
+    if (
+        main.schema_version != fork_snap.schema_version
+        or head.schema_version != fork_snap.schema_version
+        or main.depths != fork_snap.depths
+        or head.depths != fork_snap.depths
+        or main.n_buckets != fork_snap.n_buckets
+    ):
+        raise BranchDivergedError(
+            "rebase refused: schema or bucket layout changed on one line"
+        )
+    branch_touched = {
+        b
+        for b in head.manifests
+        if head.manifests[b] != fork_snap.manifests.get(b)
+    }
+    main_touched = {
+        b
+        for b in main.manifests
+        if main.manifests[b] != fork_snap.manifests.get(b)
+    }
+    overlap = branch_touched & main_touched
+    if overlap:
+        raise BranchDivergedError(
+            f"rebase refused: both lines touched buckets {sorted(overlap)}"
+        )
+    new = Snapshot(
+        version=main.version + 1,
+        schema_version=main.schema_version,
+        schemas=main.schemas,
+        n_buckets=main.n_buckets,
+        key=main.key,
+        manifests={
+            **main.manifests,
+            **{b: head.manifests[b] for b in branch_touched},
+        },
+        commits={
+            **main.commits,
+            **{
+                k: main.version + 1
+                for k in head.commits
+                if k not in main.commits
+            },
+        },
+        summary={
+            "op": "merge",
+            "rebased_branch": h.branch,
+            "branch_head": head.version,
+            "touched": sorted(int(b) for b in branch_touched),
+        },
+        order_col=main.order_col,
+        props={**main.props, **head.props},
+        depths=dict(main.depths),
+    )
+    # The rebased snapshot references the branch's manifest files (they
+    # live in the shared _manifests dir and are immutable) — only the
+    # snapshot JSON is new.
+    table._write_snapshot(new, expect_parent=main.version)
+    delete_branch(table, h.branch)
+    return new
 
 
 def delete_branch(table: LakeTable, name: str) -> None:

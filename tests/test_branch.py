@@ -119,3 +119,57 @@ def test_empty_branch_publish_is_noop_and_refork_allowed(spark):
     assert t.current().version == v
     create_branch(t, "idle")  # name reusable after drop
     delete_branch(t, "idle")
+
+
+def test_disjoint_rebase_publish_merges_both_lines(spark):
+    t = _mk(spark)  # u1 (bucket of u1), u2
+    br = create_branch(t, "feat")
+    # find urls landing in DIFFERENT buckets so the lines stay disjoint
+    snap = t.current()
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "url string"
+    ).select("url", t.bucket_expr(snap, "url").alias("b"))
+    by_bucket = {}
+    for r in probe.collect():
+        by_bucket.setdefault(r.b, r.url)
+    buckets = sorted(by_bucket)
+    assert len(buckets) >= 2
+    u_branch, u_main = by_bucket[buckets[0]], by_bucket[buckets[1]]
+
+    merge_into(br, _batch(spark, [
+        (u_branch, 100, "2024-01-02 00:00:00", b"c", "fr", "insert"),
+    ]), "b0")
+    merge_into(t, _batch(spark, [
+        (u_main, 101, "2024-01-02 00:00:00", b"d", "es", "insert"),
+    ]), "m1")
+
+    with pytest.raises(BranchDivergedError):
+        publish_branch(t, "feat")  # plain publish still refuses
+    new = publish_branch(t, "feat", rebase=True)
+    state = _state(t)
+    assert (u_branch, 100) in state and (u_main, 101) in state
+    assert t.is_committed("b0") and t.is_committed("m1")
+    assert new.summary["rebased_branch"] == "feat"
+
+
+def test_rebase_refuses_overlapping_buckets(spark):
+    t = _mk(spark)
+    br = create_branch(t, "feat")
+    row = ("u1", 100, "2024-01-02 00:00:00", b"c", "fr", "update")
+    merge_into(br, _batch(spark, [row]), "b0")
+    merge_into(t, _batch(spark, [
+        ("u1", 101, "2024-01-02 00:00:00", b"d", "es", "update"),
+    ]), "m1")
+    with pytest.raises(BranchDivergedError, match="touched buckets"):
+        publish_branch(t, "feat", rebase=True)
+
+
+def test_rebase_refuses_schema_change(spark):
+    t = _mk(spark)
+    br = create_branch(t, "feat")
+    merge_into(br, _batch(spark, [
+        ("u9", 100, "2024-01-02 00:00:00", b"c", "fr", "insert"),
+    ]), "b0")
+    t.evolve_schema(add_columns={"score": "bigint"})
+    with pytest.raises(BranchDivergedError, match="schema or bucket"):
+        publish_branch(t, "feat", rebase=True)
