@@ -1,0 +1,190 @@
+"""Access-path microbenchmark: quantify what the metadata layers buy.
+
+Builds one replayed + bloom-indexed + z-order-compacted table at
+$SPARK_GRAFT_SF_DIR (default sf0.1), then times each access path against
+its naive full-scan twin (warmed best-of-N, fresh predicate literals per
+trial so no stage reuse):
+
+  point GET        table.lookup(keys)              vs read().filter(isin)
+  bounded scan     read(stats_bounds=...)          vs read().filter(range)
+  indexed lookup   SecondaryIndex.lookup(value)    vs read().filter(col=v)
+
+Prints one JSON line; paste the table into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def best_of(n, fn):
+    walls = []
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn()
+        walls.append(time.monotonic() - t0)
+    return min(walls)
+
+
+def main() -> None:
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.index import SecondaryIndex
+    from data_pipeline_spark.pipeline import replay
+    from data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "16"))
+    spark = get_spark(parallelism=cpus)
+
+    table = replay(
+        spark, sf_dir, tempfile.mkdtemp(prefix="lake_ap_"), n_batches=2,
+        n_buckets=64, record_metrics=False, amplify=amplify,
+    )
+    table.update_props({"bloom_bits": 64 * 1024})
+    table.compact(
+        "ap-z", cluster_by=["lang", "warc_ts"], zorder=True,
+        target_rows_per_file=256,
+    )
+    idx = SecondaryIndex(
+        spark, table, tempfile.mkdtemp(prefix="lake_ap_i_"), "lang", 16
+    )
+    idx.refresh()
+    idx.optimize("ap-idx", target_rows_per_file=4096)
+
+    urls = [r.url for r in table.read().limit(400).collect()]
+    results: dict[str, dict] = {}
+
+    def pick(i):  # vary the key set per trial — no plan/stage reuse
+        return urls[i * 7 % 300: i * 7 % 300 + 5]
+
+    state = {"i": 0}
+
+    def _next():
+        state["i"] += 1
+        return state["i"]
+
+    results["point_get"] = {
+        "indexed_s": best_of(
+            trials, lambda: table.lookup(pick(_next())).count()
+        ),
+        "full_s": best_of(
+            trials,
+            lambda: table.read().filter(
+                F.col("url").isin(pick(_next()))
+            ).count(),
+        ),
+    }
+
+    # Window derived from the data (amplified replays compress winner
+    # timestamps into a narrow band): a ~10% slice of the actual range.
+    mn, mx = table.read().agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    lo = mn + (mx - mn) * 2 // 10
+    hi = mn + (mx - mn) * 3 // 10
+
+    def _bounds(n):
+        return {
+            "lang": ("en", "en"),
+            "warc_ts": (lo, hi + dt.timedelta(seconds=n)),
+        }
+
+    results["bounded_scan"] = {
+        "indexed_s": best_of(
+            trials,
+            lambda: table.read(stats_bounds=_bounds(_next())).count(),
+        ),
+        "full_s": best_of(
+            trials,
+            lambda: table.read().filter(
+                (F.col("lang") == "en")
+                & (F.col("warc_ts") >= F.lit(lo))
+                & (F.col("warc_ts") <= F.lit(hi + dt.timedelta(seconds=_next())))
+            ).count(),
+        ),
+    }
+
+    langs = ["en", "de", "fr", "es", "pt"]
+    results["indexed_lookup"] = {
+        "indexed_s": best_of(
+            trials, lambda: idx.lookup(langs[_next() % 5]).count()
+        ),
+        "full_s": best_of(
+            trials,
+            lambda: table.read().filter(
+                F.col("lang") == langs[_next() % 5]
+            ).count(),
+        ),
+    }
+
+    # Equality probes: every fast path must return exactly the naive
+    # path's rows (a wrong fast path is worse than a slow one).
+    ks = pick(3)
+    assert (
+        table.lookup(ks).count()
+        == table.read().filter(F.col("url").isin(ks)).count()
+    )
+    assert (
+        table.read(stats_bounds=_bounds(0)).count()
+        == table.read().filter(
+            (F.col("lang") == "en")
+            & (F.col("warc_ts") >= F.lit(lo))
+            & (F.col("warc_ts") <= F.lit(hi))
+        ).count()
+    )
+    assert (
+        idx.lookup("de").count()
+        == table.read().filter(F.col("lang") == "de").count()
+    )
+
+    # Files opened — the scale-invariant measure (wall times at test SF
+    # are driver-overhead-dominated; file-skip ratios are what survive a
+    # 1000× scale-up).
+    snap = table.current()
+
+    def nfiles(**kw):
+        groups, _ = table._select_files(snap, **kw)
+        return sum(len(fs) for fs in groups.values())
+
+    import data_pipeline_spark.lake.table as lt
+
+    total = nfiles()
+    results["point_get"]["files"] = [
+        nfiles(point_keys=pick(1)), total
+    ]
+    results["bounded_scan"]["files"] = [
+        nfiles(stats_bounds={
+            "lang": ("en", "en"),
+            "warc_ts": (lt._epoch_us(lo), lt._epoch_us(hi)),
+        }),
+        total,
+    ]
+    isnap = idx.table.current()
+    igroups, _ = idx.table._select_files(
+        isnap, stats_bounds={"val": ("en", "en")}
+    )
+    iall, _ = idx.table._select_files(isnap)
+    results["indexed_lookup"]["files"] = [
+        sum(len(f) for f in igroups.values()),
+        sum(len(f) for f in iall.values()),
+    ]
+
+    for k, v in results.items():
+        v["speedup"] = round(v["full_s"] / v["indexed_s"], 2)
+    print(json.dumps({
+        "metric": "access_path_bench", "sf_dir": sf_dir, "cpus": cpus,
+        "trials": trials, "amplify": amplify, "paths": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
