@@ -271,6 +271,7 @@ class LakeTable:
         widen: dict[str, str] | None = None,
         commit_key: str | None = None,
         drop_columns: list[str] | None = None,
+        compat: str | None = None,
     ) -> Snapshot:
         """Add-column / type-widen / drop-column as a metadata-only commit
         (no data rewrite). Dropped columns leave the current field list:
@@ -281,8 +282,29 @@ class LakeTable:
         resurfaces pre-drop values from not-yet-compacted files — re-add
         under a fresh name, or compact between drop and re-add, when
         clean-slate semantics matter. The key, order, and event-time
-        columns are structural and cannot be dropped."""
+        columns are structural and cannot be dropped.
+
+        ``compat`` (default: the ``schema.compat`` table property, else
+        ``"none"``) is the compatibility policy the schema-registry world
+        calls BACKWARD: under ``"backward"``, changes that break a reader
+        compiled against the PREVIOUS schema — dropping a column it
+        selects — refuse; add-column and type-widen pass (old readers see
+        the old columns; widened types still hold every old value).
+        Downstream mirrors consume the schema through the table feed
+        (streaming/table_feed.py), so the policy is the feed's contract
+        guard. Pass ``compat="none"`` to override one call."""
         snap = self.current()
+        policy = compat if compat is not None else str(
+            snap.props.get("schema.compat", "none")
+        )
+        if policy not in ("none", "backward"):
+            raise ValueError(f"unknown compat policy {policy!r}")
+        if policy == "backward" and drop_columns:
+            raise ValueError(
+                "schema.compat=backward refuses drop-column (readers of "
+                "the previous schema would break); override with "
+                "compat='none' if every consumer is known-migrated"
+            )
         fields = dict(self.schema_fields(snap))
         for n, d in (widen or {}).items():
             if n not in fields:

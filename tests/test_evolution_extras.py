@@ -108,3 +108,21 @@ def test_vacuum_age_guard(spark):
     assert t.vacuum(min_age_s=3600) == 0  # age floor protects them
     assert t.vacuum(min_age_s=0.0) > 0
     assert {r["url"] for r in t.read().collect()} == {"u1"}
+
+
+def test_backward_compat_policy_guards_drop(spark):
+    import tempfile as _tf
+
+    import pytest as _pt
+
+    from data_pipeline_spark.pipeline import ensure_table as _ensure
+
+    t = _ensure(spark, _tf.mkdtemp(prefix="compat_"), 2)
+    t.update_props({"schema.compat": "backward"})
+    t.evolve_schema(add_columns={"score": "bigint"})  # additive: allowed
+    t.evolve_schema(widen={"score": "double"})        # widen: allowed
+    with _pt.raises(ValueError, match="backward refuses drop"):
+        t.evolve_schema(drop_columns=["score"])
+    # explicit per-call override wins
+    t.evolve_schema(drop_columns=["score"], compat="none")
+    assert "score" not in dict(t.schema_fields(t.current()))
