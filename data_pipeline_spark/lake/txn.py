@@ -82,12 +82,21 @@ class MultiTableTransaction:
             raise RuntimeError("transaction already finished")
         self._done = True
         os.makedirs(self.txn_dir, exist_ok=True)
+        participants = []
+        for t, sid in self._parts:
+            # The staged snapshot already knows the version it will
+            # publish as — recording it here (before any publish) gives
+            # read_consistent its cross-table version vector even after
+            # a crash-recovery finishes the publishes.
+            with open(t._staged_path(sid)) as f:
+                version = json.load(f)["version"]
+            participants.append(
+                {"root": t.root, "stage_id": sid, "version": version}
+            )
         manifest = {
             "txn_id": self.txn_id,
             "state": _STATE_COMMITTING,
-            "participants": [
-                {"root": t.root, "stage_id": sid} for t, sid in self._parts
-            ],
+            "participants": participants,
         }
         _atomic_write(self._manifest_path(), json.dumps(manifest))
         for t, sid in self._parts:
@@ -135,4 +144,33 @@ def recover_transactions(spark: SparkSession, txn_dir: str) -> dict[str, str]:
         man["state"] = _STATE_COMMITTED
         _atomic_write(path, json.dumps(man))
         out[man["txn_id"]] = "finished"
+    return out
+
+
+def read_consistent(
+    spark: SparkSession, txn_dir: str, txn_id: str
+) -> dict[str, DataFrame]:
+    """Cross-table snapshot view AS OF one committed transaction: every
+    participant pinned to the version that transaction published —
+    {table_root: DataFrame}. This closes (for pinned readers) the
+    isolation window the live-read path leaves open: a reader racing the
+    publish loop can see table A's commit before table B's, but a reader
+    going through the transaction's version vector sees all or nothing.
+
+    Requires state ``committed`` (run :func:`recover_transactions` first
+    after a crash). The pinned versions are ordinary snapshots —
+    ``expire_snapshots`` can age them out; tag them on each table when a
+    consistent view must outlive retention."""
+    path = os.path.join(txn_dir, f"txn-{txn_id}.json")
+    with open(path) as f:
+        man = json.load(f)
+    if man["state"] != _STATE_COMMITTED:
+        raise RuntimeError(
+            f"transaction {txn_id} is {man['state']!r}; "
+            "run recover_transactions first"
+        )
+    out: dict[str, DataFrame] = {}
+    for part in man["participants"]:
+        t = LakeTable(spark, part["root"])
+        out[part["root"]] = t.read_version(part["version"])
     return out

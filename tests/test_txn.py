@@ -102,3 +102,57 @@ def test_crash_before_commit_point_publishes_nothing(spark):
     assert recover_transactions(spark, txn_dir) == {}
     assert _state(t1) == set() and _state(t2) == set()
     assert os.listdir(txn_dir) == []
+
+
+def test_read_consistent_pins_txn_versions(spark):
+    import tempfile as _tf
+
+    import pytest as _pt
+    from pyspark.sql import functions as _F
+
+    from data_pipeline_spark.lake.txn import (
+        MultiTableTransaction,
+        read_consistent,
+    )
+    from data_pipeline_spark.pipeline import ensure_table as _ensure
+    from data_pipeline_spark.lake.merge import merge_into as _merge
+
+    def _b(rows):
+        df = spark.createDataFrame(
+            rows, "url string, lsn bigint, warc_ts string, html binary, "
+            "lang string, op string"
+        )
+        return df.select(
+            "url", "lsn", _F.to_timestamp("warc_ts").alias("warc_ts"),
+            "html", _F.lit(None).cast("string").alias("text"), "lang", "op",
+        )
+
+    a = _ensure(spark, _tf.mkdtemp(prefix="txr_a_"), 2)
+    b = _ensure(spark, _tf.mkdtemp(prefix="txr_b_"), 2)
+    txn_dir = _tf.mkdtemp(prefix="txr_d_")
+    txn = MultiTableTransaction(txn_dir)
+    txn.stage(a, _b([("u1", 1, "2024-01-01 00:00:00", b"x", "en", "insert")]), "a0")
+    txn.stage(b, _b([("v1", 1, "2024-01-01 00:00:00", b"y", "de", "insert")]), "b0")
+    txn.commit()
+
+    # later single-table writes move the heads past the txn versions
+    _merge(a, _b([("u2", 2, "2024-01-02 00:00:00", b"z", "en", "insert")]), "a1")
+    view = read_consistent(spark, txn_dir, txn.txn_id)
+    assert sorted(view) == sorted([a.root, b.root])
+    assert [r.url for r in view[a.root].collect()] == ["u1"]  # pinned pre-a1
+    assert [r.url for r in view[b.root].collect()] == ["v1"]
+    assert a.read().count() == 2  # live head unaffected
+
+    # unknown txn id refuses; a committing-state manifest refuses too
+    import json as _json
+    import os as _os
+
+    with _pt.raises(FileNotFoundError):
+        read_consistent(spark, txn_dir, "nonexistent")
+    with open(_os.path.join(txn_dir, f"txn-{txn.txn_id}.json")) as f:
+        man = _json.load(f)
+    man["state"] = "committing"
+    with open(_os.path.join(txn_dir, "txn-inflight.json"), "w") as f:
+        _json.dump({**man, "txn_id": "inflight"}, f)
+    with _pt.raises(RuntimeError, match="recover_transactions"):
+        read_consistent(spark, txn_dir, "inflight")
