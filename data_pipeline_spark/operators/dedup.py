@@ -462,3 +462,42 @@ def ngram_jaccard_sql(
         JOIN sizes zb ON zb.doc_id = p.doc_b
         WHERE round(1e6 * p.inter / (za.n + zb.n - p.inter)) >= {min_ppm}
     """
+
+
+# -- train/eval decontamination ----------------------------------------------
+
+
+def decontaminate_sql(
+    dialect: str,
+    docs_rel: str = "documents",
+    shingle_k: int = 13,
+    eval_mod: int = 23,
+) -> str:
+    """Benchmark decontamination: flag every TRAIN document sharing at
+    least one ``shingle_k``-char shingle with any EVAL document (the
+    deterministic eval set = doc_id % eval_mod == 0 — stands in for a
+    held-out benchmark), with the shared-shingle count as evidence.
+
+    The canonical pre-training hygiene pass (n-gram overlap against
+    benchmark suites). Plan shape: both sides explode to (doc, shingle
+    HASH) rows; the eval side is tiny and distinct-reduced, so at scale
+    it BROADCASTS and the train side streams through a hash semi-join —
+    no shuffle of the corpus. Long shingles (13 chars) make coincidental
+    hits rare; the hash is the cross-engine h60."""
+    sh = shingles("text", shingle_k, dialect)
+    return f"""
+        WITH train_sh AS (
+          SELECT doc_id, {h60('sh', dialect)} AS hsh
+          FROM (SELECT doc_id, {_unnest(sh, 'sh', dialect)}
+                FROM {docs_rel} WHERE doc_id % {eval_mod} <> 0) t
+        ),
+        eval_sh AS (
+          SELECT DISTINCT {h60('sh', dialect)} AS hsh
+          FROM (SELECT doc_id, {_unnest(sh, 'sh', dialect)}
+                FROM {docs_rel} WHERE doc_id % {eval_mod} = 0) e
+        )
+        SELECT t.doc_id,
+               CAST(count(DISTINCT t.hsh) AS BIGINT) AS shared_shingles
+        FROM train_sh t JOIN eval_sh e ON e.hsh = t.hsh
+        GROUP BY t.doc_id
+    """

@@ -2404,6 +2404,67 @@ def cdc_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.lookup("en").select("url", "lsn", "lang")
 
 
+# Curation: benchmark decontamination — the n-gram-overlap hygiene pass.
+sql_pair(
+    "docs_decontaminate",
+    spark_sql=_dd.decontaminate_sql(_dd.SPARK),
+    duck_sql=_dd.decontaminate_sql(_dd.DUCK),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Train/eval decontamination: flag train docs sharing any 13-char "
+    "shingle with the (deterministic) eval set, with shared-shingle "
+    "counts; eval side broadcasts at scale (operators/dedup.py "
+    "decontaminate_sql)",
+)
+
+# Curation: token-budget shard packing — assign documents to fixed-token
+# training shards. Global packing is inherently sequential, so the window
+# PARTITIONS BY source (parallel across sources, deterministic hash order
+# within): each source packs independently — the shape a 100 TB corpus
+# needs anyway (shards never straddle a source/locality boundary).
+sql_pair(
+    "docs_shard_packing",
+    spark_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 size(split(trim(text), '\\s+')) AS tokens
+          FROM documents),
+        packed AS (
+          SELECT source, doc_id, tokens,
+                 CAST((sum(tokens) OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+                         ROWS UNBOUNDED PRECEDING) - tokens) / 2000
+                      AS BIGINT) AS shard_id
+          FROM toks)
+        SELECT source, shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tokens) AS BIGINT) AS shard_tokens
+        FROM packed GROUP BY source, shard_id
+    """,
+    duck_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS tokens
+          FROM documents),
+        packed AS (
+          SELECT source, doc_id, tokens,
+                 CAST(floor((sum(tokens) OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) - tokens) / 2000)
+                      AS BIGINT) AS shard_id
+          FROM toks)
+        SELECT source, shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tokens) AS BIGINT) AS shard_tokens
+        FROM packed GROUP BY source, shard_id
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Token-budget shard packing: per-source running-sum assignment "
+    "of docs to ~2000-token training shards (deterministic hash order; "
+    "per-source windows keep the pack parallel at corpus scale)",
+)
+
 # Curation: deterministic stratified sampling — an exact per-language
 # quota drawn by hash order (not RNG, so any engine reproduces the same
 # sample; the shuffle is one window per stratum, O(corpus)). The staple
