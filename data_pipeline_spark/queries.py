@@ -2465,6 +2465,62 @@ sql_pair(
     "per-source windows keep the pack parallel at corpus scale)",
 )
 
+# Curation: PII redaction — scrub emails and phone numbers before
+# training. The synthetic corpus carries no PII, so the query INJECTS
+# deterministic PII per doc (same concat on both engines) and then
+# redacts it — the oracle checks the scrubbed text byte-for-byte (sha)
+# plus the per-kind redaction counts. One codegen'd regexp pass per
+# pattern, no UDF.
+_PII_EMAIL = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+sql_pair(
+    "docs_pii_redact",
+    spark_sql=f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS STRING),
+                        '@mail.example or 555-',
+                        lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),
+                        '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+                   AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(size(regexp_extract_all(text, '{_PII_EMAIL}', 0))
+                    AS BIGINT) AS n_emails,
+               CAST(size(regexp_extract_all(text, '{_PII_PHONE}', 0))
+                    AS BIGINT) AS n_phones,
+               sha2(regexp_replace(regexp_replace(text,
+                      '{_PII_EMAIL}', '<EMAIL>'),
+                      '{_PII_PHONE}', '<PHONE>'), 256) AS redacted_sha
+        FROM seeded
+    """,
+    duck_sql=f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@mail.example or 555-',
+                        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                        '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                   AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_PHONE}'))
+                    AS BIGINT) AS n_phones,
+               sha256(regexp_replace(regexp_replace(text,
+                      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_sha
+        FROM seeded
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="PII redaction: email + phone scrub as codegen'd regexp passes "
+    "(no UDF), byte-exact redacted text via sha + per-kind counts "
+    "(deterministically seeded PII — the corpus itself is synthetic)",
+)
+
 # Curation: deterministic stratified sampling — an exact per-language
 # quota drawn by hash order (not RNG, so any engine reproduces the same
 # sample; the shuffle is one window per stratum, O(corpus)). The staple
