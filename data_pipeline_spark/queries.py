@@ -2465,6 +2465,54 @@ sql_pair(
     "per-source windows keep the pack parallel at corpus scale)",
 )
 
+# Ingest diagnostics: no-op update detection — re-crawls that re-stamp a
+# page without changing its content (the reference's "reingestion
+# re-stamping `updated` must not flood the queue" problem,
+# query_stac.py:120-128): an update whose html equals the url's previous
+# event's html is wasted work end-to-end (extraction, merge, mirror
+# fan-out). One lag window per url — no self-join.
+sql_pair(
+    "cdc_noop_updates",
+    spark_sql="""
+        SELECT url, lsn,
+               CASE WHEN html = prev_html THEN 'exact'
+                    ELSE 'fingerprint' END AS tier
+        FROM (
+          SELECT url, lsn, op, html,
+                 lag(html) OVER (PARTITION BY url ORDER BY lsn)
+                   AS prev_html,
+                 octet_length(html) AS len, lang,
+                 lag(octet_length(html)) OVER (PARTITION BY url ORDER BY lsn)
+                   AS prev_len,
+                 lag(lang) OVER (PARTITION BY url ORDER BY lsn) AS prev_lang
+          FROM changelog)
+        WHERE op = 'update'
+          AND (html = prev_html OR (len = prev_len AND lang = prev_lang))
+    """,
+    duck_sql="""
+        SELECT url, lsn,
+               CASE WHEN html = prev_html THEN 'exact'
+                    ELSE 'fingerprint' END AS tier
+        FROM (
+          SELECT url, lsn, op, html,
+                 lag(html) OVER (PARTITION BY url ORDER BY lsn)
+                   AS prev_html,
+                 octet_length(html) AS len, lang,
+                 lag(octet_length(html)) OVER (PARTITION BY url ORDER BY lsn)
+                   AS prev_len,
+                 lag(lang) OVER (PARTITION BY url ORDER BY lsn) AS prev_lang
+          FROM changelog)
+        WHERE op = 'update'
+          AND (html = prev_html OR (len = prev_len AND lang = prev_lang))
+    """,
+    doc="No-op / near-no-op update detection: re-crawls whose payload is "
+    "byte-identical to the url's previous event ('exact') or whose cheap "
+    "fingerprint — content length + lang, the etag/content-length "
+    "pre-screen real crawlers use — is unchanged ('fingerprint'); one "
+    "lag window per url, no self-join (the re-stamping flood diagnostic, "
+    "query_stac.py:120-128)",
+)
+
 # Curation: PII redaction — scrub emails and phone numbers before
 # training. The synthetic corpus carries no PII, so the query INJECTS
 # deterministic PII per doc (same concat on both engines) and then
