@@ -1158,6 +1158,51 @@ sql_pair(
     doc="TPC-H Q3 shipping priority (broadcast dim join)",
 )
 
+# Q5: the 6-table local-supplier join — the classic star-join stress
+# (dims broadcast, the lineitem fact streams; the c↔s nation-equality
+# closes the cycle).
+sql_pair(
+    "tpch_q5",
+    spark_sql="""
+        SELECT n.n_name,
+          sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT)) AS revenue_c
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue_c DESC
+    """,
+    duck_sql="""
+        SELECT n.n_name,
+          CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue_c DESC
+    """,
+    tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    with_changelog_cte=False,
+    doc="TPC-H Q5 local-supplier volume: 6-table star join, dims "
+    "broadcast, fact streams (cents-exact revenue)",
+)
+
 sql_pair(
     "tpch_q6",
     spark_sql="""
@@ -2463,6 +2508,30 @@ sql_pair(
     doc="Token-budget shard packing: per-source running-sum assignment "
     "of docs to ~2000-token training shards (deterministic hash order; "
     "per-source windows keep the pack parallel at corpus scale)",
+)
+
+# Ingest health: daily dedup-rate time series — how much of each day's
+# feed the LWW collapse absorbs (events vs distinct urls per day).
+sql_pair(
+    "cdc_dedup_rate_daily",
+    spark_sql="""
+        SELECT date_format(warc_ts, 'yyyy-MM-dd') AS day,
+               count(*) AS events,
+               count(DISTINCT url) AS urls,
+               CAST((count(*) - count(DISTINCT url)) * 1000000 / count(*)
+                    AS BIGINT) AS dedup_ppm
+        FROM changelog GROUP BY date_format(warc_ts, 'yyyy-MM-dd')
+    """,
+    duck_sql="""
+        SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS events,
+               CAST(count(DISTINCT url) AS BIGINT) AS urls,
+               CAST((count(*) - count(DISTINCT url)) * 1000000 // count(*)
+                    AS BIGINT) AS dedup_ppm
+        FROM changelog GROUP BY strftime(warc_ts, '%Y-%m-%d')
+    """,
+    doc="Daily dedup-rate series: share of each day's events the LWW "
+    "collapse absorbs, exact integer ppm (ingest monitoring)",
 )
 
 # Ingest diagnostics: no-op update detection — re-crawls that re-stamp a
