@@ -10,12 +10,16 @@ crash between "index merged" and "cursor advanced" replays idempotently
 (epoch commit keys) and the cursor commits atomically with the data.
 
 Index rows are keyed by ``to_json(struct(val, src_key))`` (order-stable,
-null-safe) and fenced at the SOURCE SNAPSHOT VERSION the change became
-visible in, not the source event's lsn: ``changelog_rows`` nets each key
-to at most one change per epoch, so the target version is a correct,
-monotonic, collision-free LWW order for index rows — an update's
-preimage tombstone (old value drops the pair) can never tie with the
-row it retracts.
+null-safe) and fenced at ``2 * source_version + is_assert``, not the
+source event's lsn: ``changelog_rows`` nets each key to at most one
+change per epoch, so the source snapshot version is monotonic per index
+key — but an update whose payload moved WITHOUT changing the indexed
+value emits a preimage retraction and a postimage assertion with the
+IDENTICAL index key in the same epoch. The ``+ is_assert`` bit breaks
+exactly that tie in favor of the assertion (the pair is still live), so
+the LWW collapse can never nondeterministically tombstone a live entry.
+Cross-epoch ordering is untouched: ``2v`` and ``2v + 1`` at version ``v``
+both sort strictly above anything fenced at version ``v' < v``.
 
 Lookup is a two-step indexed GET:
 
@@ -87,6 +91,11 @@ class SecondaryIndex:
         if head <= cur:
             return cur
         ch = self.source.changelog_rows(cur, head, columns=[self.column])
+        # Retractions fence at 2*head, assertions at 2*head + 1: a
+        # value-unchanged source update nets to (preimage delete,
+        # postimage assert) on the SAME ik in the same epoch, and the
+        # assert must win — the (value, key) pair is still live.
+        is_retract = F.col("op").isin("delete", "update_preimage")
         rows = ch.select(
             F.to_json(
                 F.struct(
@@ -94,13 +103,13 @@ class SecondaryIndex:
                     F.col(src_key).alias("src_key"),
                 )
             ).alias("ik"),
-            F.lit(head).cast("bigint").alias("lsn"),
+            (
+                F.lit(2 * head).cast("bigint")
+                + F.when(is_retract, F.lit(0)).otherwise(F.lit(1))
+            ).alias("lsn"),
             F.col(self.column).alias("val"),
             F.col(src_key).alias("src_key"),
-            F.when(
-                F.col("op").isin("delete", "update_preimage"),
-                F.lit("delete"),
-            )
+            F.when(is_retract, F.lit("delete"))
             .otherwise(F.lit("update"))
             .alias("op"),
         )

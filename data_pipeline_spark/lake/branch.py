@@ -152,14 +152,33 @@ def publish_branch(
         return _rebase_publish(table, h, head, fork, main)
     # Promote branch snapshots into main history (oldest first), then CAS
     # the head ref. A crash mid-copy leaves main untouched: _CURRENT only
-    # moves in the final step.
+    # moves in the final step. The copies use O_EXCL create-or-fail — a
+    # main-line writer racing this loop commits v{fork+1} under the SAME
+    # fixed name, and an atomic-replace copy would silently overwrite its
+    # freshly-referenced snapshot (the CAS below would then raise with
+    # _CURRENT pointing at corrupted-from-main's-view JSON). Refusing on
+    # an existing file turns that race into the loud BranchDivergedError
+    # every other writer conflict raises; stray unreferenced copies from
+    # a crash are harmless (the main line's own commit at that version
+    # atomically replaces them, and they are never reachable until then).
     for v in range(fork + 1, head.version + 1):
         sname = f"v{v:08d}.json"
         src = os.path.join(h._bdir(), sname)
+        dst = os.path.join(table.root, SNAPSHOT_DIR, sname)
         with open(src) as f:
-            _atomic_write(
-                os.path.join(table.root, SNAPSHOT_DIR, sname), f.read()
+            content = f.read()
+        try:
+            fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise BranchDivergedError(
+                f"main committed {sname} while publishing branch "
+                f"{name!r}; re-run publish (rebase=True if buckets are "
+                f"disjoint) against the new head"
             )
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
     table._write_snapshot(head, expect_parent=fork)
     delete_branch(table, name)
     return head

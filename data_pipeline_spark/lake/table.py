@@ -153,6 +153,12 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self._manifest_cache: dict[str, list[dict[str, Any]]] = {}
+        # base64 bloom payload -> decoded little-endian int; blooms are
+        # immutable (manifests are), so this never invalidates. Decoding
+        # once per file lifetime (not once per scan plan) keeps planning
+        # at O(files) cheap integer ANDs — measured ~10× over per-plan
+        # b64 decode + per-bit probing (BENCH.md planning table).
+        self._bloom_int_cache: dict[str, int] = {}
 
     # -- creation / snapshot plumbing ------------------------------------
 
@@ -468,10 +474,17 @@ class LakeTable:
         min_order: int | None = None,
         point_keys: list[str] | None = None,
         stats_bounds: dict[str, tuple] | None = None,
-    ) -> tuple[dict[int, list[str]], bool]:
+    ) -> tuple[dict[int, list[str]], set[str]]:
         """Resolve the data files a scan must read, applying bucket
         pruning and manifest-stats file skipping; returns
-        ``({schema_version: [abs paths]}, any_delta_retained)``.
+        ``({schema_version: [abs paths]}, delta_bucket_paths)`` where the
+        second element is the set of selected paths that live in buckets
+        which RETAINED at least one delta file — exactly the rows the
+        reader's LWW collapse must cover. Keys are bucket-disjoint by
+        construction and a bucket's base files hold one row per key
+        (they are compaction/bulk-write output), so rows from buckets
+        outside this set scan through collapse-free: one delta bucket in
+        a wide read no longer shuffles every compacted bucket's rows.
 
         ``min_order`` skips every file whose recorded max of the order
         column is ≤ the threshold — it cannot contain a row that passes
@@ -501,21 +514,41 @@ class LakeTable:
         either way."""
         import base64
 
-        pos_cache: dict[tuple[str, int], list[int]] = {}
+        # Per-key probe masks, computed once per (key, m) per plan; the
+        # bloom itself decodes once per file LIFETIME (table-level cache)
+        # into a little-endian int, so the per-file test is one AND +
+        # compare per key — the planning loop stays O(files) with a
+        # ~2.5 µs/file constant (BENCH.md planning table), not O(files ×
+        # keys × bits) with fresh b64 decodes every plan.
+        mask_cache: dict[tuple[str, int], int] = {}
+
+        def _kmask(k: str, m: int) -> int:
+            v = mask_cache.get((k, m))
+            if v is None:
+                v = 0
+                for p in _bloom_positions(k, m):
+                    v |= 1 << p
+                mask_cache[(k, m)] = v
+            return v
 
         def _bloom_may_contain(e: dict) -> bool:
             bl = e.get("bloom")
             if not bl:
                 return True
-            m, bits = bl["m"], base64.b64decode(bl["b"])
+            b64 = bl["b"]
+            bi = self._bloom_int_cache.get(b64)
+            if bi is None:
+                bi = int.from_bytes(base64.b64decode(b64), "little")
+                self._bloom_int_cache[b64] = bi
+            m = bl["m"]
             for k in point_keys:
-                ps = pos_cache.setdefault((k, m), _bloom_positions(k, m))
-                if all(bits[p >> 3] & (1 << (p & 7)) for p in ps):
+                km = _kmask(k, m)
+                if bi & km == km:
                     return True
             return False
 
         groups: dict[int, list[str]] = {}
-        has_delta = False
+        delta_bucket_paths: set[str] = set()
         for b in snap.manifests:
             if buckets is not None and int(b) not in buckets:
                 continue
@@ -523,6 +556,8 @@ class LakeTable:
             all_base = all(
                 e.get("kind", "base") == "base" for e in entries
             )
+            retained: list[tuple[str, int]] = []  # (path, sv) this bucket
+            bucket_has_delta = False
             for e in entries:
                 if min_order is not None:
                     bounds = (e.get("stats") or {}).get(snap.order_col)
@@ -540,11 +575,15 @@ class LakeTable:
                     if skip:
                         continue
                 if e.get("kind", "base") == "delta":
-                    has_delta = True
-                groups.setdefault(e["schema_version"], []).append(
-                    os.path.join(self.root, e["path"])
+                    bucket_has_delta = True
+                retained.append(
+                    (os.path.join(self.root, e["path"]), e["schema_version"])
                 )
-        return groups, has_delta
+            for path, sv in retained:
+                groups.setdefault(sv, []).append(path)
+                if bucket_has_delta:
+                    delta_bucket_paths.add(path)
+        return groups, delta_bucket_paths
 
     def lookup(
         self,
@@ -643,10 +682,13 @@ class LakeTable:
         :meth:`changes_between` to read both sides of a schema-evolution
         boundary with one field set).
 
-        Merge-on-read: when any selected bucket carries delta files, rows
+        Merge-on-read: rows from buckets that retained delta files
         LWW-collapse per key on the table's order column (one hash
-        aggregate with map-side combine); fully-compacted buckets skip the
-        collapse — their base files already hold one row per key.
+        aggregate with map-side combine) — and ONLY those rows: keys are
+        bucket-disjoint and a compacted bucket's base files already hold
+        one row per key, so compacted buckets' scans union through
+        collapse-free even in a mixed read. A live table with a delta
+        tail pays the shuffle for the tail, not the table.
 
         Tombstone rows (applied deletes, kept so stale late events lose
         the LSN race) are filtered out unless ``include_tombstones`` —
@@ -673,7 +715,7 @@ class LakeTable:
                 )
                 for c, lo_hi in stats_bounds.items()
             }
-        groups, has_delta = self._select_files(
+        groups, delta_paths = self._select_files(
             snap, buckets, min_order, point_keys, norm_bounds
         )
         cur_fields = self.schema_fields(sch)
@@ -688,8 +730,7 @@ class LakeTable:
             if raw or include_tombstones:
                 return empty
             return empty.drop(TOMBSTONE_COL)
-        parts = []
-        for sv, files in sorted(groups.items()):
+        def _aligned(files: list[str], sv: int) -> DataFrame:
             read_schema = self._ddl_schema(
                 self.schema_fields(sch, sv) + [(TOMBSTONE_COL, "boolean")]
             )
@@ -699,33 +740,56 @@ class LakeTable:
                 # stats filtering under the manifest-level bloom skip)
                 df = df.filter(F.col(snap.key).isin(point_keys))
             have = set(df.columns)
-            parts.append(
-                df.select(
-                    *[
-                        (F.col(n).cast(d) if n in have else F.lit(None).cast(d)).alias(n)
-                        for n, d in cur_fields
-                    ],
-                    F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(
-                        TOMBSTONE_COL
-                    ),
-                )
+            return df.select(
+                *[
+                    (F.col(n).cast(d) if n in have else F.lit(None).cast(d)).alias(n)
+                    for n, d in cur_fields
+                ],
+                F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(
+                    TOMBSTONE_COL
+                ),
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        if raw:
+
+        # The LWW collapse is scoped to buckets that retained delta files
+        # (keys are bucket-disjoint; a compacted bucket's base files hold
+        # one unique row per key already) — one delta bucket in a wide
+        # read shuffles ONLY that bucket's rows, never the whole scan.
+        base_parts, delta_parts = [], []
+        for sv, files in sorted(groups.items()):
+            b_files = [f for f in files if f not in delta_paths]
+            d_files = [f for f in files if f in delta_paths]
+            if b_files:
+                base_parts.append(_aligned(b_files, sv))
+            if d_files:
+                delta_parts.append(_aligned(d_files, sv))
+
+        def _union(parts: list[DataFrame]) -> DataFrame:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
             return out
-        if has_delta:
+
+        if raw:
+            return _union(base_parts + delta_parts)
+        if delta_parts:
             # LWW collapse base+delta (hash aggregate, map-side combine;
             # same skew-proof shape as the merge path's collapse).
             key, order = snap.key, snap.order_col
-            others = [c for c in out.columns if c != key]
-            packed = out.groupBy(key).agg(
+            dpart = _union(delta_parts)
+            others = [c for c in dpart.columns if c != key]
+            packed = dpart.groupBy(key).agg(
                 F.max_by(F.struct(*others), F.col(order)).alias("__w")
             )
-            out = packed.select(
+            collapsed = packed.select(
                 key, *[F.col(f"__w.{c}").alias(c) for c in others]
             )
+            out = (
+                _union(base_parts + [collapsed])
+                if base_parts
+                else collapsed
+            )
+        else:
+            out = _union(base_parts)
         if min_order is not None:
             out = out.filter(F.col(snap.order_col) > min_order)
         if stats_bounds is not None:

@@ -55,7 +55,8 @@ class MultiTableTransaction:
     def __init__(self, txn_dir: str, txn_id: str | None = None):
         self.txn_dir = txn_dir
         self.txn_id = txn_id or uuid.uuid4().hex[:12]
-        self._parts: list[tuple[LakeTable, str]] = []  # (table, stage_id)
+        # (table, stage_id, commit_key) per participant
+        self._parts: list[tuple[LakeTable, str, str]] = []
         self._done = False
 
     def _manifest_path(self) -> str:
@@ -72,24 +73,47 @@ class MultiTableTransaction:
         stats = merge_into(
             table, df, commit_key, stage_id=stage_id, **merge_kw
         )
-        self._parts.append((table, stage_id))
+        self._parts.append((table, stage_id, commit_key))
         return stats
 
     def commit(self) -> None:
         """Publish every participant, all-or-nothing at the manifest
-        write (the commit point)."""
+        write (the commit point).
+
+        Idempotent-replay safe at the transaction boundary: a replayed
+        ``stage()`` whose commit_key the table ALREADY records no-ops in
+        ``merge_into`` without creating a staged snapshot — such a
+        participant is published by definition, so it is recorded at the
+        version the table's commit log pins and skipped in the publish
+        loop, instead of crashing on the absent staged file.
+
+        If a publish raises AFTER the manifest write, the transaction is
+        DECIDED (state ``committing`` on disk): run
+        :func:`recover_transactions` to finish the remaining publishes —
+        ``abort()`` is intentionally impossible past the commit point."""
         if self._done:
             raise RuntimeError("transaction already finished")
         self._done = True
         os.makedirs(self.txn_dir, exist_ok=True)
         participants = []
-        for t, sid in self._parts:
-            # The staged snapshot already knows the version it will
-            # publish as — recording it here (before any publish) gives
-            # read_consistent its cross-table version vector even after
-            # a crash-recovery finishes the publishes.
-            with open(t._staged_path(sid)) as f:
-                version = json.load(f)["version"]
+        for t, sid, ck in self._parts:
+            staged = t._staged_path(sid)
+            if os.path.exists(staged):
+                # The staged snapshot already knows the version it will
+                # publish as — recording it here (before any publish)
+                # gives read_consistent its cross-table version vector
+                # even after a crash-recovery finishes the publishes.
+                with open(staged) as f:
+                    version = json.load(f)["version"]
+            else:
+                commits = t.current().commits
+                if ck not in commits:
+                    raise RuntimeError(
+                        f"participant {t.root} has neither a staged "
+                        f"snapshot {sid} nor a recorded commit "
+                        f"{ck!r} — staged state was lost before commit"
+                    )
+                version = commits[ck]
             participants.append(
                 {"root": t.root, "stage_id": sid, "version": version}
             )
@@ -99,9 +123,19 @@ class MultiTableTransaction:
             "participants": participants,
         }
         _atomic_write(self._manifest_path(), json.dumps(manifest))
-        for t, sid in self._parts:
-            if os.path.exists(t._staged_path(sid)):
-                t.publish_staged(sid)
+        try:
+            for t, sid, _ck in self._parts:
+                if os.path.exists(t._staged_path(sid)):
+                    t.publish_staged(sid)
+        except Exception as e:
+            # Original exception type preserved (callers and crash tests
+            # match on it); the note directs recovery.
+            e.add_note(
+                f"transaction {self.txn_id} is past its commit point "
+                f"(manifest state=committing); run recover_transactions "
+                f"to finish the remaining publishes — abort is impossible"
+            )
+            raise
         manifest["state"] = _STATE_COMMITTED
         _atomic_write(self._manifest_path(), json.dumps(manifest))
 
@@ -110,7 +144,7 @@ class MultiTableTransaction:
         if self._done:
             raise RuntimeError("transaction already finished")
         self._done = True
-        for t, sid in self._parts:
+        for t, sid, _ck in self._parts:
             if os.path.exists(t._staged_path(sid)):
                 t.abort_staged(sid)
 

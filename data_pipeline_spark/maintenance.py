@@ -407,9 +407,15 @@ def forget(
     ``False`` purges the tombstone too — full removal including the key
     string, at the documented cost that a late event re-inserts the key.
 
-    Refuses while staged commits, live branches, or any snapshot beyond
-    the head would survive expiry — those roots retain the data and would
-    make the erasure claim false. Resolve them first.
+    Refuses while staged commits, live branches, tags, or any snapshot
+    beyond the head would survive expiry — those roots retain the data
+    and would make the erasure claim false. Resolve them first. After
+    the sweep it additionally asserts the snapshot log collapsed to the
+    head alone: ``expire_snapshots`` deliberately keeps tagged/staged
+    anchors, so a root created between the guard and the expiry would
+    otherwise let pre-delete payload survive on disk while the
+    verification (which scans only the CURRENT snapshot's files)
+    reported success — a falsely-passing erasure audit.
 
     The verification is the point (an audit needs evidence, not a plan):
     after the sweep, a raw pre-collapse scan of the CURRENT snapshot's
@@ -426,6 +432,12 @@ def forget(
         raise RuntimeError("staged commits retain data: publish/abort first")
     if list_branches(table):
         raise RuntimeError("live branches retain data: publish/delete first")
+    if table.tags():
+        raise RuntimeError(
+            "tags retain data: expire_snapshots keeps tagged versions (and "
+            "vacuum keeps their files), so pre-delete payload for the "
+            "forgotten keys would survive on disk — delete tags first"
+        )
 
     snap = table.current()
     pred = F.col(snap.key).isin(list(keys))
@@ -450,6 +462,21 @@ def forget(
         purge_tombstones_where=None if keep_fence else pred,
     )
     expired = table.expire_snapshots(keep_last=1)
+    # The expiry keeps tagged/staged/branch anchors by design — re-check
+    # that nothing raced in between the guard above and the sweep. The
+    # verification below raw-scans only the CURRENT snapshot's files, so
+    # any surviving older snapshot would silently invalidate it.
+    survivors = [
+        s.version
+        for s in table.snapshot_log()
+        if s.version != table.current().version
+    ]
+    if survivors:
+        raise RuntimeError(
+            f"erasure incomplete: snapshots {survivors} survived expiry "
+            f"(tag/stage/branch created concurrently?) — their files "
+            f"retain pre-delete payload; resolve the anchors and re-run"
+        )
     removed = table.vacuum()
 
     report = {

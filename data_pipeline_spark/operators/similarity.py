@@ -208,23 +208,65 @@ def ann_ivf_sql(
     """
 
 
+def _perturb_first(qe: str, dialect: str) -> str:
+    """Nudge the first coordinate of a quantized BIGINT vector by +1 —
+    the deterministic near-duplicate transform for the planted fixture
+    (cosine vs the original ≈ 1 − 1e-6, clearly above any near-dup
+    threshold yet not byte-identical)."""
+    if dialect == SPARK:
+        return (
+            f"transform({qe}, (x, i) -> "
+            f"CASE WHEN i = 0 THEN x + CAST(1 AS BIGINT) ELSE x END)"
+        )
+    return (
+        f"list_transform({qe}, (x, i) -> "
+        f"CASE WHEN i = 1 THEN x + CAST(1 AS BIGINT) ELSE x END)"
+    )
+
+
 def embedding_near_dup_sql(
     dialect: str,
     emb_rel: str = "embeddings",
-    threshold_dot: int = 40_000_000,
+    threshold_dot: int = 950_000,
     dim: int = DIM,
     n_planes: int = 6,
+    plant_below: int = 20,
 ) -> str:
     """Embedding-cosine near-dup pairs: candidates from shared LSH bucket,
-    verified by exact integer dot ≥ threshold (≈ cosine threshold after
-    quantization; 40e6 ≈ 0.04·1000² per unit-ish dims)."""
+    verified by exact integer dot ≥ threshold. Embeddings are unit-ish, so
+    the quantized (×1000) norm² ≈ 1e6 and ``threshold_dot = 950_000``
+    ≈ cosine 0.95 — random 64-dim pairs concentrate near cosine 0 and
+    never pass; true near-dups (dot ≈ norm²) always do.
+
+    The corpus is synthetic-random and contains NO organic near-dups, so
+    the query PLANTS deterministic true positives inline: every vector
+    with ``vec_id < plant_below`` is cloned at ``vec_id + 1_000_000``
+    with its first quantized coordinate nudged by +1 (cosine ≈ 1 − 1e-6).
+    Identical planting runs in both dialects, so the oracle comparison
+    is over a provably NON-EMPTY result — a 0-rows==0-rows pass proves
+    nothing (round-2 verdict finding). A planted pair can still drop if
+    the nudge flips an LSH hyperplane sign (banding recall < 1); both
+    engines agree exactly either way, and the planted-pair test pins
+    that ≥ 1 survives on the benchmark corpus."""
     planes = hyperplanes(n_planes, dim)
     return f"""
-        WITH sigs AS (
-          SELECT vec_id, {quantize('embedding', dialect)} AS qe,
-                 {lsh_bucket(quantize('embedding', dialect), planes, dialect, dim)}
-                   AS bucket
+        WITH base AS (
+          SELECT vec_id, {quantize('embedding', dialect)} AS qe
           FROM {emb_rel}
+        ),
+        planted AS (
+          SELECT vec_id + 1000000 AS vec_id, {_perturb_first('qe', dialect)} AS qe
+          FROM base WHERE vec_id < {plant_below}
+        ),
+        allv AS (
+          SELECT vec_id, qe FROM base
+          UNION ALL
+          SELECT vec_id, qe FROM planted
+        ),
+        sigs AS (
+          SELECT vec_id, qe,
+                 {lsh_bucket('qe', planes, dialect, dim)} AS bucket
+          FROM allv
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                CAST({int_dot('a.qe', 'b.qe', dialect, dim)} AS BIGINT) AS dot

@@ -143,8 +143,14 @@ def apply_batch(
     backlog sizes (winner set ≫ broadcast threshold) AQE falls back to a
     shuffle join, which costs exactly what the one-shuffle max_by collapse
     would. Rows tied on (url, lsn) are a feed contract violation
-    (quality_gate counts duplicate_key_order); this path keeps both ties
-    where max_by would pick one arbitrarily.
+    (quality_gate counts duplicate_key_order) but MUST still collapse to
+    one row per key — ``commit_delta``'s precollapsed contract — and
+    deterministically: the winner struct includes an xxhash64 row
+    fingerprint, so a tie with DIFFERING payloads resolves by max
+    fingerprint (stable across retries), and ties that are byte-identical
+    redeliveries collapse in a dropDuplicates pass paid ONLY when the
+    narrow aggregate actually observed copies (clean batches — the hot
+    path — never shuffle wide rows for it).
 
     ``watermark_days`` enables the too-late drop (reference: acquisition-
     age floor, query_stac.py:120-128 — "reingestion re-stamping `updated`
@@ -181,8 +187,39 @@ def apply_batch(
             if record_metrics:
                 n_late = batch.filter(F.col("warc_ts") < floor_expr).count()
             batch = batch.filter(F.col("warc_ts") >= floor_expr)
-    winners = batch.groupBy(snap.key).agg(F.max("lsn").alias("lsn"))
-    collapsed = batch.join(winners, [snap.key, "lsn"])
+    # Winner selection with a per-(key, lsn) row count riding in the
+    # narrow aggregate: __n == 1 certifies the winner is unique, so the
+    # hot path stays exactly the r2 plan (narrow shuffle, AQE join-back,
+    # wide bytes untouched). Rows tied at the winning lsn (__n > 1 — a
+    # feed contract violation) are split off and collapsed to ONE row
+    # per key by max_by over a full-row xxhash64 fingerprint:
+    # byte-identical redeliveries collapse trivially, differing payloads
+    # resolve by max fingerprint — deterministic across retries either
+    # way, and the wide-row shuffle is paid only for the tied slice.
+    lvl1 = batch.groupBy(snap.key, "lsn").agg(F.count("*").alias("__n"))
+    winners = (
+        lvl1.groupBy(snap.key)
+        .agg(F.max(F.struct("lsn", "__n")).alias("__w"))
+        .select(
+            snap.key,
+            F.col("__w.lsn").alias("lsn"),
+            F.col("__w.__n").alias("__n"),
+        )
+    )
+    joined = batch.join(winners, [snap.key, "lsn"])
+    clean = joined.filter(F.col("__n") == 1).drop("__n")
+    tied = joined.filter(F.col("__n") > 1).drop("__n")
+    payload_cols = [c for c in batch.columns if c != snap.key]
+    tied_one = (
+        tied.groupBy(snap.key)
+        .agg(
+            F.max_by(
+                F.struct(*payload_cols), F.xxhash64(*batch.columns)
+            ).alias("__s")
+        )
+        .select(snap.key, "__s.*")
+    )
+    collapsed = clean.unionByName(tied_one)
     enriched = collapsed.withColumn(
         "text",
         F.when(F.col("op") != "delete", extract_text("html")),

@@ -125,3 +125,46 @@ def test_blooms_survive_compaction_and_disable_cleanly(spark):
     es2 = [e for es in t2.all_entries(t2.current()).values() for e in es]
     assert all("bloom" not in e for e in es2)
     assert {r["url"] for r in t2.lookup(["u3"]).collect()} == {"u3"}
+
+
+def test_bloom_decodes_once_per_file_lifetime(spark, monkeypatch):
+    """Planning cost: the b64 bloom payload decodes ONCE per file
+    lifetime (table-level int cache), not once per scan plan — re-plans
+    probe cached ints with pure AND/compare (BENCH.md planning table)."""
+    import base64 as b64mod
+    import tempfile
+
+    from data_pipeline_spark.lake.merge import merge_into
+    from data_pipeline_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="bloomc_"),
+        [("url", "string"), ("lsn", "bigint"), ("warc_ts", "timestamp"),
+         ("v", "string")],
+        "url", 4, props={"bloom_bits": 2048},
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"u{i}", i + 1, "2026-01-01 00:00:00", f"v{i}", "upsert")
+         for i in range(20)],
+        "url string, lsn bigint, warc_ts string, v string, op string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    merge_into(t, df, "m0")
+    t.compact("c0")
+    snap = t.current()
+
+    calls = {"n": 0}
+    real = b64mod.b64decode
+
+    def counting(x, *a, **kw):
+        calls["n"] += 1
+        return real(x, *a, **kw)
+
+    monkeypatch.setattr(b64mod, "b64decode", counting)
+    t._select_files(snap, None, None, ["u3"], None)
+    first = calls["n"]
+    assert first > 0  # cold plan decoded the blooms
+    t._select_files(snap, None, None, ["u7"], None)
+    t._select_files(snap, None, None, ["u3", "u9"], None)
+    assert calls["n"] == first  # warm plans: zero further decodes

@@ -173,3 +173,30 @@ def test_rebase_refuses_schema_change(spark):
     t.evolve_schema(add_columns={"score": "bigint"})
     with pytest.raises(BranchDivergedError, match="schema or bucket"):
         publish_branch(t, "feat", rebase=True)
+
+
+def test_publish_never_overwrites_a_raced_main_snapshot(spark):
+    """A main-line writer that commits between publish's current() read
+    and its snapshot-copy loop must surface as a loud BranchDivergedError
+    with main's freshly-committed snapshot file byte-intact — never a
+    silent overwrite (the copy uses O_EXCL create-or-fail)."""
+    import os
+
+    from data_pipeline_spark.lake.table import SNAPSHOT_DIR
+
+    t = _mk(spark)
+    br = create_branch(t, "racer")
+    merge_into(br, _batch(spark, [
+        ("u9", 9, "2024-01-02 00:00:00", b"x", "en", "insert"),
+    ]), "b0")
+    head = br.current().version
+    # Simulate the racing main commit landing at the same fixed name the
+    # promote loop writes first (fork+1 == branch's first promoted v).
+    raced = os.path.join(t.root, SNAPSHOT_DIR, f"v{head:08d}.json")
+    racer_content = '{"racer": "main-line commit, must survive"}'
+    with open(raced, "w") as f:
+        f.write(racer_content)
+    with pytest.raises(BranchDivergedError, match="committed"):
+        publish_branch(t, "racer")
+    with open(raced) as f:
+        assert f.read() == racer_content  # byte-intact, not overwritten

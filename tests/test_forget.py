@@ -77,3 +77,24 @@ def test_refuses_with_live_roots(spark):
         forget(t, ["u1"], "fg-0")
     delete_branch(t, "wip")
     assert forget(t, ["u1"], "fg-1")["leftover_rows"] == 0
+
+
+def test_forget_refuses_while_tags_retain_history(spark):
+    """expire_snapshots deliberately keeps tagged versions (and vacuum
+    keeps their files), so a tag would let pre-delete payload survive on
+    disk while the current-snapshot verification reports success — a
+    falsely-passing erasure audit. forget() must refuse until the tag is
+    dropped, then succeed with real physical erasure."""
+    t = _mk(spark)
+    t.tag("audit-anchor")
+    with pytest.raises(RuntimeError, match="tags retain data"):
+        forget(t, ["u3"], "fg-tagged")
+    # the refused run must not have mutated anything
+    assert t.read().filter(F.col("url") == "u3").count() == 1
+    t.untag("audit-anchor")
+    rep = forget(t, ["u3"], "fg-after-untag")
+    assert rep["leftover_rows"] == 0
+    raw = t.read(include_tombstones=True, raw=True)
+    assert raw.filter(
+        (F.col("url") == "u3") & F.col("html").isNotNull()
+    ).count() == 0

@@ -98,3 +98,33 @@ def test_optimize_prunes_index_probe_files(spark):
     assert pruned < full
     assert sorted(r.url for r in idx.lookup("en").collect()) == \
         _expect(src, "en")
+
+
+def test_noop_value_update_keeps_entry_live(spark):
+    """A source update whose payload moved but whose INDEXED value did
+    not emits a preimage retraction and a postimage assertion with the
+    identical index key in one epoch; the assertion must win the LWW
+    tie deterministically (lsn = 2*version + is_assert), so the entry
+    for a still-live (value, key) pair is never tombstoned."""
+    src, idx = _mk(spark)
+    merge_into(src, _batch(spark, [
+        ("u1", 1, "2024-01-01 00:00:00", b"a", "en", "insert"),
+        ("u2", 2, "2024-01-01 00:00:00", b"b", "en", "insert"),
+    ]), "m0")
+    idx.refresh()
+    # Three successive html-only rewrites: lang stays 'en' every time.
+    for i in range(3):
+        merge_into(src, _batch(spark, [
+            ("u1", 10 + i, "2024-01-02 00:00:00", f"a{i}".encode(),
+             "en", "update"),
+        ]), f"m{i + 1}")
+        idx.refresh()
+        assert sorted(r.url for r in idx.lookup("en").collect()) == \
+            ["u1", "u2"], f"entry lost after no-op update epoch {i}"
+    # and a real value move afterwards still retracts correctly
+    merge_into(src, _batch(spark, [
+        ("u1", 20, "2024-01-03 00:00:00", b"z", "de", "update"),
+    ]), "m9")
+    idx.refresh()
+    assert sorted(r.url for r in idx.lookup("en").collect()) == ["u2"]
+    assert sorted(r.url for r in idx.lookup("de").collect()) == ["u1"]

@@ -156,3 +156,58 @@ def test_metrics_reconciliation(spark, replayed):
     }
     for b, rows in lin.items():
         assert actual.get(b, 0) == rows, (b, rows, actual.get(b))
+
+
+def test_tied_lsn_events_collapse_to_one_deterministic_row(spark):
+    """Rows tied on (url, lsn) — a feed contract violation — must still
+    collapse to exactly ONE physical row per key (commit_delta's
+    precollapsed contract), deterministically: byte-identical
+    redeliveries collapse trivially; differing payloads resolve by max
+    row-fingerprint, so two independent replays agree."""
+
+    def _batch(rows):
+        df = spark.createDataFrame(
+            rows, "url string, lsn bigint, warc_ts string, html binary, "
+            "lang string, op string"
+        )
+        return df.select(
+            "url", "lsn", F.to_timestamp("warc_ts").alias("warc_ts"),
+            "html", F.lit(None).cast("string").alias("text"), "lang", "op",
+        )
+
+    TS = "2024-01-01 00:00:00"
+    rows = [
+        # u1: byte-identical redelivery (x3) at the winning lsn
+        ("u1", 5, TS, b"<body>same</body>", "en", "insert"),
+        ("u1", 5, TS, b"<body>same</body>", "en", "insert"),
+        ("u1", 5, TS, b"<body>same</body>", "en", "insert"),
+        # u2: DIFFERING payloads tied at the winning lsn
+        ("u2", 7, TS, b"<body>alpha</body>", "en", "insert"),
+        ("u2", 7, TS, b"<body>beta</body>", "de", "insert"),
+        # u3: clean path — ties only below the winning lsn
+        ("u3", 1, TS, b"<body>old</body>", "en", "insert"),
+        ("u3", 1, TS, b"<body>old2</body>", "en", "insert"),
+        ("u3", 2, TS, b"<body>new</body>", "fr", "insert"),
+    ]
+
+    outcomes = []
+    for trial in range(2):
+        t = ensure_table(
+            spark, tempfile.mkdtemp(prefix=f"tie_{trial}_"), 4
+        )
+        # shuffle the input order between trials: determinism must not
+        # depend on arrival order
+        ordered = rows if trial == 0 else list(reversed(rows))
+        apply_batch(t, _batch(ordered), "e0")
+        got = t.read(include_tombstones=True, raw=True)
+        per_key = {
+            r["url"]: r["n"]
+            for r in got.groupBy("url").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_key == {"u1": 1, "u2": 1, "u3": 1}, per_key
+        outcomes.append(sorted(
+            (r.url, r.lsn, bytes(r.html), r.lang)
+            for r in t.read().select("url", "lsn", "html", "lang").collect()
+        ))
+    assert outcomes[0] == outcomes[1]  # deterministic across replays
+    assert [o[2] for o in outcomes[0] if o[0] == "u3"] == [b"<body>new</body>"]

@@ -336,3 +336,87 @@ def test_backfill_pruned_to_where_buckets(spark):
     got = {r.url: r.v for r in t.read().collect()}
     assert got["u7"] == "patched"
     assert got["u8"] == "v8"
+
+
+def test_mixed_read_collapse_scoped_to_delta_buckets(spark):
+    """One delta bucket in a wide read must NOT shuffle compacted
+    buckets' rows: the LWW-collapse aggregate (and its Exchange) covers
+    only files of buckets that retained deltas; compacted buckets' scans
+    union through with no Exchange above them. Pinned three ways:
+    file routing, physical-plan structure, and result correctness."""
+    t = _mk(spark, n_buckets=4)
+    merge_into(t, _rows(spark, [
+        (f"u{i}", i + 1, "2026-01-01 00:00:00", f"v{i}", "upsert")
+        for i in range(40)
+    ]), "m0")
+    t.compact("c0")  # everything base
+    # land one sparse update -> exactly one bucket grows a delta file
+    merge_into(t, _rows(spark, [
+        ("u0", 100, "2026-01-02 00:00:00", "v0b", "upsert"),
+    ]), "m1")
+    snap = t.current()
+    groups, delta_paths = t._select_files(snap)
+    all_paths = [p for fs in groups.values() for p in fs]
+    # routing: the delta bucket contributes its delta AND base files
+    # (they collapse together); the other three buckets contribute none
+    delta_bucket = {
+        int(r["b"]) for r in
+        spark.createDataFrame([("u0",)], "url string")
+        .select(t.bucket_expr(snap).alias("b")).collect()
+    }.pop()
+    expected_delta_paths = {
+        os.path.join(t.root, e["path"])
+        for e in t.bucket_entries(snap, delta_bucket)
+    }
+    assert delta_paths == expected_delta_paths
+    assert len(delta_paths) < len(all_paths)
+
+    df = t.read()
+    from tests.test_skew_and_plans import _plan
+
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    # exactly ONE Exchange in the whole mixed read: the collapse shuffle
+    assert tree.count("Exchange") == 1, tree
+    # tree structure: the compacted-bucket scan unions through with no
+    # aggregate/exchange above it; the delta bucket's scan sits under
+    # the single aggregate subtree. In the formatted tree the aggregate
+    # subtree starts at the first *Aggregate line — every scan before it
+    # must be the collapse-free branch, every scan after it the delta.
+    lines = tree.splitlines()
+    agg_at = min(
+        i for i, ln in enumerate(lines) if "Aggregate" in ln
+    )
+    import re
+
+    def scan_ids(ls):
+        return [
+            int(m.group(1))
+            for ln in ls
+            for m in [re.search(r"Scan parquet\s+\((\d+)\)", ln)]
+            if m
+        ]
+
+    free_scans = scan_ids(lines[:agg_at])
+    agg_scans = scan_ids(lines[agg_at:])
+    assert free_scans and agg_scans
+    # the Exchange sits inside the aggregate subtree (partial -> final),
+    # i.e. strictly below the first aggregate line — nothing above the
+    # compacted scans shuffles
+    assert min(i for i, ln in enumerate(lines) if "Exchange" in ln) > agg_at
+
+    def location_of(scan_id):
+        m = re.search(
+            rf"\({scan_id}\) Scan parquet.*?Location: \S+ \[(.*?)\]",
+            plan, re.S,
+        )
+        return m.group(1)
+
+    for sid in agg_scans:
+        assert f"__bucket={delta_bucket}" in location_of(sid)
+    for sid in free_scans:
+        assert f"__bucket={delta_bucket}" not in location_of(sid)
+    # correctness: collapsing only the delta bucket still yields LWW state
+    got = {(r.url, r.v) for r in df.select("url", "v").collect()}
+    want = {(f"u{i}", f"v{i}") for i in range(1, 40)} | {("u0", "v0b")}
+    assert got == want

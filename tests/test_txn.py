@@ -156,3 +156,37 @@ def test_read_consistent_pins_txn_versions(spark):
         _json.dump({**man, "txn_id": "inflight"}, f)
     with _pt.raises(RuntimeError, match="recover_transactions"):
         read_consistent(spark, txn_dir, "inflight")
+
+
+def test_whole_transaction_replay_is_a_noop(spark):
+    """Re-running an identical transaction after a successful earlier
+    run must no-op end to end: the replayed stage() calls dedupe on
+    their commit keys WITHOUT creating staged snapshots, and commit()
+    must record those participants at their already-published versions
+    instead of crashing on the absent staged files (exactly-once at the
+    transaction boundary)."""
+    t1, t2 = _mk(spark), _mk(spark)
+    tdir = tempfile.mkdtemp(prefix="txn_")
+    txn = MultiTableTransaction(tdir)
+    txn.stage(t1, _rows(spark, [("u1", 1, TS, "a", "upsert")]), "e1")
+    txn.stage(t2, _rows(spark, [("u2", 2, TS, "b", "upsert")]), "e1")
+    txn.commit()
+    v1, v2 = t1.current().version, t2.current().version
+
+    replay = MultiTableTransaction(tdir)
+    replay.stage(t1, _rows(spark, [("u1", 1, TS, "a", "upsert")]), "e1")
+    replay.stage(t2, _rows(spark, [("u2", 2, TS, "b", "upsert")]), "e1")
+    replay.commit()  # must not raise FileNotFoundError
+    assert t1.current().version == v1 and t2.current().version == v2
+    assert _state(t1) == {("u1", "a")} and _state(t2) == {("u2", "b")}
+    # and the replay manifest pins the same published versions
+    import json
+
+    manifests = sorted(
+        fn for fn in os.listdir(tdir)
+        if fn.startswith("txn-") and fn.endswith(".json")
+    )
+    with open(os.path.join(tdir, f"txn-{replay.txn_id}.json")) as f:
+        man = json.load(f)
+    assert man["state"] == "committed"
+    assert {p["version"] for p in man["participants"]} == {v1, v2}
