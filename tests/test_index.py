@@ -128,3 +128,37 @@ def test_noop_value_update_keeps_entry_live(spark):
     idx.refresh()
     assert sorted(r.url for r in idx.lookup("en").collect()) == ["u2"]
     assert sorted(r.url for r in idx.lookup("de").collect()) == ["u1"]
+
+
+def test_lookup_routes_by_selectivity(spark, monkeypatch):
+    """Access-path routing: a selective value goes through the source's
+    point lookup; a low-selectivity value (matched keys > max_point_keys)
+    must NOT collect keys or point-probe — it routes to the stats-pruned
+    scan. Both paths return exactly the filtered-scan answer."""
+    src, idx = _mk(spark)
+    rows = [
+        (f"u{i}", i + 1, "2024-01-01 00:00:00", bytes([i % 250]),
+         "common" if i < 30 else "rare", "insert")
+        for i in range(33)
+    ]
+    merge_into(src, _batch(spark, rows), "m0")
+    idx.refresh()
+
+    calls = {"point": 0}
+    orig = type(src).lookup
+
+    def counting(self, keys, **kw):
+        calls["point"] += 1
+        return orig(self, keys, **kw)
+
+    monkeypatch.setattr(type(src), "lookup", counting)
+
+    # selective: 3 keys <= threshold -> point path
+    got = sorted(r.url for r in idx.lookup("rare", max_point_keys=10).collect())
+    assert got == ["u30", "u31", "u32"]
+    assert calls["point"] == 1
+
+    # low selectivity: 30 keys > threshold -> scan path, no point lookup
+    got = sorted(r.url for r in idx.lookup("common", max_point_keys=10).collect())
+    assert got == sorted(f"u{i}" for i in range(30))
+    assert calls["point"] == 1  # unchanged: scan route took over
