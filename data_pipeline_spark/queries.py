@@ -1224,6 +1224,196 @@ sql_pair(
     doc="TPC-H Q6 forecasting revenue (scan + pushed predicates)",
 )
 
+# Q4: EXISTS semi-join — the shape Catalyst plans as LeftSemi with the
+# correlated predicate pushed into the join condition. The reference
+# dataset has no l_commitdate/l_receiptdate, so the lateness predicate
+# is adapted to the columns present (shipped >60 days after order) —
+# the PLAN shape (correlated EXISTS over the fact) is what's exercised.
+sql_pair(
+    "tpch_q4",
+    spark_sql="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o.o_orderdate <  timestamp '1996-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    duck_sql="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o.o_orderdate <  timestamp '1996-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tables=("orders", "lineitem"),
+    with_changelog_cte=False,
+    doc="TPC-H Q4 order-priority checking: correlated EXISTS planned as "
+    "a left-semi join (late-shipment predicate adapted to this schema)",
+)
+
+# Q10: returned-item revenue ranking — top-k over a 4-way join
+# (fact → orders → customer broadcast → nation broadcast).
+sql_pair(
+    "tpch_q10",
+    spark_sql="""
+        SELECT c.c_custkey, c.c_name,
+          sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT)) AS revenue_c,
+          CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+          n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= timestamp '1996-10-01 00:00:00'
+          AND o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue_c DESC, c_custkey LIMIT 20
+    """,
+    duck_sql="""
+        SELECT c.c_custkey, c.c_name,
+          CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT)) AS BIGINT) AS revenue_c,
+          CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+          n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= timestamp '1996-10-01 00:00:00'
+          AND o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue_c DESC, c_custkey LIMIT 20
+    """,
+    tables=("customer", "orders", "lineitem", "nation"),
+    with_changelog_cte=False,
+    doc="TPC-H Q10 returned-item revenue: top-k over a 4-way join, "
+    "deterministic tiebreak on c_custkey (cents-exact revenue)",
+)
+
+# Q16: distinct-aggregate + NOT IN anti-subquery. This dataset has no
+# partsupp relation, so lineitem serves as the part↔supplier bridge and
+# the excluded-supplier predicate keys on negative account balance
+# (no s_comment column) — the SHAPE (count(DISTINCT) over a join minus
+# a NOT IN subquery planned as an anti-join) is the point.
+sql_pair(
+    "tpch_q16",
+    spark_sql="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#4'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    duck_sql="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#4'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tables=("part", "lineitem", "supplier"),
+    with_changelog_cte=False,
+    doc="TPC-H Q16 supplier-count by part class: distinct-agg + NOT IN "
+    "anti-join (partsupp bridged via lineitem on this schema)",
+)
+
+# Q12: two-level conditional aggregation (CASE inside sum) over a
+# fact-fact join — no l_shipmode in this schema, so the class split keys
+# on o_orderpriority and "late" means shipped ≥30 days after ordering;
+# the SHAPE (join + branchy aggregate folded map-side) is the point.
+sql_pair(
+    "tpch_q12",
+    spark_sql="""
+        SELECT l.l_linestatus,
+          sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS high_line_count,
+          sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+          AND l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+          AND l.l_shipdate <  timestamp '1997-01-01 00:00:00'
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus
+    """,
+    duck_sql="""
+        SELECT l.l_linestatus,
+          sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS high_line_count,
+          sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+          AND l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+          AND l.l_shipdate <  timestamp '1997-01-01 00:00:00'
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus
+    """,
+    tables=("orders", "lineitem"),
+    with_changelog_cte=False,
+    doc="TPC-H Q12 late-shipment priority split: CASE-conditional sums "
+    "over a join (shipmode adapted to o_orderpriority on this schema)",
+)
+
+# Q18: large-volume customers — IN over a grouped-HAVING subquery (the
+# qualifying-order set joins back semi-style), 3-way join, top-100.
+sql_pair(
+    "tpch_q18",
+    spark_sql="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+          date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate_s,
+          CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+          CAST(round(sum(l.l_quantity)) AS BIGINT) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 210)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY totalprice_c DESC, o_orderkey LIMIT 100
+    """,
+    duck_sql="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+          strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_s,
+          CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+          CAST(round(sum(l.l_quantity)) AS BIGINT) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 210)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY totalprice_c DESC, o_orderkey LIMIT 100
+    """,
+    tables=("customer", "orders", "lineitem"),
+    with_changelog_cte=False,
+    doc="TPC-H Q18 large-volume customers: grouped-HAVING IN subquery "
+    "planned as a semi-join, top-100 with o_orderkey tiebreak",
+)
+
 # ============================================================================
 # Training-data pipeline: documents / text analysis
 # ============================================================================
