@@ -62,8 +62,18 @@ class MergeStats:
 
 
 def lww_collapse(df: DataFrame, key: str, order: str, cols: list[str]) -> DataFrame:
-    """max-LSN-wins collapse via hash aggregate (map-side combine, skew-proof)."""
-    packed = df.groupBy(key).agg(F.max_by(F.struct(*cols), F.col(order)).alias("__w"))
+    """max-LSN-wins collapse via hash aggregate (map-side combine,
+    skew-proof). Ties on the order column — a feed contract violation —
+    resolve by max xxhash64 row fingerprint: deterministic across input
+    order, partitioning, and retries (byte-identical redelivered copies
+    hash equal, so any pick among them is the same row)."""
+    tiebreak = F.struct(
+        F.col(order).alias("o"),
+        F.xxhash64(*[F.col(c) for c in cols]).alias("f"),
+    )
+    packed = df.groupBy(key).agg(
+        F.max_by(F.struct(*cols), tiebreak).alias("__w")
+    )
     return packed.select(key, *[F.col(f"__w.{c}").alias(c) for c in cols])
 
 
@@ -78,10 +88,15 @@ def merge_into(
 ) -> MergeStats:
     """Apply one batch of change events (current-schema cols + ``op``).
 
-    ``precollapsed=True`` promises the source already holds at most one row
-    per key (the caller ran the LWW collapse, e.g. to scope the extraction
-    UDF to winners only) — the within-batch collapse is then skipped; the
-    vs-target resolution happens at read time either way (merge-on-read).
+    ``precollapsed=True`` promises the source holds at most one row per
+    (key, order) pair EXCEPT for rows tied at a key's winning order value
+    (the caller ran the LWW winner selection, e.g. to scope the
+    extraction UDF to winners only) — the within-batch collapse is then
+    skipped. Tied duplicates are tolerated physically: every read-side
+    collapse orders by (order, xxhash64 row fingerprint), so they resolve
+    to ONE deterministic winner at read time and compaction folds them
+    away; the vs-target resolution happens at read time either way
+    (merge-on-read).
 
     ``props_update`` merges table properties into the committed snapshot
     (the apply path records its watermark here so maintenance can derive

@@ -773,12 +773,23 @@ class LakeTable:
             return _union(base_parts + delta_parts)
         if delta_parts:
             # LWW collapse base+delta (hash aggregate, map-side combine;
-            # same skew-proof shape as the merge path's collapse).
+            # same skew-proof shape as the merge path's collapse). The
+            # ordering is (order, row-fingerprint): rows tied on the
+            # order column — a feed contract violation that the write
+            # path deliberately passes through rather than paying a
+            # per-batch detection job — resolve by max fingerprint, so
+            # every read (and compaction, which rewrites through this
+            # same scan) picks the SAME winner regardless of input
+            # order, partitioning, or retries.
             key, order = snap.key, snap.order_col
             dpart = _union(delta_parts)
             others = [c for c in dpart.columns if c != key]
+            tiebreak = F.struct(
+                F.col(order).alias("o"),
+                F.xxhash64(*[F.col(c) for c in others]).alias("f"),
+            )
             packed = dpart.groupBy(key).agg(
-                F.max_by(F.struct(*others), F.col(order)).alias("__w")
+                F.max_by(F.struct(*others), tiebreak).alias("__w")
             )
             collapsed = packed.select(
                 key, *[F.col(f"__w.{c}").alias(c) for c in others]

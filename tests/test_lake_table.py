@@ -159,11 +159,12 @@ def test_metrics_reconciliation(spark, replayed):
 
 
 def test_tied_lsn_events_collapse_to_one_deterministic_row(spark):
-    """Rows tied on (url, lsn) — a feed contract violation — must still
-    collapse to exactly ONE physical row per key (commit_delta's
-    precollapsed contract), deterministically: byte-identical
-    redeliveries collapse trivially; differing payloads resolve by max
-    row-fingerprint, so two independent replays agree."""
+    """Rows tied on (url, lsn) — a feed contract violation — pass through
+    the write path as duplicate physical delta rows (no per-batch
+    detection job on the hot path), but every READ collapses them to one
+    deterministic winner via the (lsn, row-fingerprint) order, two
+    independent replays with opposite input order agree, and compaction
+    physically folds the duplicates to one base row."""
 
     def _batch(rows):
         df = spark.createDataFrame(
@@ -184,7 +185,7 @@ def test_tied_lsn_events_collapse_to_one_deterministic_row(spark):
         # u2: DIFFERING payloads tied at the winning lsn
         ("u2", 7, TS, b"<body>alpha</body>", "en", "insert"),
         ("u2", 7, TS, b"<body>beta</body>", "de", "insert"),
-        # u3: clean path — ties only below the winning lsn
+        # u3: ties only below the winning lsn (discarded by the join)
         ("u3", 1, TS, b"<body>old</body>", "en", "insert"),
         ("u3", 1, TS, b"<body>old2</body>", "en", "insert"),
         ("u3", 2, TS, b"<body>new</body>", "fr", "insert"),
@@ -199,15 +200,31 @@ def test_tied_lsn_events_collapse_to_one_deterministic_row(spark):
         # depend on arrival order
         ordered = rows if trial == 0 else list(reversed(rows))
         apply_batch(t, _batch(ordered), "e0")
-        got = t.read(include_tombstones=True, raw=True)
+        # every READ sees exactly one row per key
+        logical = t.read().select("url", "lsn", "html", "lang")
         per_key = {
             r["url"]: r["n"]
-            for r in got.groupBy("url").agg(F.count("*").alias("n")).collect()
+            for r in logical.groupBy("url").agg(
+                F.count("*").alias("n")).collect()
         }
         assert per_key == {"u1": 1, "u2": 1, "u3": 1}, per_key
-        outcomes.append(sorted(
+        before = sorted(
+            (r.url, r.lsn, bytes(r.html), r.lang) for r in logical.collect()
+        )
+        # compaction folds the physical duplicates and preserves exactly
+        # the winners every read already saw
+        t.compact("c0")
+        raw = t.read(include_tombstones=True, raw=True)
+        phys = {
+            r["url"]: r["n"]
+            for r in raw.groupBy("url").agg(F.count("*").alias("n")).collect()
+        }
+        assert phys == {"u1": 1, "u2": 1, "u3": 1}, phys
+        after = sorted(
             (r.url, r.lsn, bytes(r.html), r.lang)
             for r in t.read().select("url", "lsn", "html", "lang").collect()
-        ))
+        )
+        assert before == after
+        outcomes.append(after)
     assert outcomes[0] == outcomes[1]  # deterministic across replays
     assert [o[2] for o in outcomes[0] if o[0] == "u3"] == [b"<body>new</body>"]
