@@ -107,6 +107,88 @@ def _bloom_positions(key: str, m: int) -> list[int]:
     ]
 
 
+def _plan_filter_entries(
+    entries: list[dict],
+    order_col: str,
+    min_order: int | None,
+    point_keys: list[str] | None,
+    stats_bounds: dict[str, tuple] | None,
+    bloom_ints: dict[str, int],
+    key_masks: dict[tuple[str, int], int],
+) -> tuple[list[tuple[str, int]], bool]:
+    """THE planning kernel: one bucket's manifest entries →
+    ``(retained [(rel_path, schema_version)], bucket_has_delta)``,
+    applying min_order / key-bloom / stats-bounds file skipping.
+
+    Pure and picklable on purpose — the driver loop (small tables) and
+    the distributed planner's executor-side ``mapInPandas``
+    (:meth:`LakeTable._select_files_spark`, large tables) both call THIS
+    function, so the two planning paths cannot drift semantically.
+
+    ``bloom_ints`` caches decoded blooms keyed by their base64 payload
+    (immutable, so never invalidated — the driver passes its table-level
+    cache for once-per-file-LIFETIME decode; executors pass a per-task
+    dict). ``key_masks`` caches per-(key, m) probe masks, making each
+    probe one AND + compare per key.
+
+    Skip soundness (see :meth:`LakeTable._select_files` for the full
+    argument): ``min_order`` drops files whose recorded max(order) ≤
+    threshold; ``point_keys`` drops files whose bloom excludes every key
+    (blooms cover tombstones too); ``stats_bounds`` drops on recorded
+    [min, max] disjointness but ONLY in fully-compacted buckets, where
+    every physical row is already a current winner."""
+    import base64
+
+    def _kmask(k: str, m: int) -> int:
+        v = key_masks.get((k, m))
+        if v is None:
+            v = 0
+            for p in _bloom_positions(k, m):
+                v |= 1 << p
+            key_masks[(k, m)] = v
+        return v
+
+    def _may_contain(e: dict) -> bool:
+        bl = e.get("bloom")
+        if not bl:
+            return True
+        b64 = bl["b"]
+        bi = bloom_ints.get(b64)
+        if bi is None:
+            bi = int.from_bytes(base64.b64decode(b64), "little")
+            bloom_ints[b64] = bi
+        m = bl["m"]
+        for k in point_keys:
+            km = _kmask(k, m)
+            if bi & km == km:
+                return True
+        return False
+
+    all_base = all(e.get("kind", "base") == "base" for e in entries)
+    retained: list[tuple[str, int]] = []
+    has_delta = False
+    for e in entries:
+        if min_order is not None:
+            bounds = (e.get("stats") or {}).get(order_col)
+            if bounds is not None and bounds[1] <= min_order:
+                continue
+        if point_keys is not None and not _may_contain(e):
+            continue
+        if stats_bounds is not None and all_base:
+            skip = False
+            for col, (lo, hi) in stats_bounds.items():
+                sb = (e.get("stats") or {}).get(col)
+                if sb is not None and (sb[0] > hi or sb[1] < lo):
+                    skip = True
+                    break
+            if skip:
+                continue
+        if e.get("kind", "base") == "delta":
+            has_delta = True
+        retained.append((e["path"], e["schema_version"]))
+    return retained, has_delta
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer advanced ``_CURRENT`` since this commit started."""
 
@@ -474,6 +556,7 @@ class LakeTable:
         min_order: int | None = None,
         point_keys: list[str] | None = None,
         stats_bounds: dict[str, tuple] | None = None,
+        distributed: bool | None = None,
     ) -> tuple[dict[int, list[str]], set[str]]:
         """Resolve the data files a scan must read, applying bucket
         pruning and manifest-stats file skipping; returns
@@ -511,78 +594,149 @@ class LakeTable:
         so dropping files that cannot contain a predicate-passing row is
         sound. Buckets still carrying deltas are read in full; the
         caller's post-collapse predicate filter keeps semantics exact
-        either way."""
-        import base64
+        either way.
 
-        # Per-key probe masks, computed once per (key, m) per plan; the
-        # bloom itself decodes once per file LIFETIME (table-level cache)
-        # into a little-endian int, so the per-file test is one AND +
-        # compare per key — the planning loop stays O(files) with a
-        # ~2.5 µs/file constant (BENCH.md planning table), not O(files ×
-        # keys × bits) with fresh b64 decodes every plan.
+        ``distributed`` picks the planning EXECUTION site — same kernel
+        (:func:`_plan_filter_entries`), same answer: ``False`` loops the
+        driver (per-key probe masks computed once per (key, m) per plan;
+        blooms decode once per file LIFETIME into the table-level int
+        cache, so the loop is O(files) cheap integer ANDs — BENCH.md
+        planning table); ``True`` runs manifest parse + probe as a Spark
+        job (:meth:`_select_files_spark`); ``None`` (default) auto-routes
+        by the selected manifests' byte size — the 100 TB answer, where
+        10⁶-file plans would otherwise serialize ~seconds of JSON parse
+        on the driver."""
+        sel = [
+            b
+            for b in snap.manifests
+            if buckets is None or int(b) in buckets
+        ]
+        if distributed is None:
+            distributed = hasattr(self.spark, "read") and (
+                self._plan_manifest_bytes(snap, sel)
+                >= int(
+                    snap.props.get(
+                        "plan.distributed_min_bytes",
+                        self.PLAN_DISTRIBUTED_MIN_BYTES,
+                    )
+                )
+            )
+        if distributed:
+            return self._select_files_spark(
+                snap, sel, min_order, point_keys, stats_bounds
+            )
         mask_cache: dict[tuple[str, int], int] = {}
-
-        def _kmask(k: str, m: int) -> int:
-            v = mask_cache.get((k, m))
-            if v is None:
-                v = 0
-                for p in _bloom_positions(k, m):
-                    v |= 1 << p
-                mask_cache[(k, m)] = v
-            return v
-
-        def _bloom_may_contain(e: dict) -> bool:
-            bl = e.get("bloom")
-            if not bl:
-                return True
-            b64 = bl["b"]
-            bi = self._bloom_int_cache.get(b64)
-            if bi is None:
-                bi = int.from_bytes(base64.b64decode(b64), "little")
-                self._bloom_int_cache[b64] = bi
-            m = bl["m"]
-            for k in point_keys:
-                km = _kmask(k, m)
-                if bi & km == km:
-                    return True
-            return False
-
         groups: dict[int, list[str]] = {}
         delta_bucket_paths: set[str] = set()
-        for b in snap.manifests:
-            if buckets is not None and int(b) not in buckets:
-                continue
-            entries = self.bucket_entries(snap, b)
-            all_base = all(
-                e.get("kind", "base") == "base" for e in entries
+        for b in sel:
+            retained, bucket_has_delta = _plan_filter_entries(
+                self.bucket_entries(snap, b),
+                snap.order_col,
+                min_order,
+                point_keys,
+                stats_bounds,
+                self._bloom_int_cache,
+                mask_cache,
             )
-            retained: list[tuple[str, int]] = []  # (path, sv) this bucket
-            bucket_has_delta = False
-            for e in entries:
-                if min_order is not None:
-                    bounds = (e.get("stats") or {}).get(snap.order_col)
-                    if bounds is not None and bounds[1] <= min_order:
-                        continue
-                if point_keys is not None and not _bloom_may_contain(e):
-                    continue
-                if stats_bounds is not None and all_base:
-                    skip = False
-                    for col, (lo, hi) in stats_bounds.items():
-                        sb = (e.get("stats") or {}).get(col)
-                        if sb is not None and (sb[0] > hi or sb[1] < lo):
-                            skip = True
-                            break
-                    if skip:
-                        continue
-                if e.get("kind", "base") == "delta":
-                    bucket_has_delta = True
-                retained.append(
-                    (os.path.join(self.root, e["path"]), e["schema_version"])
-                )
-            for path, sv in retained:
+            for rel, sv in retained:
+                path = os.path.join(self.root, rel)
                 groups.setdefault(sv, []).append(path)
                 if bucket_has_delta:
                     delta_bucket_paths.add(path)
+        return groups, delta_bucket_paths
+
+    # Auto-route scans' manifest filtering to a Spark job above this many
+    # bytes of selected manifest JSON (~30k file entries): below it the
+    # driver loop wins on job-launch overhead, above it parse+probe
+    # parallelize across executors and the driver holds only the RETAINED
+    # paths. Tunable per table via the ``plan.distributed_min_bytes``
+    # property.
+    PLAN_DISTRIBUTED_MIN_BYTES = 8 << 20
+
+    def _plan_manifest_bytes(self, snap: Snapshot, sel: list[str]) -> int:
+        """Byte size of the selected buckets' manifests — the auto-route
+        proxy for entry count (O(buckets) stat calls, no parsing; counting
+        entries would itself cost the driver-side parse the distributed
+        path exists to avoid)."""
+        total = 0
+        for b in sel:
+            name = snap.manifests.get(str(b), "")
+            if not name:
+                continue
+            try:
+                total += os.path.getsize(
+                    os.path.join(self.root, MANIFEST_DIR, name)
+                )
+            except OSError:
+                pass
+        return total
+
+    def _select_files_spark(
+        self,
+        snap: Snapshot,
+        sel: list[str],
+        min_order: int | None,
+        point_keys: list[str] | None,
+        stats_bounds: dict[str, tuple] | None,
+    ) -> tuple[dict[int, list[str]], set[str]]:
+        """Distributed scan planning: manifests are read as DATA
+        (``spark.read.text(..., wholetext=True)`` — one row per bucket
+        manifest, since a manifest holds exactly one bucket's entries) and
+        the SAME kernel the driver loop uses (:func:`_plan_filter_entries`)
+        runs executor-side in one Arrow-batched ``mapInPandas`` pass; the
+        driver collects only the retained ``(path, schema_version,
+        in_delta_bucket)`` triples — the list Spark's parquet reader needs
+        on the driver anyway. Planning work (JSON parse, bloom decode +
+        probe × keys, stats compares) becomes O(entries / executors)
+        wall; driver state is O(retained files), not O(all entries).
+
+        This is the Iceberg Avro-manifest + distributed-planning answer
+        (reference-scale catalogs paginate their listing for the same
+        driver-bottleneck reason, operator-tools/_migrate_catalog/
+        runner.py:31-54), admitted here with NO format change because
+        manifests are already per-bucket and immutable. Crossover vs the
+        driver loop is measured in BENCH.md's planning table."""
+        names = [snap.manifests[b] for b in sel if snap.manifests.get(b)]
+        if not names:
+            return {}, set()
+        paths = [os.path.join(self.root, MANIFEST_DIR, n) for n in names]
+        order_col = snap.order_col
+        mo, pk, sb = min_order, point_keys, stats_bounds
+
+        def plan(batches):
+            import pandas as pd
+
+            bloom_ints: dict[str, int] = {}
+            key_masks: dict[tuple[str, int], int] = {}
+            for pdf in batches:
+                out_p: list[str] = []
+                out_sv: list[int] = []
+                out_d: list[bool] = []
+                for txt in pdf["value"]:
+                    retained, has_delta = _plan_filter_entries(
+                        json.loads(txt), order_col, mo, pk, sb,
+                        bloom_ints, key_masks,
+                    )
+                    for rel, sv in retained:
+                        out_p.append(rel)
+                        out_sv.append(sv)
+                        out_d.append(has_delta)
+                yield pd.DataFrame(
+                    {"path": out_p, "sv": out_sv, "in_delta": out_d}
+                )
+
+        rows = (
+            self.spark.read.text(paths, wholetext=True)
+            .mapInPandas(plan, "path string, sv int, in_delta boolean")
+            .collect()
+        )
+        groups: dict[int, list[str]] = {}
+        delta_bucket_paths: set[str] = set()
+        for r in rows:
+            path = os.path.join(self.root, r["path"])
+            groups.setdefault(r["sv"], []).append(path)
+            if r["in_delta"]:
+                delta_bucket_paths.add(path)
         return groups, delta_bucket_paths
 
     def lookup(

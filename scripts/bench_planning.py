@@ -17,12 +17,16 @@ Modes:
 O() statement: every mode is O(selected buckets' file entries) driver-
 side with a per-entry constant measured below (~0.3 µs scan, ~2.5 µs
 cold point probe, ~0.6 µs warm). At 10^6 files a cold 5-key point plan
-costs ~2.5 s on the driver; the scale path beyond that is manifest-as-
-parquet + distributed planning (Iceberg's Avro-manifest answer, noted in
-BENCH.md), which this engine's per-bucket manifest layout admits without
-format changes — planning cost is already independent of table BYTES
-(html never touches the planner) and of untouched buckets (bucket
-pruning happens before entries load).
+costs ~2.5 s on the driver; the scale path beyond that is DISTRIBUTED
+planning (Iceberg's Avro-manifest answer): --distributed adds timings
+for the same plans run as a Spark job over manifests-as-data
+(LakeTable._select_files_spark — wholetext read + the same
+_plan_filter_entries kernel in mapInPandas), which the engine
+auto-routes to above plan.distributed_min_bytes of selected manifest
+JSON. Planning cost is independent of table BYTES (html never touches
+the planner) and of untouched buckets (bucket pruning precedes entry
+loading) on BOTH paths; the distributed path additionally makes it
+O(entries / executors) wall with O(retained paths) driver state.
 """
 
 import base64
@@ -96,6 +100,14 @@ def build_table(root: str, n_files: int, n_buckets: int = 64) -> LakeTable:
 
 
 def main():
+    distributed = "--distributed" in sys.argv
+    spark = None
+    if distributed:
+        from data_pipeline_spark.session import get_spark
+
+        spark = get_spark(
+            parallelism=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        )
     print(json.dumps({"bench": "scan_planning", "unit": "ms"}))
     for n in (1_000, 10_000, 100_000):
         root = tempfile.mkdtemp(prefix=f"plan_{n}_")
@@ -122,6 +134,17 @@ def main():
         t0 = time.monotonic()
         t._select_files(snap, set(range(4)), None, keys, None)
         rows["point5_4buckets_ms"] = round((time.monotonic() - t0) * 1000, 2)
+        if spark is not None:
+            t.spark = spark
+            # cold then warm (JVM/Python-worker reuse is the steady state)
+            t0 = time.monotonic()
+            t._select_files(snap, None, None, keys, None, distributed=True)
+            rows["dist_point5_cold_ms"] = round(
+                (time.monotonic() - t0) * 1000, 2)
+            t0 = time.monotonic()
+            t._select_files(snap, None, None, keys, None, distributed=True)
+            rows["dist_point5_warm_ms"] = round(
+                (time.monotonic() - t0) * 1000, 2)
         print(json.dumps(rows))
 
 
