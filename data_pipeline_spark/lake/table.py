@@ -646,12 +646,13 @@ class LakeTable:
         return groups, delta_bucket_paths
 
     # Auto-route scans' manifest filtering to a Spark job above this many
-    # bytes of selected manifest JSON (~30k file entries): below it the
-    # driver loop wins on job-launch overhead, above it parse+probe
-    # parallelize across executors and the driver holds only the RETAINED
-    # paths. Tunable per table via the ``plan.distributed_min_bytes``
-    # property.
-    PLAN_DISTRIBUTED_MIN_BYTES = 8 << 20
+    # bytes of selected manifest JSON (~60k file entries at the measured
+    # ~550 B/entry): below it the driver loop wins on job-launch
+    # overhead, above it parse+probe parallelize across executors and the
+    # driver holds only the RETAINED paths — the measured cold-plan
+    # crossover in BENCH.md's planning table. Tunable per table via the
+    # ``plan.distributed_min_bytes`` property.
+    PLAN_DISTRIBUTED_MIN_BYTES = 32 << 20
 
     def _plan_manifest_bytes(self, snap: Snapshot, sel: list[str]) -> int:
         """Byte size of the selected buckets' manifests — the auto-route
