@@ -1652,12 +1652,26 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         props_update: dict[str, Any] | None = None,
         stage_id: str | None = None,
+        distribution: str | None = None,
     ) -> Snapshot:
         """Append ``df`` as delta files to the buckets it touches (merge-on-
         read MERGE): writes O(batch) data + O(touched) manifests; nothing
         is rewritten. ``df`` must carry current-schema columns (plus an
         optional ``__deleted`` tombstone flag) with at most one row per
         key — readers resolve key versions by max-order-wins collapse.
+
+        ``distribution`` (default from the ``write.distribution`` table
+        property, else ``"fanout"``) is Iceberg's write.distribution-mode
+        knob: ``"fanout"`` adds NO exchange — every task writes its local
+        rows into per-bucket files, so wide CDC rows cross the network
+        once per batch, at the cost of O(tasks × touched buckets) delta
+        files per commit; ``"hash"`` repartitions on the bucket id first —
+        exactly ONE delta file per touched bucket per commit, at the cost
+        of one extra wide shuffle. Fanout is right for micro-batch tails
+        (few tasks, compaction folds the files anyway); hash is right for
+        backlog replays on wide clusters, where 1000 tasks × 64 buckets
+        of fanout would mint 64k files per commit and planning/compaction
+        would pay for it long after.
 
         ``stage_id`` (write-audit-publish): the commit is fully written —
         data, manifests, snapshot JSON — but parked under ``_staged/``
@@ -1683,9 +1697,18 @@ class LakeTable:
                 with open(prior) as f:
                     return Snapshot.from_json(f.read())
         version = snap.version + 1
+        mode = distribution or snap.props.get("write.distribution", "fanout")
+        if mode not in ("fanout", "hash"):
+            raise ValueError(f"unknown write distribution: {mode!r}")
+        prepped = self._prep_write(df, snap, fanout=True)
+        if mode == "hash":
+            # One partition per touched bucket → one delta file per
+            # bucket; the bucket column is already computed, so this is
+            # a single hash exchange on it.
+            prepped = prepped.repartition(F.col(BUCKET_COL))
         t0 = time.monotonic()
         rel_dir, written = self._write_data_files(
-            self._prep_write(df, snap, fanout=True),
+            prepped,
             version,
             dir_name=f"staged-{stage_id}" if stage_id is not None else None,
         )
