@@ -1392,6 +1392,50 @@ class LakeTable:
             ),
         )
 
+    def partitions(self, snap: Snapshot | None = None) -> DataFrame:
+        """Partition-stats metadata table (Iceberg ``table$partitions``
+        analog): one row per non-empty bucket with file/byte/delta counts
+        and split depth, straight from manifests — no data IO, no footer
+        reads. The operational companion to :meth:`maintenance.auto_split`
+        (skew visibility: which buckets are hot) and :meth:`compact`
+        (which buckets carry delta tails and how heavy they are)."""
+        snap = snap or self.current()
+        rows = []
+        for b, entries in sorted(self.all_entries(snap).items()):
+            if not entries:
+                continue
+            n_delta = sum(
+                1 for e in entries if e.get("kind", "base") == "delta"
+            )
+            d_bytes = sum(
+                e.get("bytes") or 0
+                for e in entries
+                if e.get("kind", "base") == "delta"
+            )
+            t_bytes = sum(e.get("bytes") or 0 for e in entries)
+            rows.append(
+                {
+                    "bucket": int(b),
+                    "depth": snap.depths.get(
+                        str(int(b) % snap.n_buckets), 0
+                    ),
+                    "n_files": len(entries),
+                    "n_delta_files": n_delta,
+                    "bytes": t_bytes,
+                    "delta_bytes": d_bytes,
+                    "delta_ratio": round(d_bytes / t_bytes, 6)
+                    if t_bytes
+                    else 0.0,
+                }
+            )
+        return self.spark.createDataFrame(
+            rows,
+            T.StructType.fromDDL(
+                "bucket int, depth int, n_files int, n_delta_files int, "
+                "bytes bigint, delta_bytes bigint, delta_ratio double"
+            ),
+        )
+
     # -- write path ---------------------------------------------------------
 
     def is_committed(self, commit_key: str) -> bool:

@@ -84,3 +84,25 @@ def test_unknown_distribution_refused(spark):
             _batch(spark).withColumn("__deleted", F.lit(False)).drop("op"),
             "m0", distribution="zigzag",
         )
+
+
+def test_partitions_metadata_table(spark):
+    t = _mk(spark, props={"write.distribution": "hash"})
+    merge_into(t, _batch(spark), "m0")
+    t.compact("c0")
+    merge_into(t, _batch(spark, n=8), "m1")  # delta tail on some buckets
+    rows = {r.bucket: r for r in t.partitions().collect()}
+    assert rows  # every non-empty bucket reported
+    snap = t.current()
+    for b, es in t.all_entries(snap).items():
+        if not es:
+            assert b not in rows
+            continue
+        r = rows[b]
+        assert r.n_files == len(es)
+        assert r.n_delta_files == sum(
+            1 for e in es if e.get("kind", "base") == "delta"
+        )
+        assert r.bytes > 0
+        if r.n_delta_files:
+            assert 0 < r.delta_ratio < 1
