@@ -2433,8 +2433,8 @@ sql_pair(
         SELECT url, lsn, {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang
         FROM latest
         WHERE op <> 'delete' AND lang = 'en'
-          AND warc_ts >= TIMESTAMP '2024-01-08 00:00:00'
-          AND warc_ts <= TIMESTAMP '2024-01-22 00:00:00'
+          AND warc_ts >= TIMESTAMP '2024-01-25 00:00:00'
+          AND warc_ts <= TIMESTAMP '2024-01-31 00:00:00'
     """,
     doc="Z-order clustered rewrite + stats-bounds scan: replay, OPTIMIZE "
     "ZORDER BY (lang, warc_ts), then a bounded read that file-prunes on "
@@ -2458,8 +2458,13 @@ def cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder=True,
         target_rows_per_file=64,
     )
-    lo = dt.datetime(2024, 1, 8)
-    hi = dt.datetime(2024, 1, 22)
+    # Month-tail window: LWW winners' warc_ts concentrate at the end of
+    # the synthetic month as amplification grows (more events per url =>
+    # later winners), so a mid-month window goes VACUOUS at sf0.1 while
+    # passing at sf0.01. The tail window is non-empty at every sf
+    # (19 / 236 / 301 'en' winners at sf0.001/0.01/0.1).
+    lo = dt.datetime(2024, 1, 25)
+    hi = dt.datetime(2024, 1, 31)
     return table.read(
         stats_bounds={"lang": ("en", "en"), "warc_ts": (lo, hi)},
         columns=["lang", "warc_ts"],
