@@ -31,6 +31,7 @@ import shutil
 from pyspark.sql import SparkSession
 
 from data_pipeline_spark.lake.table import (
+    CURRENT_FILE,
     SNAPSHOT_DIR,
     ConcurrentCommitError,
     LakeTable,
@@ -158,9 +159,14 @@ def publish_branch(
     # freshly-referenced snapshot (the CAS below would then raise with
     # _CURRENT pointing at corrupted-from-main's-view JSON). Refusing on
     # an existing file turns that race into the loud BranchDivergedError
-    # every other writer conflict raises; stray unreferenced copies from
-    # a crash are harmless (the main line's own commit at that version
-    # atomically replaces them, and they are never reachable until then).
+    # every other writer conflict raises. Stray copies from a publish
+    # that crashed mid-loop are unreachable (the pointer never moved) but
+    # now BLOCK main commits at those versions — loudly, never silently
+    # (main's exclusive version-file create refuses; see
+    # LakeTable._write_snapshot). Recovery is explicit: delete the stray
+    # files and re-run publish, or finish it; recover_head() must NOT be
+    # used here (it would adopt a PREFIX of the branch — its docstring
+    # carries the same warning).
     for v in range(fork + 1, head.version + 1):
         sname = f"v{v:08d}.json"
         src = os.path.join(h._bdir(), sname)
@@ -179,7 +185,18 @@ def publish_branch(
             f.write(content)
             f.flush()
             os.fsync(f.fileno())
-    table._write_snapshot(head, expect_parent=fork)
+    # The head's version FILE was created by the copy loop above (every
+    # copy is O_EXCL — this publish owns those names), so the commit is
+    # just the pointer CAS; going through _write_snapshot would refuse on
+    # its own exclusive create of a file that legitimately exists.
+    cur_path = os.path.join(table.root, CURRENT_FILE)
+    with open(cur_path) as f:
+        cur_name = f.read().strip()
+    if cur_name != f"v{fork:08d}.json":
+        raise BranchDivergedError(
+            f"main moved to {cur_name} while publishing branch {name!r}"
+        )
+    _atomic_write(cur_path, f"v{head.version:08d}.json")
     delete_branch(table, name)
     return head
 

@@ -293,6 +293,30 @@ class LakeTable:
         return out
 
     def _write_snapshot(self, snap: Snapshot, expect_parent: int | None) -> None:
+        """Publish a snapshot: exclusive version-file creation, then the
+        ``_CURRENT`` pointer swap.
+
+        The version file is created with link(2) EXCL semantics (content
+        written to a tmp file first, so a published name is always
+        complete) — the create IS the version allocation: of two racers
+        at the same tentative version, exactly one owns ``v{n}.json`` and
+        proceeds to the pointer swap; the loser raises
+        :class:`ConcurrentCommitError` without having touched anything
+        readers or the winner depend on. The old check-then-overwrite
+        order had a torn window where racer B silently replaced racer A's
+        just-written snapshot content — a LOST UPDATE two concurrent
+        sharded streaming writers hit reliably (caught by
+        tests/test_multiwriter.py; Iceberg's HadoopTableOperations uses
+        the same exclusive-rename commit).
+
+        Writers can only base a version n+1 on a head they can SEE, and
+        the head only advances via the pointer swap below, so ``_CURRENT``
+        moves strictly in version order. A writer that crashes between
+        link and swap leaves ``v{n}.json`` as a fully-valid orphan that
+        BLOCKS version n (loud stall, never silent loss); a live racer
+        in that window just retries until the swap lands
+        (``commit_delta``'s backoff), and true debris is adopted
+        explicitly via :meth:`recover_head`."""
         cur_path = os.path.join(self.root, CURRENT_FILE)
         if expect_parent is not None:
             with open(cur_path) as f:
@@ -302,8 +326,46 @@ class LakeTable:
                     f"expected parent v{expect_parent}, _CURRENT is {cur_name}"
                 )
         name = f"v{snap.version:08d}.json"
-        _atomic_write(os.path.join(self.root, SNAPSHOT_DIR, name), snap.to_json())
+        final = os.path.join(self.root, SNAPSHOT_DIR, name)
+        tmp = f"{final}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version file {name} already exists — another writer "
+                "owns this version (its _CURRENT swap may be in flight)"
+            ) from None
+        finally:
+            os.unlink(tmp)
         _atomic_write(cur_path, name)
+
+    def recover_head(self) -> Snapshot:
+        """Finish a crashed writer's commit: if ``v{head+1}.json`` exists
+        while ``_CURRENT`` still points at head, the writer died between
+        version-file creation and the pointer swap — the snapshot is
+        complete and durable (everything it references was written before
+        it), so rolling the pointer forward is the correct recovery, and
+        repeating it while the original writer is still alive is a no-op
+        race (both write the same pointer content). MUST NOT run while a
+        branch publish is in flight (publish copies several version files
+        before its own swap; adopting the first would tear the publish's
+        all-or-nothing contract) — that is why adoption is an explicit
+        maintenance call, not automatic in the commit path."""
+        while True:
+            head = self.current()
+            nxt = os.path.join(
+                self.root, SNAPSHOT_DIR, f"v{head.version + 1:08d}.json"
+            )
+            if not os.path.exists(nxt):
+                return head
+            _atomic_write(
+                os.path.join(self.root, CURRENT_FILE),
+                os.path.basename(nxt),
+            )
 
     # -- manifests ---------------------------------------------------------
 
@@ -1778,7 +1840,7 @@ class LakeTable:
             added[str(b)] = paths
         ours = {str(b) for b in by_bucket}
         base = snap
-        for _attempt in range(10):
+        for attempt in range(10):
             new = Snapshot(
                 version=base.version + 1,
                 schema_version=base.schema_version,
@@ -1825,6 +1887,15 @@ class LakeTable:
                 head = self.current()
                 if commit_key in head.commits:
                     return head  # the other writer WAS this commit (retry)
+                if head.version == base.version:
+                    # We lost the version-file EXCL race but the winner's
+                    # _CURRENT swap hasn't landed yet — wait it out and
+                    # retry against the SAME base; the next current()
+                    # read will see the moved head and rebase normally.
+                    # (A winner that crashed in this window stalls the
+                    # table LOUDLY; recover_head() adopts its commit.)
+                    time.sleep(0.02 * (attempt + 1))
+                    continue
                 conflicted = (
                     head.schema_version != base.schema_version
                     or head.depths != base.depths

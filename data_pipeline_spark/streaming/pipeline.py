@@ -134,10 +134,25 @@ def run_stream(
     compact_every: int | None = None,
     compact_min_delta_ratio: float | None = 0.2,
     dlq_root: str | None = None,
+    writer_id: str | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
     tailing.
+
+    ``writer_id`` namespaces the commit keys (``epoch=<writer>:<n>``) so
+    SEVERAL streams can ingest into ONE table concurrently — sharded
+    ingest, each writer tailing its own WAL shard routed to a disjoint
+    bucket set (shard by the table's own ``bucket_expr``). Commits race
+    through the optimistic disjoint-bucket rebase (``commit_delta``), so
+    parallel writers land without lost updates, and each writer's
+    exactly-once is keyed independently (writer A's epoch 0 cannot no-op
+    writer B's). Overlapping-bucket writers fail LOUDLY
+    (``ConcurrentCommitError``) rather than interleave — by design.
+    Compaction stays a separate single-role maintenance job in
+    multi-writer deployments (Iceberg's shape); leave ``compact_every``
+    unset — an in-stream compaction from one writer would conflict with
+    the other's delta commits on shared buckets.
 
     ``fail_after_batches`` injects a mid-replay crash for kill-and-resume
     tests. ``fail_mode='before'`` crashes before the Nth batch is applied
@@ -213,10 +228,13 @@ def run_stream(
                     f"epoch {batch_id} failed the quality gate: "
                     f"{gate['failures']} over {gate['rows']} rows"
                 )
+        key_n = (
+            f"{writer_id}:{batch_id}" if writer_id is not None else batch_id
+        )
         apply_batch(
             table,
             batch,
-            commit_key=EPOCH_KEY.format(n=batch_id),
+            commit_key=EPOCH_KEY.format(n=key_n),
             record_metrics=record_metrics,
             watermark_days=watermark_days,
             dlq=dlq,
@@ -224,7 +242,7 @@ def run_stream(
         seen["n"] += 1
         if compact_every is not None and seen["n"] % compact_every == 0:
             table.compact(
-                f"stream-compact-{batch_id}",
+                f"stream-compact-{key_n}",
                 min_delta_ratio=compact_min_delta_ratio,
             )
         if crash and fail_mode == "after":
