@@ -439,14 +439,20 @@ def ngram_jaccard_sql(
     """Exact Jaccard over the inverted shingle index for every pair sharing
     ≥1 shingle, thresholded. The shuffle key is the shingle — document-
     frequency skew is the classic hot key; production adds a stop-shingle
-    filter (drop shingles in >X% of docs), expressed here as HAVING."""
+    filter (drop shingles in >X% of docs), expressed here as HAVING with
+    a RELATIVE cap: max(100, 10% of the corpus). An absolute cap goes
+    scale-vacuous — at 10× the docs, a near-dup FAMILY's shared shingles
+    exceed it and every true pair silently drops out (caught by the
+    sf0.1 sweep: 0 pairs under df<=100 while MinHash found 17k)."""
     return f"""
         WITH sh AS (
           SELECT doc_id, {_unnest(shingles('text', shingle_k, dialect), 'sh', dialect)}
           FROM {docs_rel}
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        df AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+        df AS (SELECT sh FROM sh GROUP BY sh
+               HAVING count(*) <= greatest(
+                 100, (SELECT count(*) FROM {docs_rel}) / 10)),
         pairs AS (
           SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS inter
           FROM sh s1

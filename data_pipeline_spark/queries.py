@@ -1092,10 +1092,13 @@ sql_pair(
             SELECT url, op, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
             FROM changelog) WHERE rn = 1 AND op <> 'delete'),
         recent AS (SELECT DISTINCT url FROM changelog, bounds
-                   WHERE lsn > hi - (hi - lo) / 4)
+                   WHERE lsn > hi - (hi - lo) / 32)
         SELECT url FROM live EXCEPT SELECT url FROM recent
     """,
-    doc="SO1 scoped stale-key EXCEPT (ingest_v1_s1_rtc.py:508-517)",
+    doc="SO1 scoped stale-key EXCEPT (ingest_v1_s1_rtc.py:508-517); the "
+    "recency window is 1/32 of the lsn span — per-url activity densifies "
+    "with scale, and a 1/4 window goes vacuous (every live url 'recent') "
+    "at sf0.1 (542/1415/212 stale urls at sf0.001/0.01/0.1)",
 )
 
 # ============================================================================
