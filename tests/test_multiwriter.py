@@ -7,6 +7,8 @@ rebase lands racing commits without lost updates."""
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pipeline_spark import changelog as cl
@@ -87,3 +89,48 @@ def test_two_sharded_writers_one_table(spark):
     assert qr.awaitTermination(600)
     assert _state(t) == want
     assert t.current().version == v_before  # pure no-ops, no new commits
+
+
+def test_recover_head_finishes_a_crashed_swap(spark):
+    """A writer that crashed between version-file creation and the
+    pointer swap leaves a complete orphan snapshot that BLOCKS its
+    version (loud stall, no silent loss); recover_head adopts it."""
+
+    from data_pipeline_spark.lake.table import (
+        SNAPSHOT_DIR, ConcurrentCommitError, LakeTable, Snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="mw_rec_")
+    root = os.path.join(base, "tbl")
+    t = ensure_table(spark, root, 4)
+    log = cl.changelog(spark, SF_SMOKE).limit(50)
+    from data_pipeline_spark.pipeline import apply_batch
+    apply_batch(t, log, "e0", record_metrics=False)
+    head = t.current()
+
+    # simulate the crash window: next version's file exists, pointer not
+    # swapped (content = a real committed-shape snapshot)
+    orphan = Snapshot(**{**head.__dict__,
+                         "version": head.version + 1,
+                         "commits": {**head.commits,
+                                     "crashed": head.version + 1}})
+    with open(os.path.join(
+            root, SNAPSHOT_DIR, f"v{orphan.version:08d}.json"), "w") as f:
+        f.write(orphan.to_json())
+
+    # a new commit at that version stalls loudly, never clobbers
+    with pytest.raises(ConcurrentCommitError):
+        t.commit_delta(
+            t.read().limit(1).withColumn("lsn", F.col("lsn") + 10**9),
+            "e1",
+        )
+    assert t.current().version == head.version  # untouched
+
+    recovered = t.recover_head()
+    assert recovered.version == orphan.version
+    assert "crashed" in recovered.commits
+    # and the blocked commit now lands on the adopted head
+    t.commit_delta(
+        t.read().limit(1).withColumn("lsn", F.col("lsn") + 10**9), "e1"
+    )
+    assert "e1" in t.current().commits
