@@ -132,6 +132,13 @@ def _scaling_child(cores: int) -> None:
     # AQE stays ON (session default): the apply path's winner-join relies
     # on AQE's runtime size check to pick broadcast at micro-batch sizes
     # and shuffle join at backlog sizes.
+    #
+    # Heap scales WITH the core count (3 GiB/core): on a real cluster 4N
+    # executors bring 4N executors' worth of heap, so a fixed local-JVM
+    # heap would hand the N leg 4x the memory per core and tax the 4N leg
+    # with GC pressure the cluster it stands in for would never see.
+    # SPARK_GRAFT_DRIVER_MEM still overrides for constrained boxes.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{3 * cores}g")
     spark = get_spark(f"scale-{cores}", parallelism=cores)
     root = tempfile.mkdtemp(prefix=f"lake_scale_{cores}_")
     wal_dir = os.path.join(root, "wal")
