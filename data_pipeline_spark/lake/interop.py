@@ -1,0 +1,246 @@
+"""External-reader interop: consume a pinned LakeTable snapshot from any
+engine that can read parquet — no Spark, no engine code on the read side.
+
+The lakehouse promise Iceberg/Delta make is that the TABLE, not the engine,
+owns the data: external engines read a consistent snapshot straight from
+storage given (a) the file list and (b) the merge semantics. This module
+emits both, in three forms:
+
+- :func:`reader_sql` — one self-contained ANSI-flavored SQL statement
+  (DuckDB dialect for list literals) that reproduces ``LakeTable.read()``
+  for a pinned snapshot: schema-version alignment (missing columns → typed
+  NULL, widened → cast), merge-on-read LWW collapse scoped to delta-bearing
+  buckets, tombstone filtering. Point a warehouse at the parquet and run it.
+- :func:`write_symlink_manifest` — the Delta/Athena
+  ``_symlink_format_manifest`` shape: one text file listing the snapshot's
+  live data files, for engines that take file lists rather than SQL.
+- :func:`scan_spec` — an engine-neutral JSON description (files, schema,
+  key/order columns, delta buckets) for anything programmatic.
+
+Exactness contract: external reads are byte-equivalent to
+``LakeTable.read()`` whenever the feed contract held (no two change events
+tied on (key, order) — ``quality_gate`` counts violations). Rows tied on
+the order column resolve by a Spark-side xxhash64 row fingerprint that
+portable SQL cannot reproduce; compaction materializes Spark's winner, so
+FULLY COMPACTED snapshots are byte-exact even in the presence of past
+ties. This mirrors the reference's register-for-external-consumers step
+(items are queryable by external catalog clients once registered,
+run_ingest_register.py:67-161): the table is the interface, not the
+pipeline that wrote it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from data_pipeline_spark.lake.table import TOMBSTONE_COL, LakeTable, Snapshot
+
+# Spark DDL type → ANSI/DuckDB type. Extend as the engine's schema
+# vocabulary grows; unknown types fail loudly rather than mis-cast.
+_DDL_TO_SQL = {
+    "string": "VARCHAR",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "binary": "BLOB",
+    "boolean": "BOOLEAN",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+}
+
+
+def _sql_type(ddl: str) -> str:
+    try:
+        return _DDL_TO_SQL[ddl.lower()]
+    except KeyError:
+        raise ValueError(
+            f"no portable SQL type mapping for Spark DDL type {ddl!r}"
+        ) from None
+
+
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def _read_block(
+    table: LakeTable,
+    snap: Snapshot,
+    files: list[str],
+    sv: int,
+    cur_fields: list[tuple[str, str]],
+) -> str:
+    """One SELECT over files written at schema version ``sv``, aligned to
+    the current field list (absent-then columns → typed NULL; widened
+    columns → cast). All writers normalize the tombstone column in
+    (lake/table.py _normalize), so ``__deleted`` is always present."""
+    have = {n for n, _ in table.schema_fields(snap, sv)}
+    casts = [
+        (
+            f"CAST({_q(n)} AS {_sql_type(d)}) AS {_q(n)}"
+            if n in have
+            else f"CAST(NULL AS {_sql_type(d)}) AS {_q(n)}"
+        )
+        for n, d in cur_fields
+    ]
+    casts.append(
+        f"COALESCE({_q(TOMBSTONE_COL)}, FALSE) AS {_q(TOMBSTONE_COL)}"
+    )
+    file_list = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    return (
+        "SELECT " + ", ".join(casts) + f" FROM read_parquet([{file_list}])"
+    )
+
+
+def reader_sql(
+    table: LakeTable,
+    snap: Snapshot | None = None,
+    include_tombstones: bool = False,
+    buckets: set[int] | None = None,
+) -> str:
+    """SQL text reproducing ``table.read(buckets=..., snap=...)`` for an
+    external engine, against the snapshot's parquet files directly.
+
+    The statement unions one aligned SELECT per (schema version ×
+    base/delta) file group; rows from buckets that retained delta files
+    pass through a ``row_number() OVER (PARTITION BY key ORDER BY order
+    DESC) = 1`` collapse — the same delta-scoped LWW ``read()`` performs —
+    while compacted buckets' rows (already one winner per key) union
+    through collapse-free. Tombstones are filtered unless
+    ``include_tombstones`` (then surfaced with the ``__deleted`` flag,
+    matching ``read(include_tombstones=True)``).
+
+    The row_number subquery form (rather than QUALIFY) keeps the text
+    runnable on DuckDB, Trino, BigQuery, and Snowflake alike; only the
+    ``read_parquet([...])`` table function is dialect-specific.
+    """
+    snap = snap or table.current()
+    groups, delta_paths = table._select_files(
+        snap, buckets=buckets, distributed=False
+    )
+    cur_fields = table.schema_fields(snap)
+    out_cols = [_q(n) for n, _ in cur_fields]
+    if include_tombstones:
+        out_cols.append(_q(TOMBSTONE_COL))
+
+    base_blocks: list[str] = []
+    delta_blocks: list[str] = []
+    for sv in sorted(groups):
+        b_files = sorted(f for f in groups[sv] if f not in delta_paths)
+        d_files = sorted(f for f in groups[sv] if f in delta_paths)
+        if b_files:
+            base_blocks.append(
+                _read_block(table, snap, b_files, sv, cur_fields)
+            )
+        if d_files:
+            delta_blocks.append(
+                _read_block(table, snap, d_files, sv, cur_fields)
+            )
+
+    live = (
+        ""
+        if include_tombstones
+        else f" WHERE NOT {_q(TOMBSTONE_COL)}"
+    )
+    parts: list[str] = []
+    if base_blocks:
+        base_union = "\nUNION ALL\n".join(base_blocks)
+        parts.append(
+            f"SELECT {', '.join(out_cols)} FROM (\n{base_union}\n) lake_base"
+            + live
+        )
+    if delta_blocks:
+        delta_union = "\nUNION ALL\n".join(delta_blocks)
+        key, order = _q(snap.key), _q(snap.order_col)
+        collapse = (
+            f"SELECT * FROM (\n"
+            f"SELECT lake_delta.*, row_number() OVER "
+            f"(PARTITION BY {key} ORDER BY {order} DESC) AS __rn\n"
+            f"FROM (\n{delta_union}\n) lake_delta\n) lake_ranked "
+            f"WHERE __rn = 1"
+        )
+        parts.append(
+            f"SELECT {', '.join(out_cols)} FROM (\n{collapse}\n) lake_winners"
+            + live
+        )
+    if not parts:
+        null_row = ", ".join(
+            f"CAST(NULL AS {_sql_type(d)}) AS {_q(n)}" for n, d in cur_fields
+        )
+        if include_tombstones:
+            null_row += f", CAST(NULL AS BOOLEAN) AS {_q(TOMBSTONE_COL)}"
+        return f"SELECT {null_row} WHERE 1 = 0"
+    return "\nUNION ALL\n".join(parts)
+
+
+def write_symlink_manifest(
+    table: LakeTable, snap: Snapshot | None = None
+) -> str:
+    """Write ``_external/manifest-v{version}.txt`` — one absolute data-file
+    path per line for the pinned snapshot (the Delta
+    ``_symlink_format_manifest`` / Athena shape) — and return its path.
+    Written atomically (tmp + rename) so a concurrent external reader
+    never sees a torn list; the name is version-pinned so re-export of the
+    same snapshot is idempotent and distinct snapshots never clobber."""
+    snap = snap or table.current()
+    groups, _ = table._select_files(snap, distributed=False)
+    paths = sorted(p for files in groups.values() for p in files)
+    out_dir = os.path.join(table.root, "_external")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"manifest-v{snap.version}.txt")
+    tmp = out + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(paths) + ("\n" if paths else ""))
+    os.replace(tmp, out)
+    return out
+
+
+def scan_spec(table: LakeTable, snap: Snapshot | None = None) -> dict:
+    """Engine-neutral snapshot description: everything a programmatic
+    external reader needs to reproduce ``read()`` (files grouped by schema
+    version and base/delta kind, current schema, key/order/tombstone
+    columns, and the LWW rule). JSON-serializable by construction."""
+    snap = snap or table.current()
+    groups, delta_paths = table._select_files(snap, distributed=False)
+    return {
+        "table_root": table.root,
+        "snapshot_version": snap.version,
+        "key": snap.key,
+        "order_col": snap.order_col,
+        "tombstone_col": TOMBSTONE_COL,
+        "schema": [{"name": n, "type": d} for n, d in table.schema_fields(snap)],
+        "file_groups": [
+            {
+                "schema_version": sv,
+                "schema": [
+                    {"name": n, "type": d}
+                    for n, d in table.schema_fields(snap, sv)
+                ],
+                "base_files": sorted(
+                    f for f in files if f not in delta_paths
+                ),
+                "delta_files": sorted(f for f in files if f in delta_paths),
+            }
+            for sv, files in sorted(groups.items())
+        ],
+        "merge_rule": (
+            "per key keep the row with max(order_col) across ALL of the "
+            "key's bucket files when that bucket has delta_files (base "
+            "buckets are pre-collapsed); drop rows where tombstone_col"
+        ),
+    }
+
+
+def duckdb_view_sql(
+    table: LakeTable,
+    view_name: str,
+    snap: Snapshot | None = None,
+) -> str:
+    """Convenience: a CREATE OR REPLACE VIEW statement pinning
+    ``view_name`` to the snapshot in a DuckDB catalog."""
+    body = reader_sql(table, snap=snap)
+    return f"CREATE OR REPLACE VIEW {_q(view_name)} AS\n{body}"

@@ -226,6 +226,50 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_external_reader",
+    _final_state_duck(),
+    doc="Interop: the SAME final state read back by an EXTERNAL engine — "
+    "DuckDB executes lake/interop.py reader_sql() against the snapshot's "
+    "parquet directly (schema alignment + delta-scoped LWW collapse + "
+    "tombstone filter reproduced in portable SQL, no Spark on the read "
+    "side), proving the table, not the engine, owns the data "
+    "(run_ingest_register.py:67-161 register-for-external-consumers "
+    "analog). The driver-side materialization here is the parity-harness "
+    "shape; external warehouses run the emitted SQL in their own engine.",
+)
+def cdc_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import duckdb
+
+    from data_pipeline_spark.lake.interop import reader_sql
+    from data_pipeline_spark.pipeline import materialize_wal, replay_log
+
+    root = tempfile.mkdtemp(prefix="lake_ext_")
+    par = spark.sparkContext.defaultParallelism
+    log = materialize_wal(
+        spark, sf_dir, os.path.join(root, "wal"), partitions=2 * par
+    )
+    table = replay_log(
+        spark, log, os.path.join(root, "table"), n_batches=3, n_buckets=16,
+        record_metrics=False,
+    )
+    # NO compaction: the export must collapse the live delta tail itself.
+    ext = reader_sql(table)
+    rows = duckdb.connect().execute(
+        f"""SELECT url, lsn,
+                   {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+                   {SHA_DUCK.format(c='text')} AS text_sha
+            FROM ({ext}) t"""
+    ).fetchall()
+    return spark.createDataFrame(
+        rows,
+        "url string, lsn bigint, warc_ts_s string, lang string, "
+        "text_sha string",
+    )
+
+
+@register(
     "cdc_split_final_state",
     _final_state_duck(),
     doc="Partition evolution: replay, then linear-hashing SPLIT of the two "
@@ -1415,6 +1459,463 @@ sql_pair(
     with_changelog_cte=False,
     doc="TPC-H Q18 large-volume customers: grouped-HAVING IN subquery "
     "planned as a semi-join, top-100 with o_orderkey tiebreak",
+)
+
+# Q7: two-nation volume shipping — the double-dimension join (nation on
+# BOTH the supplier and customer legs) with a symmetric OR pair predicate
+# and a year rollup. EXTRACT(YEAR ...) is integer in both engines.
+sql_pair(
+    "tpch_q7",
+    spark_sql="""
+        SELECT supp_nation, cust_nation, l_year,
+          sum(vol_c) AS revenue_c
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT) AS vol_c
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+            AND l.l_shipdate <  timestamp '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    duck_sql="""
+        SELECT supp_nation, cust_nation, l_year,
+          CAST(sum(vol_c) AS BIGINT) AS revenue_c
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT) AS vol_c
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+            AND l.l_shipdate <  timestamp '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tables=("supplier", "lineitem", "orders", "customer", "nation"),
+    with_changelog_cte=False,
+    doc="TPC-H Q7 volume shipping: nation dim joined on both the supplier "
+    "and customer legs, symmetric OR pair, per-year rollup",
+)
+
+# Q8: market share — numerator and denominator reported as exact cents
+# (a cross-engine double ratio would be hash-fragile; the share is
+# numerator/denominator downstream).
+sql_pair(
+    "tpch_q8",
+    spark_sql="""
+        SELECT o_year,
+          sum(CASE WHEN nation = 'NATION_3' THEN vol_c ELSE 0 END)
+              AS nation_vol_c,
+          sum(vol_c) AS total_vol_c
+        FROM (
+          SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT) AS vol_c,
+                 n2.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+          JOIN region r   ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+            AND o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+            AND o.o_orderdate <  timestamp '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year ORDER BY o_year
+    """,
+    duck_sql="""
+        SELECT o_year,
+          CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_c ELSE 0 END)
+               AS BIGINT) AS nation_vol_c,
+          CAST(sum(vol_c) AS BIGINT) AS total_vol_c
+        FROM (
+          SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT) AS vol_c,
+                 n2.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+          JOIN region r   ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+            AND o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+            AND o.o_orderdate <  timestamp '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year ORDER BY o_year
+    """,
+    tables=("part", "lineitem", "supplier", "orders", "customer", "nation",
+            "region"),
+    with_changelog_cte=False,
+    doc="TPC-H Q8 market share: 8-way join, conditional numerator vs total "
+    "(exact cents, ratio left to the consumer)",
+)
+
+# Q9: product-type profit — LIKE filter on the part dim, profit =
+# revenue - cost with p_retailprice standing in for the absent
+# ps_supplycost (the dataset has no partsupp table; the PLAN shape —
+# 5-way join, string filter, signed money math, nation×year rollup —
+# is what's exercised).
+sql_pair(
+    "tpch_q9",
+    spark_sql="""
+        SELECT nation, o_year, sum(amount_c) AS sum_profit_c
+        FROM (
+          SELECT n.n_name AS nation,
+                 EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)
+                 - CAST(round(p.p_retailprice * l.l_quantity * 10000)
+                        AS BIGINT) AS amount_c
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    duck_sql="""
+        SELECT nation, o_year, CAST(sum(amount_c) AS BIGINT) AS sum_profit_c
+        FROM (
+          SELECT n.n_name AS nation,
+                 EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)
+                 - CAST(round(p.p_retailprice * l.l_quantity * 10000)
+                        AS BIGINT) AS amount_c
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    tables=("part", "lineitem", "supplier", "orders", "nation"),
+    with_changelog_cte=False,
+    doc="TPC-H Q9 product profit: LIKE-filtered part dim, signed "
+    "cents math, nation x year rollup (p_retailprice as cost stand-in)",
+)
+
+# Q11: important-value parts — GROUP BY ... HAVING against a GLOBAL scalar
+# subquery over the same aggregate (the fraction is 1/1000 of the
+# nation's total line value; partsupp-less adaptation over lineitem).
+sql_pair(
+    "tpch_q11",
+    spark_sql="""
+        WITH partvalue AS (
+          SELECT l.l_partkey,
+                 CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS value_c
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name = 'NATION_3'
+          GROUP BY l.l_partkey)
+        SELECT l_partkey, value_c FROM partvalue
+        WHERE value_c > (SELECT sum(value_c) / 1000.0 FROM partvalue)
+        ORDER BY value_c DESC, l_partkey
+    """,
+    tables=("lineitem", "supplier", "nation"),
+    with_changelog_cte=False,
+    doc="TPC-H Q11 important stock: HAVING-vs-global-scalar-subquery over "
+    "a shared CTE aggregate",
+)
+
+# Q13: customer order-count distribution — LEFT OUTER join with an
+# ON-clause dim filter (NOT a WHERE, which would kill the outer), then a
+# two-level aggregate producing the histogram of counts.
+sql_pair(
+    "tpch_q13",
+    spark_sql="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    duck_sql="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tables=("customer", "orders"),
+    with_changelog_cte=False,
+    doc="TPC-H Q13 order-count distribution: outer join preserved via "
+    "ON-clause filter, count-of-counts histogram",
+)
+
+# Q14: promo revenue — conditional aggregate; numerator and denominator
+# reported as exact cents instead of a float percentage.
+sql_pair(
+    "tpch_q14",
+    spark_sql="""
+        SELECT
+          sum(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                        AS BIGINT) ELSE 0 END) AS promo_revenue_c,
+          sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                   AS BIGINT)) AS total_revenue_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= timestamp '1997-09-01 00:00:00'
+          AND l.l_shipdate <  timestamp '1997-10-01 00:00:00'
+    """,
+    duck_sql="""
+        SELECT
+          CAST(sum(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                        AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+          CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                   AS BIGINT)) AS BIGINT) AS total_revenue_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= timestamp '1997-09-01 00:00:00'
+          AND l.l_shipdate <  timestamp '1997-10-01 00:00:00'
+    """,
+    tables=("lineitem", "part"),
+    with_changelog_cte=False,
+    doc="TPC-H Q14 promotion effect: conditional vs total aggregate "
+    "(exact cents, no float ratio)",
+)
+
+# Q15: top supplier — max-of-aggregate via a scalar subquery over a CTE
+# referenced twice (Catalyst plans the revenue aggregate once per
+# reference; the equality-with-max picks the argmax row(s)).
+sql_pair(
+    "tpch_q15",
+    spark_sql="""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)) AS BIGINT)
+                     AS total_revenue_c
+          FROM lineitem
+          WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+            AND l_shipdate <  timestamp '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
+    tables=("supplier", "lineitem"),
+    with_changelog_cte=False,
+    doc="TPC-H Q15 top supplier: scalar max-of-aggregate subquery over a "
+    "twice-referenced CTE",
+)
+
+# Q17: small-quantity-order revenue — correlated scalar AVG subquery per
+# part. l_quantity is integer-valued, so sum/avg are exact in double and
+# the 0.2x comparison is deterministic across engines.
+sql_pair(
+    "tpch_q17",
+    spark_sql="""
+        SELECT count(*) AS n_lines,
+          sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS small_qty_revenue_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23' AND p.p_type = 'SMALL'
+          AND l.l_quantity < 0.2 * (
+            SELECT avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """,
+    duck_sql="""
+        SELECT count(*) AS n_lines,
+          CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS small_qty_revenue_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23' AND p.p_type = 'SMALL'
+          AND l.l_quantity < 0.2 * (
+            SELECT avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tables=("lineitem", "part"),
+    with_changelog_cte=False,
+    doc="TPC-H Q17 small-quantity revenue: correlated scalar AVG subquery "
+    "planned as an aggregate join (integer-valued quantities keep the "
+    "0.2x threshold exact)",
+)
+
+# Q19: disjunctive brand/size/quantity predicate — three OR arms that
+# Catalyst must keep as a join-level filter while still pushing the
+# common p_partkey equi-join; exercises OR-pushdown boundaries.
+sql_pair(
+    "tpch_q19",
+    spark_sql="""
+        SELECT count(*) AS n_lines,
+          sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                   AS BIGINT)) AS revenue_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    duck_sql="""
+        SELECT count(*) AS n_lines,
+          CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                   AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tables=("lineitem", "part"),
+    with_changelog_cte=False,
+    doc="TPC-H Q19 discounted revenue: disjunctive predicate arms over a "
+    "dim join (OR-pushdown shape)",
+)
+
+# Q21: suppliers-who-kept-waiting — EXISTS plus NOT EXISTS on the same
+# fact (semi- and anti-join in one plan). The dataset has no
+# l_receiptdate/commitdate, so 'late' is shipped >60 days after the
+# order date; the inner legs correlate only via l_orderkey equality
+# (the lateness predicate reads the inner row's own order).
+sql_pair(
+    "tpch_q21",
+    spark_sql="""
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+    """,
+    duck_sql="""
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+    """,
+    tables=("supplier", "lineitem", "orders"),
+    with_changelog_cte=False,
+    doc="TPC-H Q21 waiting suppliers: EXISTS (semi) + NOT EXISTS (anti) "
+    "over the same fact in one plan (lateness adapted to ship-vs-order "
+    "date; the classic nation filter is dropped — it goes vacuous at "
+    "sf0.001, and scale-robust parameters are a registry invariant: "
+    "10/100/1000 suppliers at sf0.001/0.01/0.1)",
+)
+
+# Q22: global-average scalar subquery + NOT EXISTS anti-join; the
+# customer-name suffix stands in for the absent phone country code.
+sql_pair(
+    "tpch_q22",
+    spark_sql="""
+        SELECT cntrycode, count(*) AS numcust,
+          sum(CAST(round(acctbal * 100) AS BIGINT)) AS totacctbal_c
+        FROM (
+          SELECT right(c.c_name, 2) AS cntrycode, c.c_acctbal AS acctbal
+          FROM customer c
+          WHERE c.c_acctbal > (
+              SELECT avg(c2.c_acctbal) FROM customer c2
+              WHERE c2.c_acctbal > 0.0)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+        ) custsale
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
+    duck_sql="""
+        SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+          CAST(sum(CAST(round(acctbal * 100) AS BIGINT)) AS BIGINT)
+              AS totacctbal_c
+        FROM (
+          SELECT right(c.c_name, 2) AS cntrycode, c.c_acctbal AS acctbal
+          FROM customer c
+          WHERE c.c_acctbal > (
+              SELECT avg(c2.c_acctbal) FROM customer c2
+              WHERE c2.c_acctbal > 0.0)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+        ) custsale
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
+    tables=("customer", "orders"),
+    with_changelog_cte=False,
+    doc="TPC-H Q22 global-balance prospects: uncorrelated scalar AVG "
+    "subquery + NOT EXISTS anti-join (name suffix as country-code "
+    "stand-in; the anti-join is against URGENT orders — every customer "
+    "has SOME order at every sf, so the classic no-orders form is "
+    "vacuous: 5/75/937 rows at sf0.001/0.01/0.1)",
 )
 
 # ============================================================================
