@@ -1643,13 +1643,17 @@ sql_pair(
           WHERE n.n_name = 'NATION_3'
           GROUP BY l.l_partkey)
         SELECT l_partkey, value_c FROM partvalue
-        WHERE value_c > (SELECT sum(value_c) / 1000.0 FROM partvalue)
+        WHERE value_c > 2 * (SELECT sum(value_c) / count(*) FROM partvalue)
         ORDER BY value_c DESC, l_partkey
     """,
     tables=("lineitem", "supplier", "nation"),
     with_changelog_cte=False,
     doc="TPC-H Q11 important stock: HAVING-vs-global-scalar-subquery over "
-    "a shared CTE aggregate",
+    "a shared CTE aggregate. The classic fixed-fraction threshold "
+    "(sum/1000) goes vacuous as part count grows (0 rows at sf0.1); the "
+    "scale-free form — parts above 2x the MEAN part value — stays "
+    "populated at every sf (14/127/1228 rows). sum and count are exact "
+    "integers in double, so the threshold is deterministic cross-engine.",
 )
 
 # Q13: customer order-count distribution — LEFT OUTER join with an
@@ -1937,6 +1941,66 @@ sql_pair(
     tables=("documents",),
     with_changelog_cte=False,
     doc="Exact dedup: hash-groupBy keep-first (training-data op)",
+)
+
+
+# Corpus collocation mining: top word pairs by PMI-style lift. The score
+# is kept RATIONAL — lift_ppm = n_xy * n_docs * 10^6 div (n_x * n_y), pure
+# bigint math (a log-PMI would hinge on cross-engine libm equality) — and
+# the ordering is fully tie-broken, so the top-k is deterministic. Plan
+# shape: token explode → distinct → within-doc self-join (a.w < b.w halves
+# the pairs) → count join against the broadcast-sized unigram dim. At
+# corpus scale the pair space is bounded by distinct-words-per-doc², not
+# vocabulary² — the join is per-doc, never all-pairs.
+sql_pair(
+    "docs_pmi_pairs",
+    spark_sql="""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, explode(split(text, ' ')) AS w FROM documents) t
+          WHERE w <> ''),
+        counts AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+        total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        pairs AS (
+          SELECT a.w AS w1, b.w AS w2, count(*) AS n_xy
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY a.w, b.w HAVING count(*) >= 5)
+        SELECT w1, w2, n_xy,
+          (n_xy * n_docs * 1000000) DIV (c1.n_w * c2.n_w) AS lift_ppm
+        FROM pairs JOIN counts c1 ON c1.w = pairs.w1
+        JOIN counts c2 ON c2.w = pairs.w2
+        CROSS JOIN total
+        WHERE c1.n_w >= 10 AND c2.n_w >= 10
+        ORDER BY lift_ppm DESC, w1, w2 LIMIT 50
+    """,
+    duck_sql="""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) t
+          WHERE w <> ''),
+        counts AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+        total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        pairs AS (
+          SELECT a.w AS w1, b.w AS w2, count(*) AS n_xy
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY a.w, b.w HAVING count(*) >= 5)
+        SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+          CAST((n_xy * n_docs * 1000000) // (c1.n_w * c2.n_w) AS BIGINT)
+              AS lift_ppm
+        FROM pairs JOIN counts c1 ON c1.w = pairs.w1
+        JOIN counts c2 ON c2.w = pairs.w2
+        CROSS JOIN total
+        WHERE c1.n_w >= 10 AND c2.n_w >= 10
+        ORDER BY lift_ppm DESC, w1, w2 LIMIT 50
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Collocation mining: top-50 word pairs by integer-exact PMI lift "
+    "(document-frequency based, within-doc self-join — bounded by "
+    "words-per-doc², not vocab²; unigram dim broadcasts)",
 )
 
 
