@@ -1,0 +1,91 @@
+"""Partial-update merge mode: patch events carry only the columns they
+change (others NULL); the current row per key is the per-column latest
+non-null value, with deletes resetting the row.
+
+The CDC shapes this serves are Debezium/Maxwell "patch" payloads and
+multi-source column stitching (two feeds each owning a column subset of
+one entity), the merge engine Paimon calls partial-update — expressed
+here as ONE hash aggregate (single shuffle of the patch rows, map-side
+combined), not a per-column join cascade:
+
+  per key, in one groupBy().agg():
+    __tdel      = max(order) over delete events          (reset fence)
+    __tlive     = max(order) over non-delete events      (row liveness)
+    __p_<col>   = max_by((order, value), (order, fp))    per column,
+                  over non-delete events where the column is non-NULL
+
+  then row exists iff __tlive > __tdel, and a column's value survives
+  only if its winning patch is NEWER than the reset fence (a delete
+  must not leak pre-delete column values into the post-delete row).
+
+Determinism: rows tied on the order column (a feed contract violation,
+same stance as lake/merge.lww_collapse) tie-break per column by xxhash64
+of the value, so every run converges on the same row regardless of input
+order or partitioning.
+
+Storage note: patch tables append every patch (each (key, order) is a
+distinct physical row — LakeTable.commit_delta / raw reads), because the
+whole-row LWW collapse would fold patches of one key into only the
+newest. Do not run LWW compaction on a patch table; fold it through this
+collapse instead (the test pins the round trip).
+
+Reference analog: partial metadata refresh vs full re-register of an
+item (scripts/update_stac_items.py-style patch flows; the reference
+rewrites the whole document per update, run_ingest_register.py:67-161 —
+this operator is what lets 100 TB of rows NOT be rewritten when one
+column moves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Sentinel older than any real LSN: a key with no delete event gets a
+# reset fence every patch beats.
+_NEG_INF = -(1 << 62)
+
+
+def partial_update_collapse(
+    df: DataFrame,
+    key: str,
+    order: str,
+    cols: list[str],
+    op_col: str = "op",
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Collapse a patch-event frame to current rows (one per live key).
+
+    ``cols`` are the patchable payload columns; the output carries
+    ``key``, ``order`` (the key's latest live event), and each payload
+    column at its latest non-null patch since the last delete.
+    """
+    deleted = F.col(op_col) == delete_value
+    aggs = [
+        F.max(F.when(deleted, F.col(order))).alias("__tdel"),
+        F.max(F.when(~deleted, F.col(order))).alias("__tlive"),
+    ]
+    for c in cols:
+        aggs.append(
+            F.max_by(
+                F.struct(F.col(order).alias("o"), F.col(c).alias("v")),
+                # NULL ordering rows are ignored by max_by — exactly the
+                # per-column FILTER we need, with the xxhash64 value
+                # fingerprint breaking order-ties deterministically.
+                F.when(
+                    ~deleted & F.col(c).isNotNull(),
+                    F.struct(
+                        F.col(order).alias("o"), F.xxhash64(c).alias("f")
+                    ),
+                ),
+            ).alias(f"__p_{c}")
+        )
+    g = df.groupBy(key).agg(*aggs)
+    tdel = F.coalesce(F.col("__tdel"), F.lit(_NEG_INF).cast("bigint"))
+    live = g.filter(F.col("__tlive").isNotNull() & (F.col("__tlive") > tdel))
+    out_cols = [F.col(key), F.col("__tlive").alias(order)]
+    for c in cols:
+        out_cols.append(
+            F.when(F.col(f"__p_{c}.o") > tdel, F.col(f"__p_{c}.v")).alias(c)
+        )
+    return live.select(*out_cols)

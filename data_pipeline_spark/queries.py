@@ -270,6 +270,65 @@ def cdc_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_partial_update",
+    f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        patch AS (
+          SELECT url, lsn, op,
+            CASE WHEN op = 'insert' OR (op = 'update' AND lsn % 3 <> 0)
+                 THEN html END AS html,
+            CASE WHEN op = 'insert' OR (op = 'update' AND lsn % 3 <> 1)
+                 THEN lang END AS lang
+          FROM changelog),
+        td AS (
+          SELECT url,
+                 coalesce(max(CASE WHEN op = 'delete' THEN lsn END),
+                          -4611686018427387904) AS tdel
+          FROM patch GROUP BY url),
+        live AS (
+          SELECT p.* FROM patch p JOIN td ON p.url = td.url
+          WHERE p.op <> 'delete' AND p.lsn > td.tdel)
+        SELECT url, max(lsn) AS lsn,
+          octet_length(arg_max(html, lsn) FILTER (WHERE html IS NOT NULL))
+              AS html_len,
+          arg_max(lang, lsn) FILTER (WHERE lang IS NOT NULL) AS lang
+        FROM live GROUP BY url""",
+    doc="Partial-update merge mode (Paimon partial-update / Debezium "
+    "patch-payload analog): events carry only the columns they change "
+    "(derived deterministically from the changelog: lsn%3 picks which "
+    "fields an update patches), deletes reset the row, and the current "
+    "state is the per-column latest non-null value since the reset — "
+    "ONE hash aggregate, no per-column join cascade "
+    "(operators/partial_update.py)",
+)
+def cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.partial_update import (
+        partial_update_collapse,
+    )
+
+    log = cl.changelog(spark, sf_dir)
+    is_upd = F.col("op") == "update"
+    patch = log.select(
+        "url",
+        "lsn",
+        "op",
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 0)),
+            F.col("html"),
+        ).alias("html"),
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 1)),
+            F.col("lang"),
+        ).alias("lang"),
+    )
+    cur = partial_update_collapse(patch, "url", "lsn", ["html", "lang"])
+    return cur.select(
+        "url", "lsn", F.octet_length("html").alias("html_len"), "lang"
+    )
+
+
+@register(
     "cdc_split_final_state",
     _final_state_duck(),
     doc="Partition evolution: replay, then linear-hashing SPLIT of the two "
