@@ -329,6 +329,57 @@ def cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_aggregate_merge",
+    f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        ev AS (SELECT url, lsn, op, octet_length(html) AS nbytes, lang
+               FROM changelog),
+        td AS (SELECT url, max(lsn) AS tdel FROM ev
+               WHERE op = 'delete' GROUP BY url),
+        live AS (
+          SELECT e.* FROM ev e LEFT JOIN td ON e.url = td.url
+          WHERE e.op <> 'delete'
+            AND e.lsn > coalesce(td.tdel, -4611686018427387904))
+        SELECT url, max(lsn) AS lsn,
+          CAST(sum(nbytes) AS BIGINT) AS bytes_sum,
+          count(lsn) AS n_events,
+          arg_max(lang, lsn) FILTER (WHERE lang IS NOT NULL) AS last_lang
+        FROM live GROUP BY url""",
+    doc="Aggregation merge mode (Paimon aggregation / ClickHouse "
+    "AggregatingMergeTree analog): the current row per url is a FOLD of "
+    "its change events — running byte total, event count, last-seen "
+    "lang — with deletes resetting the accumulator; one hash aggregate "
+    "after a broadcast fence join (operators/agg_merge.py; reference "
+    "recomputes whole aggregate documents per batch, "
+    "aggregate_items.py:121-199)",
+)
+def cdc_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.agg_merge import aggregate_collapse
+
+    log = cl.changelog(spark, sf_dir)
+    ev = log.select(
+        "url",
+        "lsn",
+        "op",
+        F.octet_length("html").alias("nbytes"),
+        "lang",
+        F.col("lsn").alias("n_events"),
+    )
+    cur = aggregate_collapse(
+        ev, "url", "lsn",
+        {"nbytes": "sum", "n_events": "count", "lang": "last"},
+    )
+    return cur.select(
+        "url",
+        "lsn",
+        F.col("nbytes").alias("bytes_sum"),
+        "n_events",
+        F.col("lang").alias("last_lang"),
+    )
+
+
+@register(
     "cdc_split_final_state",
     _final_state_duck(),
     doc="Partition evolution: replay, then linear-hashing SPLIT of the two "
