@@ -29,11 +29,12 @@ whole-row LWW collapse would fold patches of one key into only the
 newest. Do not run LWW compaction on a patch table; fold it through this
 collapse instead (the test pins the round trip).
 
-Reference analog: partial metadata refresh vs full re-register of an
-item (scripts/update_stac_items.py-style patch flows; the reference
-rewrites the whole document per update, run_ingest_register.py:67-161 —
-this operator is what lets 100 TB of rows NOT be rewritten when one
-column moves).
+Reference analog: the storage-tier patcher updates ONLY the tier fields
+of an item's properties and leaves the rest of the document alone
+(scripts/update_stac_storage_tier.py:104-145, update_item_storage_tiers),
+while the ingest path re-registers whole documents
+(run_ingest_register.py:67-161) — this operator is the lake-side form of
+that distinction: 100 TB of rows are NOT rewritten when one column moves.
 """
 
 from __future__ import annotations
