@@ -249,6 +249,79 @@ def apply_batch(
     return stats
 
 
+# Patch/aggregate-mode tables store the raw change events themselves
+# (op column included): the merge semantics live at READ time in
+# operators/partial_update.py / operators/agg_merge.py, so the table
+# schema is the WAL event shape, not the collapsed-row shape.
+EVENT_SCHEMA: list[tuple[str, str]] = [
+    ("url", "string"),
+    ("lsn", "bigint"),
+    ("warc_ts", "timestamp"),
+    ("op", "string"),
+    ("html", "binary"),
+    ("lang", "string"),
+]
+
+
+def ensure_event_table(
+    spark: SparkSession, root: str, n_buckets: int = 16
+) -> LakeTable:
+    if LakeTable.exists(root):
+        return LakeTable(spark, root)
+    return LakeTable.create(
+        spark, root, EVENT_SCHEMA, key="url", n_buckets=n_buckets
+    )
+
+
+def apply_append_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    commit_key: str,
+    record_metrics: bool = True,
+    dlq: LakeTable | None = None,
+) -> None:
+    """One micro-batch for PATCH / AGGREGATE merge-mode tables: quarantine
+    contract violations, then append EVERY event row as a delta commit —
+    no winner selection, no whole-row LWW. Patch payloads carry only the
+    columns they change and increments must all fold, so dropping
+    within-batch "losers" here would lose data; the merge semantics run
+    at read time (partial_update_collapse / aggregate_collapse) and in
+    mode-aware compaction. Idempotent on ``commit_key`` like every other
+    commit (redelivered epochs no-op)."""
+    n_quarantined = 0
+    if dlq is not None:
+        flagged = batch.withColumn("__reason", contract_reason(batch))
+        bad = flagged.filter(F.col("__reason").isNotNull())
+        if record_metrics:
+            n_quarantined = bad.count()
+            has_bad = n_quarantined > 0
+        else:
+            has_bad = bool(bad.take(1))
+        if has_bad:
+            quarantine(dlq, bad, commit_key)
+        batch = flagged.filter(F.col("__reason").isNull()).drop("__reason")
+    snap = table.current()
+    cols = [n for n, _ in table.schema_fields(snap)]
+    table.commit_delta(batch.select(*cols), commit_key)
+    if record_metrics:
+        n = batch.count()
+        metrics_mod.record_commit(
+            table,
+            table.current(),
+            commit_key,
+            wall_ms=0.0,
+            batch_rows=n,
+            flow={
+                "events_read": n + n_quarantined,
+                "events_applied": n,
+                "events_deduped": 0,
+                "events_late_dropped": 0,
+                "events_quarantined": n_quarantined,
+                "deletes": 0,
+            },
+        )
+
+
 def replay_log(
     spark: SparkSession,
     log: DataFrame,

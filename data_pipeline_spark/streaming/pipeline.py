@@ -135,6 +135,7 @@ def run_stream(
     compact_min_delta_ratio: float | None = 0.2,
     dlq_root: str | None = None,
     writer_id: str | None = None,
+    merge_mode: str = "lww",
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -187,8 +188,33 @@ def run_stream(
     ``compact_min_delta_ratio`` so delta-light buckets are skipped (no
     rewrite amplification). A compaction failure does not lose data —
     the apply commit already landed; the next trigger retries under the
-    same key."""
-    table = ensure_table(spark, table_root, n_buckets)
+    same key.
+
+    ``merge_mode`` picks the table's merge engine: ``"lww"`` (default) is
+    the CDC upsert path (winner selection -> extraction -> delta commit);
+    ``"append"`` is the patch/aggregate-table path — EVERY event row is
+    appended (pipeline.apply_append_batch) and the merge semantics run at
+    read time (operators/partial_update.py, operators/agg_merge.py).
+    Append mode refuses ``compact_every`` and ``watermark_days``: the
+    whole-row LWW compaction would fold a key's patches into only its
+    newest (losing stitched columns / increments), and a late patch is
+    still a valid contribution."""
+    if merge_mode not in ("lww", "append"):
+        raise ValueError(f"unknown merge_mode {merge_mode!r}")
+    if merge_mode == "append" and (
+        compact_every is not None or watermark_days is not None
+    ):
+        raise ValueError(
+            "append merge_mode stores every event: whole-row LWW "
+            "compaction/watermark would lose patch columns or "
+            "increments — run mode-aware maintenance instead"
+        )
+    if merge_mode == "append":
+        from data_pipeline_spark.pipeline import ensure_event_table
+
+        table = ensure_event_table(spark, table_root, n_buckets)
+    else:
+        table = ensure_table(spark, table_root, n_buckets)
     # ``dlq_root`` arms per-record quarantine inside every epoch (the
     # per-epoch circuit breaker above aborts on AGGREGATE failure rate;
     # the DLQ reroutes INDIVIDUAL contract violations and keeps going).
@@ -231,14 +257,25 @@ def run_stream(
         key_n = (
             f"{writer_id}:{batch_id}" if writer_id is not None else batch_id
         )
-        apply_batch(
-            table,
-            batch,
-            commit_key=EPOCH_KEY.format(n=key_n),
-            record_metrics=record_metrics,
-            watermark_days=watermark_days,
-            dlq=dlq,
-        )
+        if merge_mode == "append":
+            from data_pipeline_spark.pipeline import apply_append_batch
+
+            apply_append_batch(
+                table,
+                batch,
+                commit_key=EPOCH_KEY.format(n=key_n),
+                record_metrics=record_metrics,
+                dlq=dlq,
+            )
+        else:
+            apply_batch(
+                table,
+                batch,
+                commit_key=EPOCH_KEY.format(n=key_n),
+                record_metrics=record_metrics,
+                watermark_days=watermark_days,
+                dlq=dlq,
+            )
         seen["n"] += 1
         if compact_every is not None and seen["n"] % compact_every == 0:
             table.compact(
