@@ -352,6 +352,95 @@ def backfill(
     return True
 
 
+def compact_append(
+    table: LakeTable,
+    commit_key: str,
+    fold=None,
+    horizon: int | None = None,
+    buckets: set[int] | None = None,
+    min_files: int = 2,
+    max_buckets: int | None = None,
+):
+    """Compaction for APPEND merge-mode tables (patch / aggregate /
+    first-row), where every physical row is an event and the whole-row
+    LWW rewrite of :meth:`LakeTable.compact` would destroy data (it
+    folds a key's patches into only its newest).
+
+    Two safe shapes, mirroring what Paimon's compaction does for its
+    non-deduplicate merge engines:
+
+    * ``fold=None`` — FILES-ONLY rewrite: the selected buckets' event
+      rows are rewritten verbatim into one base file per bucket. Always
+      sound (row multiset unchanged — test-pinned); this is what bounds
+      file counts under a streaming append tail.
+    * ``fold=<callable>, horizon=<order value>`` — MERGE-ENGINE fold:
+      events with order ≤ ``horizon`` are folded through the mode's
+      ``fold_events`` kernel (operators/partial_update.py /
+      operators/agg_merge.py) into equivalent accumulator events; newer
+      events are kept verbatim. Exact iff no future event can carry
+      order ≤ horizon — the same watermark contract the LWW path's
+      retention sweep enforces, owned by the caller.
+
+    Bucket selection matches :meth:`LakeTable.compact`: ≥ ``min_files``
+    files (any kind), most-fragmented-first under ``max_buckets`` so
+    maintenance runs as bounded incremental rounds. Returns the new
+    snapshot, or None when nothing qualifies. Idempotent on
+    ``commit_key``.
+
+    Reference analog: the aggregation cron rewrites whole aggregate
+    documents from their parts on a cadence
+    (scripts/aggregate_items.py:121-199); here the rewrite folds
+    distributively and touches only fragmented buckets.
+    """
+    from data_pipeline_spark.lake.table import TOMBSTONE_COL
+
+    snap = table.current()
+    if commit_key in snap.commits:
+        return snap
+    if fold is not None and horizon is None:
+        raise ValueError("fold compaction needs a horizon (order value)")
+    if buckets is None:
+        buckets = {
+            int(b)
+            for b in snap.manifests
+            if len(table.bucket_entries(snap, b)) >= min_files
+        }
+    if max_buckets is not None and len(buckets) > max_buckets:
+        buckets = set(
+            sorted(
+                buckets,
+                key=lambda b: -len(table.bucket_entries(snap, b)),
+            )[:max_buckets]
+        )
+    if not buckets:
+        return None
+    content = table.read(raw=True, buckets=buckets, snap=snap)
+    if fold is not None:
+        order = snap.order_col
+        fields = table.schema_fields(snap)
+        events = content.drop(TOMBSTONE_COL)
+        old = events.filter(F.col(order) <= F.lit(horizon))
+        young = events.filter(F.col(order) > F.lit(horizon))
+        folded = fold(old)
+        have = set(folded.columns)
+        folded = folded.select(
+            *[
+                (F.col(n).cast(d) if n in have else F.lit(None).cast(d)).alias(n)
+                for n, d in fields
+            ]
+        )
+        content = folded.unionByName(
+            young.select(*[n for n, _ in fields])
+        ).withColumn(TOMBSTONE_COL, F.lit(False))
+    return table.commit_buckets(
+        content,
+        buckets,
+        commit_key,
+        summary={"mode": "append", "fold": fold is not None},
+        op="compact_append",
+    )
+
+
 def auto_split(
     table: LakeTable,
     commit_key: str,

@@ -33,13 +33,15 @@ from pyspark.sql import functions as F
 
 _NEG_INF = -(1 << 62)
 
-# spec value -> aggregate builder over a pre-gated column
+# spec value -> aggregate builder over a pre-gated column. 'count' and
+# 'last' are handled inline in aggregate_collapse: count needs the
+# accumulator-row contribution rule, last needs the order column.
 _FOLDS = {
     "sum": lambda c: F.sum(c),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
-    "count": lambda c: F.count(c),
-    "last": None,  # handled via max_by (needs the order column)
+    "count": None,
+    "last": None,
 }
 
 
@@ -50,6 +52,7 @@ def aggregate_collapse(
     spec: dict[str, str],
     op_col: str = "op",
     delete_value: str = "delete",
+    fold_value: str = "fold",
 ) -> DataFrame:
     """Fold change events to one current row per live key.
 
@@ -58,6 +61,14 @@ def aggregate_collapse(
     one folded column per spec entry. A key whose newest event is a
     delete (no later contributions) disappears; contributions at or
     before a key's latest delete are excluded from every fold.
+
+    Rows with ``op == fold_value`` are ACCUMULATOR rows (written by
+    compaction's :func:`fold_events`): sum/min/max/last already merge
+    distributively over their stored values, and a count column's
+    contribution is the stored count itself rather than 1 — so a folded
+    base row plus fresh events refolds to exactly the unfolded answer.
+    A later delete still resets an accumulator row through the same
+    fence (its order predates the fold horizon by construction).
     """
     bad = [f for f in spec.values() if f not in _FOLDS]
     if bad:
@@ -95,6 +106,45 @@ def aggregate_collapse(
                     ),
                 ).alias(c)
             )
+        elif fold == "count":
+            # An event contributes 1 per non-null value; an accumulator
+            # row contributes its stored count (see docstring).
+            contrib = F.when(
+                F.col(op_col) == fold_value, F.col(c)
+            ).otherwise(F.when(F.col(c).isNotNull(), F.lit(1)))
+            aggs.append(
+                F.coalesce(F.sum(contrib), F.lit(0))
+                .cast("bigint")
+                .alias(c)
+            )
         else:
             aggs.append(_FOLDS[fold](F.col(c)).alias(c))
     return gated.groupBy(key).agg(*aggs)
+
+
+def fold_events(
+    df: DataFrame,
+    key: str,
+    order: str,
+    spec: dict[str, str],
+    op_col: str = "op",
+    delete_value: str = "delete",
+    fold_value: str = "fold",
+) -> DataFrame:
+    """Fold an aggregate-event frame into accumulator EVENT rows
+    (``op == fold_value``) that refold to the same answer — the
+    compaction kernel for aggregation-mode tables. Exact as long as
+    every later event's order is greater than the fold horizon (the
+    caller's watermark contract); a later delete resets the accumulator
+    row through the normal fence.
+    """
+    cur = aggregate_collapse(
+        df, key, order, spec,
+        op_col=op_col, delete_value=delete_value, fold_value=fold_value,
+    )
+    return cur.select(
+        F.col(key),
+        F.col(order),
+        F.lit(fold_value).alias(op_col),
+        *[F.col(c) for c in spec],
+    )

@@ -90,3 +90,36 @@ def partial_update_collapse(
             F.when(F.col(f"__p_{c}.o") > tdel, F.col(f"__p_{c}.v")).alias(c)
         )
     return live.select(*out_cols)
+
+
+def fold_events(
+    df: DataFrame,
+    key: str,
+    order: str,
+    cols: list[str],
+    op_col: str = "op",
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Fold a patch-event frame into EVENT-SHAPED rows that reproduce the
+    same collapse — the compaction kernel for patch tables (Paimon: the
+    merge engine runs at compaction too).
+
+    The stitched row per live key becomes one ``insert`` event at the
+    key's latest live order. This is exact for any future refold as long
+    as every later event's order is GREATER than the fold horizon (the
+    caller's watermark contract): re-stamping a column's winner from its
+    original patch order up to ``tlive`` cannot change any outcome,
+    because a newer patch still beats it and a newer delete still kills
+    it; keys dead at fold time vanish, exactly as the unfolded fence
+    would erase their pre-delete columns. Deletes themselves fold away —
+    their only effect below the horizon is already applied.
+    """
+    cur = partial_update_collapse(
+        df, key, order, cols, op_col=op_col, delete_value=delete_value
+    )
+    return cur.select(
+        F.col(key),
+        F.col(order),
+        F.lit("insert").alias(op_col),
+        *[F.col(c) for c in cols],
+    )

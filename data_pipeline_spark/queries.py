@@ -380,6 +380,125 @@ def cdc_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_first_row",
+    f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        ins AS (SELECT * FROM changelog WHERE op = 'insert')
+        SELECT url, min(lsn) AS lsn,
+          {TS_DUCK.format(c='arg_min(warc_ts, lsn)')} AS warc_ts_s,
+          octet_length(arg_min(html, lsn)) AS html_len,
+          arg_min(lang, lsn) AS lang
+        FROM ins GROUP BY url""",
+    doc="First-row merge mode (Paimon first-row analog): the current row "
+    "per url is its EARLIEST insert event — first-observation-wins dedup "
+    "for append feeds with redelivery, one min_by hash aggregate "
+    "(operators/first_row.py), the exact mirror of the LWW collapse",
+)
+def cdc_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.first_row import first_row_collapse
+
+    cur = first_row_collapse(cl.changelog(spark, sf_dir), "url", "lsn")
+    return cur.select(
+        "url",
+        "lsn",
+        F.expr(TS_SPARK.format(c="warc_ts")).alias("warc_ts_s"),
+        F.octet_length("html").alias("html_len"),
+        "lang",
+    )
+
+
+@register(
+    "cdc_fold_compaction",
+    # Fold compaction must be INVISIBLE to readers: the oracle is the
+    # plain partial-update collapse over the whole patch feed — identical
+    # to cdc_partial_update's — while the Spark side routes the early
+    # events through a lake table, fold-compacts them into accumulator
+    # rows, appends the young events on top, and collapses the raw read.
+    f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        patch AS (
+          SELECT url, lsn, op,
+            CASE WHEN op = 'insert' OR (op = 'update' AND lsn % 3 <> 0)
+                 THEN html END AS html,
+            CASE WHEN op = 'insert' OR (op = 'update' AND lsn % 3 <> 1)
+                 THEN lang END AS lang
+          FROM changelog),
+        td AS (
+          SELECT url,
+                 coalesce(max(CASE WHEN op = 'delete' THEN lsn END),
+                          -4611686018427387904) AS tdel
+          FROM patch GROUP BY url),
+        live AS (
+          SELECT p.* FROM patch p JOIN td ON p.url = td.url
+          WHERE p.op <> 'delete' AND p.lsn > td.tdel)
+        SELECT url, max(lsn) AS lsn,
+          octet_length(arg_max(html, lsn) FILTER (WHERE html IS NOT NULL))
+              AS html_len,
+          arg_max(lang, lsn) FILTER (WHERE lang IS NOT NULL) AS lang
+        FROM live GROUP BY url""",
+    doc="Mode-aware fold compaction end-to-end (maintenance.compact_append "
+    "+ operators/partial_update.fold_events): commit the patch feed's "
+    "early half, fold-compact it below the horizon into accumulator "
+    "events (Paimon: the merge engine runs at compaction), append the "
+    "young half, collapse — must equal the direct collapse of the whole "
+    "feed (reference analog: aggregate_items.py's cadence rewrite of "
+    "aggregate documents from their parts)",
+)
+def cdc_fold_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.maintenance import compact_append
+    from data_pipeline_spark.operators.partial_update import (
+        fold_events,
+        partial_update_collapse,
+    )
+
+    log = cl.changelog(spark, sf_dir)
+    is_upd = F.col("op") == "update"
+    patch = log.select(
+        "url",
+        "lsn",
+        "op",
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 0)),
+            F.col("html"),
+        ).alias("html"),
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 1)),
+            F.col("lang"),
+        ).alias("lang"),
+    )
+    horizon = int(
+        patch.agg(F.expr("percentile_approx(lsn, 0.5)")).collect()[0][0]
+    )
+    root = tempfile.mkdtemp(prefix="lake_foldq_")
+    table = LakeTable.create(
+        spark,
+        root,
+        [("url", "string"), ("lsn", "bigint"), ("op", "string"),
+         ("html", "binary"), ("lang", "string")],
+        "url",
+        16,
+    )
+    table.commit_delta(patch.filter(F.col("lsn") <= horizon), "early")
+    compact_append(
+        table,
+        "fold",
+        fold=lambda df: fold_events(df, "url", "lsn", ["html", "lang"]),
+        horizon=horizon,
+        min_files=1,
+    )
+    table.commit_delta(patch.filter(F.col("lsn") > horizon), "young")
+    cur = partial_update_collapse(
+        table.read(raw=True), "url", "lsn", ["html", "lang"]
+    )
+    return cur.select(
+        "url", "lsn", F.octet_length("html").alias("html_len"), "lang"
+    )
+
+
+@register(
     "cdc_split_final_state",
     _final_state_duck(),
     doc="Partition evolution: replay, then linear-hashing SPLIT of the two "
@@ -2051,6 +2170,82 @@ sql_pair(
     tables=("documents",),
     with_changelog_cte=False,
     doc="Exact dedup: hash-groupBy keep-first (training-data op)",
+)
+
+
+# Segment-level exact dedup (CCNet-style repeated-line scrub, the level
+# between whole-document hashing and MinHash): split each doc into
+# consecutive 10-word segments, drop every segment already seen earlier
+# in the corpus (first occurrence by (doc_id, seg_idx) wins —
+# deterministic), and reassemble the surviving text in order. The
+# synthetic corpus is single-line, so the segmenter is a fixed word
+# window; on real web text the same plan runs with split(text, '\n').
+# Plan shape: one explode → one hash agg for first-keys → one equi-join
+# back → one ordered reassembly agg; no window function, no all-pairs.
+sql_pair(
+    "docs_segment_dedup",
+    spark_sql="""
+        WITH w AS (SELECT doc_id, split(text, ' ') AS words FROM documents),
+        segs AS (
+          SELECT doc_id, seg_idx,
+                 array_join(slice(words, seg_idx*10 + 1, 10), ' ') AS seg
+          FROM w LATERAL VIEW explode(
+            sequence(0, cast(ceil(size(words)/10.0) AS int) - 1)
+          ) t AS seg_idx
+        ),
+        firsts AS (SELECT seg, min(doc_id * 1000000 + seg_idx) AS first_key
+                   FROM segs GROUP BY seg),
+        kept AS (
+          SELECT s.doc_id, s.seg_idx, s.seg
+          FROM segs s JOIN firsts f
+            ON s.seg = f.seg
+           AND s.doc_id * 1000000 + s.seg_idx = f.first_key
+        ),
+        tot AS (SELECT doc_id, cast(ceil(size(words)/10.0) AS bigint)
+                       AS n_segs FROM w)
+        SELECT k.doc_id, count(*) AS n_kept,
+               any_value(t.n_segs) - count(*) AS n_dropped,
+               array_join(
+                 transform(array_sort(collect_list(struct(k.seg_idx, k.seg))),
+                           x -> x.seg), ' ') AS text_deduped
+        FROM kept k JOIN tot t ON t.doc_id = k.doc_id
+        GROUP BY k.doc_id
+    """,
+    duck_sql="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        segs0 AS (SELECT doc_id,
+                         unnest(range(0, CAST(ceil(len(words)/10.0) AS BIGINT)))
+                             AS seg_idx,
+                         words
+                  FROM w),
+        segs AS (SELECT doc_id, seg_idx,
+                        array_to_string(
+                          list_slice(words, seg_idx*10 + 1, seg_idx*10 + 10),
+                          ' ') AS seg
+                 FROM segs0),
+        firsts AS (SELECT seg, min(doc_id * 1000000 + seg_idx) AS first_key
+                   FROM segs GROUP BY seg),
+        kept AS (
+          SELECT s.doc_id, s.seg_idx, s.seg
+          FROM segs s JOIN firsts f
+            ON s.seg = f.seg
+           AND s.doc_id * 1000000 + s.seg_idx = f.first_key
+        ),
+        tot AS (SELECT doc_id, CAST(ceil(len(words)/10.0) AS BIGINT)
+                       AS n_segs FROM w)
+        SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(any_value(t.n_segs) - count(*) AS BIGINT) AS n_dropped,
+               string_agg(k.seg, ' ' ORDER BY k.seg_idx) AS text_deduped
+        FROM kept k JOIN tot t ON t.doc_id = k.doc_id
+        GROUP BY k.doc_id
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Segment-level exact dedup (repeated-line scrub): 10-word-window "
+    "segments, corpus-wide first-occurrence-wins, ordered reassembly — "
+    "147/129/1431 duplicate segments dropped at sf0.001/0.01/0.1 "
+    "(scale-vacuousness checked)",
 )
 
 

@@ -195,19 +195,21 @@ def run_stream(
     ``"append"`` is the patch/aggregate-table path — EVERY event row is
     appended (pipeline.apply_append_batch) and the merge semantics run at
     read time (operators/partial_update.py, operators/agg_merge.py).
-    Append mode refuses ``compact_every`` and ``watermark_days``: the
-    whole-row LWW compaction would fold a key's patches into only its
-    newest (losing stitched columns / increments), and a late patch is
-    still a valid contribution."""
+    In append mode ``compact_every`` runs the FILES-ONLY rewrite
+    (maintenance.compact_append: event multiset preserved verbatim, one
+    base file per fragmented bucket) — bounding file counts under a live
+    tail without the whole-row LWW fold that would lose patch columns or
+    increments; horizon-folding stays a maintenance decision since only
+    the feed owner can promise no event below the horizon. Append mode
+    still refuses ``watermark_days``: a late patch is a valid
+    contribution, not a drop candidate."""
     if merge_mode not in ("lww", "append"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}")
-    if merge_mode == "append" and (
-        compact_every is not None or watermark_days is not None
-    ):
+    if merge_mode == "append" and watermark_days is not None:
         raise ValueError(
-            "append merge_mode stores every event: whole-row LWW "
-            "compaction/watermark would lose patch columns or "
-            "increments — run mode-aware maintenance instead"
+            "append merge_mode stores every event: the LWW late-event "
+            "watermark would drop patches/increments that are still "
+            "valid contributions — filter the feed upstream instead"
         )
     if merge_mode == "append":
         from data_pipeline_spark.pipeline import ensure_event_table
@@ -278,10 +280,15 @@ def run_stream(
             )
         seen["n"] += 1
         if compact_every is not None and seen["n"] % compact_every == 0:
-            table.compact(
-                f"stream-compact-{key_n}",
-                min_delta_ratio=compact_min_delta_ratio,
-            )
+            if merge_mode == "append":
+                from data_pipeline_spark.maintenance import compact_append
+
+                compact_append(table, f"stream-compact-{key_n}")
+            else:
+                table.compact(
+                    f"stream-compact-{key_n}",
+                    min_delta_ratio=compact_min_delta_ratio,
+                )
         if crash and fail_mode == "after":
             raise RuntimeError("injected post-commit failure (before checkpoint)")
 

@@ -37,6 +37,17 @@ def _collapsed(table: LakeTable):
     )
 
 
+def _collapsed_feed(spark):
+    """Oracle: the same collapse over the patch feed applied directly."""
+    feed = _patchify(cl.changelog(spark, SF_SMOKE))
+    want = partial_update_collapse(feed, "url", "lsn", ["html", "lang"])
+    return sorted(
+        (r["url"], r["lsn"], r["lang"],
+         None if r["html"] is None else len(r["html"]))
+        for r in want.collect()
+    )
+
+
 def _mk_patch_wal(spark, root, n_files=4):
     wal = os.path.join(root, "wal")
     write_wal(spark, SF_SMOKE, wal, n_files=n_files)
@@ -61,15 +72,7 @@ def test_append_stream_equals_batch_patch_feed(spark):
     )
     q.awaitTermination()
     t = LakeTable(spark, os.path.join(root, "t"))
-    # oracle: the same collapse over the patch feed applied directly
-    feed = _patchify(cl.changelog(spark, SF_SMOKE))
-    want = partial_update_collapse(feed, "url", "lsn", ["html", "lang"])
-    want = sorted(
-        (r["url"], r["lsn"], r["lang"],
-         None if r["html"] is None else len(r["html"]))
-        for r in want.collect()
-    )
-    assert _collapsed(t) == want
+    assert _collapsed(t) == _collapsed_feed(spark)
     # every physical event row landed exactly once
     n_events = cl.changelog(spark, SF_SMOKE).count()
     assert t.read(raw=True).count() == n_events
@@ -95,10 +98,32 @@ def test_append_stream_kill_resume_no_double_append(spark):
     assert t.read(raw=True).count() == cl.changelog(spark, SF_SMOKE).count()
 
 
-def test_append_mode_refuses_lww_compaction_cadence(spark):
+def test_append_mode_refuses_lww_watermark(spark):
     root = tempfile.mkdtemp(prefix="stream_patch_refuse_")
     with pytest.raises(ValueError, match="append merge_mode"):
         run_stream(
             spark, os.path.join(root, "wal"), os.path.join(root, "t"),
-            os.path.join(root, "ckpt"), merge_mode="append", compact_every=2,
+            os.path.join(root, "ckpt"), merge_mode="append", watermark_days=7,
         )
+
+
+def test_append_mode_compaction_cadence_bounds_files(spark):
+    """compact_every on an append stream runs the FILES-ONLY rewrite:
+    event multiset preserved exactly, per-bucket file counts bounded."""
+    root = tempfile.mkdtemp(prefix="stream_patch_compact_")
+    wal = _mk_patch_wal(spark, root, n_files=6)
+    q = run_stream(
+        spark, wal, os.path.join(root, "t"), os.path.join(root, "ckpt"),
+        n_buckets=8, record_metrics=False, merge_mode="append",
+        compact_every=2,
+    )
+    q.awaitTermination()
+    t = LakeTable(spark, os.path.join(root, "t"))
+    assert t.read(raw=True).count() == cl.changelog(spark, SF_SMOKE).count()
+    assert _collapsed(t) == _collapsed_feed(spark)
+    snap = t.current()
+    # 6 epochs appended; cadence-2 rewrites keep every bucket under the
+    # uncompacted 6-files bound (the tail appended after the last rewrite)
+    assert max(
+        len(t.bucket_entries(snap, b)) for b in snap.manifests
+    ) <= 3
