@@ -2151,6 +2151,98 @@ sql_pair(
     "vacuous: 5/75/937 rows at sf0.001/0.01/0.1)",
 )
 
+# TPC-H Q2/Q20 need the partsupp table, which the driver's testdata does
+# not ship. It is DERIVED deterministically from part × supplier with pure
+# integer arithmetic (no engine hash functions), so both engines build the
+# identical relation and the oracle still independently verifies the join/
+# subquery logic: 4 suppliers per part at (p_partkey*7 + k*13) mod |S|,
+# supplycost/availqty as integer residues of (partkey, suppkey).
+_PARTSUPP_SPARK = """
+    ns AS (SELECT count(*) AS n FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + k * 13) % ns.n AS ps_suppkey,
+             ((p_partkey * 131 + ((p_partkey * 7 + k * 13) % ns.n) * 17)
+               % 90000) + 1000 AS ps_supplycost_cents,
+             ((p_partkey * 29 + ((p_partkey * 7 + k * 13) % ns.n) * 23)
+               % 199) + 1 AS ps_availqty
+      FROM (SELECT p_partkey, k FROM part
+            LATERAL VIEW explode(sequence(0, 3)) t AS k) pk
+      CROSS JOIN ns)"""
+_PARTSUPP_DUCK = """
+    ns AS (SELECT count(*) AS n FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + k * 13) % ns.n AS ps_suppkey,
+             ((p_partkey * 131 + ((p_partkey * 7 + k * 13) % ns.n) * 17)
+               % 90000) + 1000 AS ps_supplycost_cents,
+             ((p_partkey * 29 + ((p_partkey * 7 + k * 13) % ns.n) * 23)
+               % 199) + 1 AS ps_availqty
+      FROM (SELECT p_partkey, unnest(range(0, 4)) AS k FROM part) pk
+      CROSS JOIN ns)"""
+
+_Q2_BODY = """,
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    minc AS (SELECT ps_partkey, min(ps_supplycost_cents) AS mc
+             FROM eligible GROUP BY ps_partkey)
+    SELECT CAST(round(e.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.ps_supplycost_cents
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    JOIN minc ON minc.ps_partkey = e.ps_partkey
+             AND e.ps_supplycost_cents = minc.mc
+    WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'
+    ORDER BY acctbal_cents DESC, e.s_name, p.p_partkey LIMIT 100"""
+
+sql_pair(
+    "tpch_q2",
+    spark_sql="WITH " + _PARTSUPP_SPARK + _Q2_BODY,
+    duck_sql="WITH " + _PARTSUPP_DUCK + _Q2_BODY,
+    tables=("part", "supplier", "nation", "region"),
+    with_changelog_cte=False,
+    doc="TPC-H Q2 minimum-cost supplier: per-part MIN over a 4-way "
+    "dim-join (region-gated), matched back by equality on the aggregate "
+    "— partsupp derived deterministically (see _PARTSUPP_SPARK); "
+    "non-vacuous at every sf (7/31/100 rows)",
+)
+
+_Q20_BODY = """,
+    qty AS (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS q
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey)
+    SELECT s.s_name, count(*) AS n_parts
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN partsupp ps ON ps.ps_suppkey = s.s_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    LEFT JOIN qty ON qty.l_partkey = ps.ps_partkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND p.p_name LIKE 'small%'
+      AND 2 * ps.ps_availqty > coalesce(qty.q, 0)
+    GROUP BY s.s_name ORDER BY s.s_name"""
+
+sql_pair(
+    "tpch_q20",
+    spark_sql="WITH " + _PARTSUPP_SPARK + _Q20_BODY,
+    duck_sql="WITH " + _PARTSUPP_DUCK + _Q20_BODY,
+    tables=("part", "supplier", "nation", "lineitem"),
+    with_changelog_cte=False,
+    doc="TPC-H Q20 surplus-stock suppliers: name-prefix part filter + "
+    "availqty vs half the season's shipped quantity (outer-join "
+    "aggregate gate, ~71% selective by construction) — the availqty "
+    "residue range is 1..199 so the gate actually discriminates; "
+    "1/10/105 rows at sf0.001/0.01/0.1",
+)
+
 # ============================================================================
 # Training-data pipeline: documents / text analysis
 # ============================================================================
