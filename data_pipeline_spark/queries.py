@@ -498,6 +498,106 @@ def cdc_fold_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _patch_state_duck(name: str, where: str) -> str:
+    """CTE chain computing the partial-update collapsed state (url, lsn,
+    html_len, lang) over the patch feed rows matching ``where``."""
+    return f"""
+        patch_{name} AS (
+          SELECT url, lsn, op,
+            CASE WHEN op = 'insert' OR (op = 'update' AND lsn % 3 <> 0)
+                 THEN html END AS html,
+            CASE WHEN op = 'insert' OR (op = 'update' AND lsn % 3 <> 1)
+                 THEN lang END AS lang
+          FROM changelog WHERE {where}),
+        td_{name} AS (
+          SELECT url,
+                 coalesce(max(CASE WHEN op = 'delete' THEN lsn END),
+                          -4611686018427387904) AS tdel
+          FROM patch_{name} GROUP BY url),
+        live_{name} AS (
+          SELECT p.* FROM patch_{name} p JOIN td_{name} td ON p.url = td.url
+          WHERE p.op <> 'delete' AND p.lsn > td.tdel),
+        state_{name} AS (
+          SELECT url, max(lsn) AS lsn,
+            octet_length(arg_max(html, lsn) FILTER (WHERE html IS NOT NULL))
+                AS html_len,
+            arg_max(lang, lsn) FILTER (WHERE lang IS NOT NULL) AS lang
+          FROM live_{name} GROUP BY url)"""
+
+
+@register(
+    "cdc_patch_changelog",
+    f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        h AS (SELECT max(lsn) // 2 AS v FROM changelog),
+        {_patch_state_duck('b', 'lsn <= (SELECT v FROM h)')},
+        {_patch_state_duck('a', 'TRUE')},
+        j AS (
+          SELECT coalesce(b.url, a.url) AS url,
+                 b.lsn AS b_lsn, b.html_len AS b_hl, b.lang AS b_lang,
+                 a.lsn AS a_lsn, a.html_len AS a_hl, a.lang AS a_lang,
+                 b.url IS NOT NULL AS ol, a.url IS NOT NULL AS nl
+          FROM state_b b FULL OUTER JOIN state_a a ON b.url = a.url),
+        ch AS (
+          SELECT * FROM j WHERE NOT (ol AND nl
+            AND b_lsn IS NOT DISTINCT FROM a_lsn
+            AND b_hl IS NOT DISTINCT FROM a_hl
+            AND b_lang IS NOT DISTINCT FROM a_lang))
+        SELECT url, 'insert' AS op, a_lsn AS lsn, a_hl AS html_len,
+               a_lang AS lang
+        FROM ch WHERE NOT ol
+        UNION ALL
+        SELECT url, 'delete', b_lsn, b_hl, b_lang FROM ch WHERE NOT nl
+        UNION ALL
+        SELECT url, 'update_preimage', b_lsn, b_hl, b_lang
+        FROM ch WHERE ol AND nl
+        UNION ALL
+        SELECT url, 'update_postimage', a_lsn, a_hl, a_lang
+        FROM ch WHERE ol AND nl""",
+    doc="Changelog producer for merge-mode tables "
+    "(operators/changefeed.py): the retract-stream diff of the "
+    "partial-update collapsed state at two horizons (Paimon "
+    "changelog-producer=lookup analog — merged before/after rows, not "
+    "raw events; ±1 op weighting keeps downstream aggregates "
+    "incrementally maintainable). One full-outer shuffle of two "
+    "one-row-per-key states; field-wise null-safe classification "
+    "(patch tables carry legitimate NULL columns)",
+)
+def cdc_patch_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.changefeed import collapsed_changelog
+    from data_pipeline_spark.operators.partial_update import (
+        partial_update_collapse,
+    )
+
+    log = cl.changelog(spark, sf_dir)
+    is_upd = F.col("op") == "update"
+    patch = log.select(
+        "url",
+        "lsn",
+        "op",
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 0)),
+            F.col("html"),
+        ).alias("html"),
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 1)),
+            F.col("lang"),
+        ).alias("lang"),
+    )
+    h = patch.agg(F.max("lsn")).collect()[0][0] // 2
+
+    def state(df: DataFrame) -> DataFrame:
+        cur = partial_update_collapse(df, "url", "lsn", ["html", "lang"])
+        return cur.select(
+            "url", "lsn", F.octet_length("html").alias("html_len"), "lang"
+        )
+
+    return collapsed_changelog(
+        state(patch.filter(F.col("lsn") <= h)), state(patch), "url"
+    )
+
+
 @register(
     "cdc_split_final_state",
     _final_state_duck(),

@@ -45,6 +45,19 @@ def test_partial_update_is_one_exchange_with_map_side_combine(spark):
     assert "partial_max_by" in plan, plan
 
 
+def test_first_row_is_one_exchange_with_map_side_combine(spark):
+    from data_pipeline_spark.operators.first_row import first_row_collapse
+
+    out = first_row_collapse(cl.changelog(spark, SF_SMOKE), "url", "lsn")
+    plan = _plan(out)
+    # the mirror of the LWW collapse: ONE shuffle (groupBy hash agg),
+    # no window sort, no join; min_by partials combine map-side so a
+    # redelivery-heavy hot key ships one row per input partition
+    assert plan.count("Exchange (") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "partial_min_by" in plan, plan
+
+
 def test_agg_merge_fence_broadcasts_and_folds_once(spark):
     log = cl.changelog(spark, SF_SMOKE)
     ev = log.select(
