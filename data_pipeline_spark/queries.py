@@ -498,6 +498,88 @@ def cdc_fold_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _patch_final_duck() -> str:
+    """DuckDB oracle for the partial-update final state over the derived
+    patch feed — shared by the batch, fold-compaction, and streaming
+    patch entries (they must all land on the identical state)."""
+    return f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        patch AS (
+          SELECT url, lsn, op,
+            CASE WHEN op = 'insert' OR (op = 'update' AND lsn % 3 <> 0)
+                 THEN html END AS html,
+            CASE WHEN op = 'insert' OR (op = 'update' AND lsn % 3 <> 1)
+                 THEN lang END AS lang
+          FROM changelog),
+        td AS (
+          SELECT url,
+                 coalesce(max(CASE WHEN op = 'delete' THEN lsn END),
+                          -4611686018427387904) AS tdel
+          FROM patch GROUP BY url),
+        live AS (
+          SELECT p.* FROM patch p JOIN td ON p.url = td.url
+          WHERE p.op <> 'delete' AND p.lsn > td.tdel)
+        SELECT url, max(lsn) AS lsn,
+          octet_length(arg_max(html, lsn) FILTER (WHERE html IS NOT NULL))
+              AS html_len,
+          arg_max(lang, lsn) FILTER (WHERE lang IS NOT NULL) AS lang
+        FROM live GROUP BY url"""
+
+
+@register(
+    "cdc_stream_patch_state",
+    _patch_final_duck(),
+    doc="The patch-table state via the STREAMING engine end-to-end: "
+    "patch-feed WAL tail -> run_stream(merge_mode='append') epoch-keyed "
+    "event appends with the files-only compaction cadence -> read raw + "
+    "partial-update collapse; must equal the direct collapse of the "
+    "whole feed (the streaming mirror of cdc_partial_update)",
+)
+def cdc_stream_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.partial_update import (
+        partial_update_collapse,
+    )
+    from data_pipeline_spark.streaming.pipeline import (
+        stream_to_completion,
+        write_wal,
+    )
+
+    def patchify(df: DataFrame) -> DataFrame:
+        is_upd = F.col("op") == "update"
+        return df.select(
+            "url",
+            "lsn",
+            "warc_ts",
+            "op",
+            F.when(
+                (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 0)),
+                F.col("html"),
+            ).alias("html"),
+            F.when(
+                (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 1)),
+                F.col("lang"),
+            ).alias("lang"),
+        )
+
+    root = tempfile.mkdtemp(prefix="lake_spq_")
+    wal = os.path.join(root, "wal")
+    write_wal(spark, sf_dir, wal, n_files=3, transform=patchify)
+    table = stream_to_completion(
+        spark, wal, os.path.join(root, "table"), os.path.join(root, "ckpt"),
+        n_buckets=16, record_metrics=False, merge_mode="append",
+        compact_every=2,
+    )
+    cur = partial_update_collapse(
+        table.read(raw=True), "url", "lsn", ["html", "lang"]
+    )
+    return cur.select(
+        "url", "lsn", F.octet_length("html").alias("html_len"), "lang"
+    )
+
+
 def _patch_state_duck(name: str, where: str) -> str:
     """CTE chain computing the partial-update collapsed state (url, lsn,
     html_len, lang) over the patch feed rows matching ``where``."""

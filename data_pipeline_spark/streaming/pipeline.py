@@ -49,12 +49,16 @@ class CircuitBreakerOpen(RuntimeError):
 def write_wal(
     spark: SparkSession, sf_dir: str, wal_dir: str, n_files: int = 8,
     amplify: int = 1,
+    transform=None,
 ) -> int:
     """Land the synthetic change log as an append-only WAL directory.
 
     Files are LSN-ranged so arrival order == log order (the file source
     lists by modification time; one file per range keeps batches
-    deterministic under ``maxFilesPerTrigger=1``). Returns file count.
+    deterministic under ``maxFilesPerTrigger=1``). ``transform`` (a
+    DataFrame -> DataFrame fn, schema-preserving) reshapes each segment
+    before it lands — e.g. deriving a patch feed for append merge-mode
+    streams. Returns file count.
     """
     from pyspark.sql import functions as F
 
@@ -71,6 +75,8 @@ def write_wal(
         part = log.filter(
             (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
         )
+        if transform is not None:
+            part = transform(part)
         part.repartition(fps).write.mode("overwrite").parquet(
             os.path.join(wal_dir, f"seg-{i:05d}")
         )
