@@ -107,6 +107,13 @@ def merge_into(
     validate it first with ``quality_gate(table.read(snap=staged))``.
     """
     snap: Snapshot = table.current()
+    mode = snap.props.get("merge.mode", "lww")
+    if mode != "lww":
+        raise ValueError(
+            f"merge_into applies whole-row LWW upserts; a "
+            f"merge.mode={mode!r} table stores raw events — append them "
+            "with commit_delta / pipeline.apply_append_batch instead"
+        )
     if commit_key in snap.commits:
         return MergeStats(commit_key, False, snap.version, 0)
 

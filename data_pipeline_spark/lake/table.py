@@ -914,6 +914,19 @@ class LakeTable:
         ``raw=True`` returns the physical rows (no collapse, tombstone
         column included) — diagnostics and compaction internals only.
 
+        **Merge-mode tables** (``merge.mode`` table property ∈ ``patch`` |
+        ``aggregate`` | ``first_row``): the physical rows are EVENTS, so
+        a non-raw read routes through the mode's collapse operator
+        instead of the whole-row LWW fold — ``read()`` on a patch table
+        returns the stitched per-column state, on an aggregate table the
+        folded accumulators, on a first-row table the earliest inserts.
+        ``buckets``/``point_keys``/``columns`` compose (the collapse sees
+        every physical row of each selected key, same soundness argument
+        as LWW point reads); ``min_order``/``stats_bounds`` are REFUSED —
+        their manifest file-skips are only sound when one physical row
+        decides a key, and an event table's winning state needs ALL of a
+        key's events.
+
         ``columns`` projects BELOW the LWW collapse: the winner per key is
         decided by the order column alone, so collapsing projected rows
         yields the projected winner — and the pruning reaches the parquet
@@ -922,6 +935,19 @@ class LakeTable:
         The key, order, and tombstone columns ride along implicitly.
         """
         snap = snap or self.current()
+        mode = snap.props.get("merge.mode", "lww")
+        if not raw and mode != "lww":
+            if min_order is not None or stats_bounds is not None:
+                raise ValueError(
+                    f"min_order/stats_bounds are unsound on a "
+                    f"merge.mode={mode!r} table: their file-skips assume "
+                    "one physical row decides a key, but an event "
+                    "table's state needs ALL of a key's events — filter "
+                    "the collapsed read instead"
+                )
+            return self._mode_collapse_read(
+                snap, mode, buckets, point_keys, columns, align_snap
+            )
         sch = align_snap or snap
         norm_bounds = None
         if stats_bounds is not None:
@@ -1033,6 +1059,69 @@ class LakeTable:
         ddl = ", ".join(f"{n} {d}" for n, d in fields)
         return T.StructType.fromDDL(ddl)
 
+    def _mode_collapse_read(
+        self,
+        snap: Snapshot,
+        mode: str,
+        buckets: set[int] | None,
+        point_keys: list[str] | None,
+        columns: list[str] | None,
+        align_snap: Snapshot | None,
+    ) -> DataFrame:
+        """Non-raw read of a merge-mode table: scan the event rows (same
+        pruning machinery as any read) and route through the mode's
+        collapse operator. The table declares its engine in props —
+        ``merge.mode`` plus ``merge.patch.cols`` / ``merge.agg.spec`` —
+        the way Paimon tables carry their merge engine in table metadata,
+        so callers cannot accidentally fold a patch table through the
+        whole-row LWW collapse."""
+        op_col = snap.props.get("merge.op_col", "op")
+        proj = None
+        if columns is not None:
+            proj = list(dict.fromkeys([*columns, op_col]))
+        events = self.read(
+            raw=True,
+            buckets=buckets,
+            snap=snap,
+            align_snap=align_snap,
+            point_keys=point_keys,
+            columns=proj,
+        ).drop(TOMBSTONE_COL)
+        key, order = snap.key, snap.order_col
+        if mode == "patch":
+            from data_pipeline_spark.operators.partial_update import (
+                partial_update_collapse,
+            )
+
+            cols = snap.props.get("merge.patch.cols")
+            if cols is None:
+                raise ValueError(
+                    "merge.mode=patch needs merge.patch.cols in props"
+                )
+            eff = [c for c in cols if c in events.columns]
+            return partial_update_collapse(
+                events, key, order, eff, op_col=op_col
+            )
+        if mode == "aggregate":
+            from data_pipeline_spark.operators.agg_merge import (
+                aggregate_collapse,
+            )
+
+            spec = snap.props.get("merge.agg.spec")
+            if spec is None:
+                raise ValueError(
+                    "merge.mode=aggregate needs merge.agg.spec in props"
+                )
+            eff = {c: f for c, f in spec.items() if c in events.columns}
+            return aggregate_collapse(events, key, order, eff, op_col=op_col)
+        if mode == "first_row":
+            from data_pipeline_spark.operators.first_row import (
+                first_row_collapse,
+            )
+
+            return first_row_collapse(events, key, order, op_col=op_col)
+        raise ValueError(f"unknown merge.mode {mode!r}")
+
     def commit_log(self) -> DataFrame:
         """The exactly-once commit-dedup table (FIXTURES.md B3): one row
         per applied commit key with its snapshot version and operation.
@@ -1122,6 +1211,14 @@ class LakeTable:
           the interval contains a commit that can rewrite payload at
           constant order (backfill, rollback) or expired snapshots hide
           what happened."""
+        mode = b.props.get("merge.mode", "lww")
+        if mode != "lww":
+            raise ValueError(
+                f"changes_between/changelog_rows diff LWW row images; on "
+                f"a merge.mode={mode!r} table read the two versions "
+                "(read(snap=...)) and diff the collapsed states with "
+                "operators/changefeed.collapsed_changelog"
+            )
         touched = {
             int(k)
             for k in set(a.manifests) | set(b.manifests)
@@ -2144,6 +2241,13 @@ class LakeTable:
         if cluster_by:
             min_files = min(min_files, 1)
         snap = self.current()
+        mode = snap.props.get("merge.mode", "lww")
+        if mode != "lww":
+            raise ValueError(
+                f"compact() is the whole-row LWW rewrite and would fold "
+                f"away a merge.mode={mode!r} table's events — use "
+                "maintenance.compact_append (files-only or horizon fold)"
+            )
         if commit_key in snap.commits:
             return snap
         if buckets is None:

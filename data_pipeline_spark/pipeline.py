@@ -61,7 +61,9 @@ def ensure_dlq(spark: SparkSession, root: str, n_buckets: int = 8) -> LakeTable:
     )
 
 
-def contract_reason(batch: DataFrame) -> F.Column:
+def contract_reason(
+    batch: DataFrame, allow_null_payload: bool = False
+) -> F.Column:
     """First violated feed-contract rule per event, NULL when the event is
     clean. The rules protect engine invariants, not taste: a NULL key
     cannot route to a bucket (xxhash64(NULL) -> NULL), a NULL lsn cannot
@@ -69,8 +71,13 @@ def contract_reason(batch: DataFrame) -> F.Column:
     and a NULL payload on a non-delete would extract to a NULL text the
     table contract forbids (Kafka Connect DLQ / reference failure-page
     routing, _migrate_catalog/runner.py:342-353 — quarantine instead of
-    abort)."""
-    return (
+    abort).
+
+    ``allow_null_payload`` drops the payload rule for APPEND merge-mode
+    feeds: a patch event legitimately carries NULL in every column it
+    does not change, and an aggregate event in every column it does not
+    increment — only the structural rules (key, order, op) apply there."""
+    gate = (
         F.when(F.col("url").isNull(), F.lit("null_key"))
         .when(F.col("lsn").isNull(), F.lit("null_lsn"))
         .when(
@@ -78,10 +85,12 @@ def contract_reason(batch: DataFrame) -> F.Column:
             | F.col("op").isNull(),
             F.lit("bad_op"),
         )
-        .when(
-            (F.col("op") != "delete") & F.col("html").isNull(),
-            F.lit("null_payload"),
-        )
+    )
+    if allow_null_payload:
+        return gate
+    return gate.when(
+        (F.col("op") != "delete") & F.col("html").isNull(),
+        F.lit("null_payload"),
     )
 
 
@@ -290,7 +299,9 @@ def apply_append_batch(
     commit (redelivered epochs no-op)."""
     n_quarantined = 0
     if dlq is not None:
-        flagged = batch.withColumn("__reason", contract_reason(batch))
+        flagged = batch.withColumn(
+            "__reason", contract_reason(batch, allow_null_payload=True)
+        )
         bad = flagged.filter(F.col("__reason").isNotNull())
         if record_metrics:
             n_quarantined = bad.count()

@@ -580,6 +580,60 @@ def cdc_stream_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_mode_table_read",
+    _patch_final_duck(),
+    doc="Table-declared merge engine end-to-end: the table carries "
+    "merge.mode=patch + merge.patch.cols in its snapshot props (the "
+    "Paimon table-metadata shape — the TABLE owns its merge engine, not "
+    "the reader), the patch feed lands via two commit_delta epochs, and "
+    "a plain table.read() routes through the partial-update collapse "
+    "with projection pushed below it — reader code never names the "
+    "engine, and LWW-only operations (compact, merge_into, "
+    "changes_between) refuse loudly on such a table "
+    "(lake/table.py _mode_collapse_read)",
+)
+def cdc_mode_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    log = cl.changelog(spark, sf_dir)
+    is_upd = F.col("op") == "update"
+    patch = log.select(
+        "url",
+        "lsn",
+        "op",
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 0)),
+            F.col("html"),
+        ).alias("html"),
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 1)),
+            F.col("lang"),
+        ).alias("lang"),
+    )
+    horizon = int(
+        patch.agg(F.expr("percentile_approx(lsn, 0.5)")).collect()[0][0]
+    )
+    root = tempfile.mkdtemp(prefix="lake_modeq_")
+    table = LakeTable.create(
+        spark,
+        root,
+        [("url", "string"), ("lsn", "bigint"), ("op", "string"),
+         ("html", "binary"), ("lang", "string")],
+        "url",
+        16,
+        props={"merge.mode": "patch", "merge.patch.cols": ["html", "lang"]},
+    )
+    table.commit_delta(patch.filter(F.col("lsn") <= horizon), "e0")
+    table.commit_delta(patch.filter(F.col("lsn") > horizon), "e1")
+    cur = table.read(columns=["html", "lang"])
+    return cur.select(
+        "url", "lsn", F.octet_length("html").alias("html_len"), "lang"
+    )
+
+
 def _patch_state_duck(name: str, where: str) -> str:
     """CTE chain computing the partial-update collapsed state (url, lsn,
     html_len, lang) over the patch feed rows matching ``where``."""

@@ -48,6 +48,30 @@ def state(table):
     )
 
 
+def patchify(df):
+    """Derive the patch feed (same rule as queries.cdc_partial_update)."""
+    is_upd = F.col("op") == "update"
+    return df.select(
+        "url", "lsn", "warc_ts", "op",
+        F.when((F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 0)),
+               F.col("html")).alias("html"),
+        F.when((F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 1)),
+               F.col("lang")).alias("lang"),
+    )
+
+
+def patch_state(df):
+    from data_pipeline_spark.operators.partial_update import (
+        partial_update_collapse,
+    )
+
+    cur = partial_update_collapse(df, "url", "lsn", ["html", "lang"])
+    return sorted(
+        (r.url, r.lsn, r.lang, None if r.html is None else len(r.html))
+        for r in cur.collect()
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -58,6 +82,7 @@ def main():
     ap.add_argument("--sleep", type=float, default=1.0)
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--merge-mode", default="lww", choices=["lww", "append"])
     args = ap.parse_args()
 
     from data_pipeline_spark import changelog as cl
@@ -85,6 +110,8 @@ def main():
             (F.col("lsn") >= lo + i * span)
             & (F.col("lsn") < lo + (i + 1) * span)
         )
+        if args.merge_mode == "append":
+            part = patchify(part)
         if i == args.segments // 3:
             # poison a few rows mid-tail: the DLQ must quarantine them
             # without stopping the stream
@@ -103,6 +130,7 @@ def main():
             record_metrics=True,
             compact_every=args.compact_every,
             dlq_root=dlq_root,
+            merge_mode=args.merge_mode,
         )
 
     t0 = time.monotonic()
@@ -148,23 +176,33 @@ def main():
     q.awaitTermination(60)
 
     base, delta = file_census(table)
-    got = state(table)
 
-    # oracle: batch-replay the same WAL (minus the quarantined rows)
-    batch_root = tempfile.mkdtemp(prefix="soak_batch_")
+    # oracle: batch-replay / direct-collapse of the same WAL (minus the
+    # quarantined rows)
     full = spark.read.schema(
         "url string, lsn bigint, warc_ts timestamp, op string, "
         "html binary, lang string"
     ).option("recursiveFileLookup", "true").parquet(wal).filter(
         F.col("url").isNotNull()
     )
-    bt = replay_log(spark, full, batch_root, n_batches=4, n_buckets=16,
-                    record_metrics=False)
-    want = state(bt)
+    raw_count_ok = True
+    if args.merge_mode == "append":
+        # every WAL event row landed exactly once; state = mode collapse
+        got = patch_state(table.read(raw=True))
+        want = patch_state(full)
+        raw_count_ok = table.read(raw=True).count() == full.count()
+    else:
+        got = state(table)
+        batch_root = tempfile.mkdtemp(prefix="soak_batch_")
+        bt = replay_log(spark, full, batch_root, n_batches=4, n_buckets=16,
+                        record_metrics=False)
+        want = state(bt)
 
     dlq_rows = LakeTable(spark, dlq_root).read().count()
     out = {
         "soak": True,
+        "merge_mode": args.merge_mode,
+        "raw_count_ok": raw_count_ok,
         "events": n_events,
         "segments": args.segments,
         "active_wall_s": round(active_wall, 1),
@@ -180,7 +218,7 @@ def main():
     }
     print(json.dumps(out), flush=True)
     shutil.rmtree(stage, ignore_errors=True)
-    if not out["state_match"] or not resumed:
+    if not out["state_match"] or not resumed or not raw_count_ok:
         sys.exit(1)
 
 

@@ -98,6 +98,34 @@ def test_append_stream_kill_resume_no_double_append(spark):
     assert t.read(raw=True).count() == cl.changelog(spark, SF_SMOKE).count()
 
 
+def test_append_mode_dlq_allows_null_patch_columns(spark):
+    """A patch event's NULL payload columns are state, not violations:
+    with the DLQ armed, only structurally-bad rows (null key) quarantine
+    — the 127k-row quarantine storm the first append soak hit."""
+    root = tempfile.mkdtemp(prefix="stream_patch_dlq_")
+    wal = _mk_patch_wal(spark, root, n_files=2)
+    # poison one row (null key) inside the first segment
+    seg = os.path.join(wal, sorted(os.listdir(wal))[0])
+    df = spark.read.parquet(seg)
+    bad = df.limit(1).withColumn("url", F.lit(None).cast("string"))
+    df.unionByName(bad).write.mode("overwrite").parquet(seg + ".tmp")
+    import shutil
+
+    shutil.rmtree(seg)
+    os.rename(seg + ".tmp", seg)
+    q = run_stream(
+        spark, wal, os.path.join(root, "t"), os.path.join(root, "ckpt"),
+        n_buckets=8, record_metrics=False, merge_mode="append",
+        dlq_root=os.path.join(root, "dlq"),
+    )
+    q.awaitTermination()
+    t = LakeTable(spark, os.path.join(root, "t"))
+    dlq = LakeTable(spark, os.path.join(root, "dlq"))
+    assert dlq.read().count() == 1  # ONLY the poisoned row
+    assert t.read(raw=True).count() == cl.changelog(spark, SF_SMOKE).count()
+    assert _collapsed(t) == _collapsed_feed(spark)
+
+
 def test_append_mode_refuses_lww_watermark(spark):
     root = tempfile.mkdtemp(prefix="stream_patch_refuse_")
     with pytest.raises(ValueError, match="append merge_mode"):
