@@ -1123,6 +1123,131 @@ def cdc_read_since(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_time_travel",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        h AS (SELECT (min(lsn) + max(lsn)) // 2 AS v FROM changelog),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog WHERE lsn <= (SELECT v FROM h)) WHERE rn = 1)
+        SELECT url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete'
+    """,
+    doc="Snapshot time travel (Iceberg VERSION AS OF): replay the early "
+    "half of the feed, pin that snapshot version, apply the late half, "
+    "then read_version(pinned) — the historical state must be the LWW "
+    "collapse of ONLY the early events, byte-identical text included, "
+    "no matter how many commits landed since (lake/table.py "
+    "read_version/snapshot; reference analog: STAC items re-registered "
+    "in place keep no history, run_ingest_register.py — the lake makes "
+    "the old state a first-class read)",
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, replay_log
+
+    log = cl.changelog(spark, sf_dir)
+    r = log.agg(F.min("lsn").alias("mn"), F.max("lsn").alias("mx")).first()
+    horizon = (r["mn"] + r["mx"]) // 2
+    root = tempfile.mkdtemp(prefix="lake_tt_")
+    table = replay_log(
+        spark, log.filter(F.col("lsn") <= horizon), root,
+        n_batches=2, n_buckets=16, record_metrics=False,
+    )
+    pinned = table.current().version
+    apply_batch(
+        table, log.filter(F.col("lsn") > horizon), commit_key="late",
+        record_metrics=False,
+    )
+    return table.read_version(pinned).select(
+        "url",
+        "lsn",
+        F.expr(TS_SPARK.format(c="warc_ts")).alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
+    "cdc_changes_between",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        h AS (SELECT (min(lsn) + max(lsn)) // 2 AS v FROM changelog),
+        so AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog WHERE lsn <= (SELECT v FROM h)) WHERE rn = 1),
+        sn AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        j AS (
+          SELECT coalesce(o.url, n.url) AS url,
+                 o.op IS NOT NULL AND o.op <> 'delete' AS ol,
+                 n.op IS NOT NULL AND n.op <> 'delete' AS nl,
+                 o.lsn AS o_lsn, o.warc_ts AS o_ts, o.lang AS o_lang,
+                 o.html AS o_html,
+                 n.lsn AS n_lsn, n.warc_ts AS n_ts, n.lang AS n_lang,
+                 n.html AS n_html
+          FROM so o FULL JOIN sn n ON o.url = n.url)
+        SELECT url,
+          CASE WHEN NOT ol THEN 'insert'
+               WHEN NOT nl THEN 'delete'
+               ELSE 'update' END AS op,
+          n_lsn AS lsn,
+          {TS_DUCK.format(c="CASE WHEN ol AND NOT nl THEN o_ts ELSE n_ts END")}
+              AS warc_ts_s,
+          CASE WHEN ol AND NOT nl THEN o_lang ELSE n_lang END AS lang,
+          {SHA_DUCK.format(c=extract_text_duckdb(
+              'CASE WHEN ol AND NOT nl THEN o_html ELSE n_html END'))}
+              AS text_sha
+        FROM j
+        WHERE (ol OR nl) AND NOT (ol AND nl AND o_lsn = n_lsn)
+    """,
+    doc="Incremental change read between two snapshot versions (Iceberg "
+    "changelog scan / Delta CDF): replay early events, then late events, "
+    "then changes_between(v_early, v_head) — one net change row per key "
+    "whose LWW image moved, classified insert/update/delete, deletes "
+    "fenced at the tombstone's lsn and carrying the before-image "
+    "payload so a mirror's MERGE lays down the same fence "
+    "(lake/table.py changes_between; bucket-pruned to manifests that "
+    "differ, narrow (key,order) diff first, wide fetch only for changed "
+    "keys)",
+)
+def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, replay_log
+
+    log = cl.changelog(spark, sf_dir)
+    r = log.agg(F.min("lsn").alias("mn"), F.max("lsn").alias("mx")).first()
+    horizon = (r["mn"] + r["mx"]) // 2
+    root = tempfile.mkdtemp(prefix="lake_cb_")
+    table = replay_log(
+        spark, log.filter(F.col("lsn") <= horizon), root,
+        n_batches=2, n_buckets=16, record_metrics=False,
+    )
+    v_early = table.current().version
+    apply_batch(
+        table, log.filter(F.col("lsn") > horizon), commit_key="late",
+        record_metrics=False,
+    )
+    feed = table.changes_between(v_early, table.current().version)
+    return feed.select(
+        "url",
+        "op",
+        "lsn",
+        F.expr(TS_SPARK.format(c="warc_ts")).alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_stream_final_state",
     _final_state_duck(),
     doc="Same final state via the STREAMING engine: Structured Streaming "
