@@ -1075,6 +1075,14 @@ class LakeTable:
         the way Paimon tables carry their merge engine in table metadata,
         so callers cannot accidentally fold a patch table through the
         whole-row LWW collapse."""
+        if mode == "event":
+            raise ValueError(
+                "this table stores raw events with NO declared merge "
+                "engine (merge.mode='event'): read(raw=True) for the "
+                "physical rows, or create the table with merge.mode "
+                "patch/aggregate/first_row props so read() knows which "
+                "collapse is sound"
+            )
         op_col = snap.props.get("merge.op_col", "op")
         proj = None
         if columns is not None:

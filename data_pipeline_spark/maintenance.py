@@ -352,6 +352,35 @@ def backfill(
     return True
 
 
+def _fold_from_props(snap):
+    """The merge-engine fold kernel a table declares in its props
+    (``merge.mode`` + ``merge.patch.cols`` / ``merge.agg.spec``) — lets
+    ``compact_append(table, key, horizon=h)`` fold a declared mode table
+    without the caller re-stating its engine."""
+    mode = snap.props.get("merge.mode", "lww")
+    key, order = snap.key, snap.order_col
+    op_col = snap.props.get("merge.op_col", "op")
+    if mode == "patch":
+        from data_pipeline_spark.operators.partial_update import fold_events
+
+        cols = snap.props.get("merge.patch.cols")
+        if cols is None:
+            raise ValueError("merge.mode=patch needs merge.patch.cols")
+        return lambda df: fold_events(df, key, order, list(cols), op_col=op_col)
+    if mode == "aggregate":
+        from data_pipeline_spark.operators.agg_merge import fold_events
+
+        spec = snap.props.get("merge.agg.spec")
+        if spec is None:
+            raise ValueError("merge.mode=aggregate needs merge.agg.spec")
+        return lambda df: fold_events(df, key, order, dict(spec), op_col=op_col)
+    raise ValueError(
+        f"no props-derived fold for merge.mode={mode!r}: pass fold= "
+        "explicitly (first_row/event tables have no horizon fold — "
+        "files-only compaction is the sound shape there)"
+    )
+
+
 def compact_append(
     table: LakeTable,
     commit_key: str,
@@ -379,7 +408,11 @@ def compact_append(
       operators/agg_merge.py) into equivalent accumulator events; newer
       events are kept verbatim. Exact iff no future event can carry
       order ≤ horizon — the same watermark contract the LWW path's
-      retention sweep enforces, owned by the caller.
+      retention sweep enforces, owned by the caller. On a table that
+      DECLARES its engine (``merge.mode`` props), ``horizon`` alone is
+      enough — the fold kernel is derived from the props
+      (:func:`_fold_from_props`), so maintenance cannot mis-state the
+      table's semantics.
 
     Bucket selection matches :meth:`LakeTable.compact`: ≥ ``min_files``
     files (any kind), most-fragmented-first under ``max_buckets`` so
@@ -399,6 +432,12 @@ def compact_append(
         return snap
     if fold is not None and horizon is None:
         raise ValueError("fold compaction needs a horizon (order value)")
+    if fold is None and horizon is not None:
+        # Horizon given, fold not: derive the fold kernel from the
+        # table's declared merge engine (merge.mode props) — the table
+        # owns its merge semantics, so maintenance need not re-state
+        # them (and cannot mis-state them).
+        fold = _fold_from_props(snap)
     if buckets is None:
         buckets = {
             int(b)

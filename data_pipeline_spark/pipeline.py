@@ -273,12 +273,22 @@ EVENT_SCHEMA: list[tuple[str, str]] = [
 
 
 def ensure_event_table(
-    spark: SparkSession, root: str, n_buckets: int = 16
+    spark: SparkSession,
+    root: str,
+    n_buckets: int = 16,
+    props: dict | None = None,
 ) -> LakeTable:
+    """Create (or open) a raw-event append table. ``props`` declares the
+    merge engine (``merge.mode`` + its spec) so ``read()`` collapses
+    correctly; without one the table is stamped ``merge.mode="event"``,
+    which makes a non-raw ``read()`` REFUSE instead of silently running
+    the whole-row LWW fold over event rows — an undeclared event store
+    has no sound default collapse."""
     if LakeTable.exists(root):
         return LakeTable(spark, root)
     return LakeTable.create(
-        spark, root, EVENT_SCHEMA, key="url", n_buckets=n_buckets
+        spark, root, EVENT_SCHEMA, key="url", n_buckets=n_buckets,
+        props={"merge.mode": "event", **(props or {})},
     )
 
 

@@ -539,9 +539,6 @@ def cdc_stream_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from data_pipeline_spark.operators.partial_update import (
-        partial_update_collapse,
-    )
     from data_pipeline_spark.streaming.pipeline import (
         stream_to_completion,
         write_wal,
@@ -571,10 +568,11 @@ def cdc_stream_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, wal, os.path.join(root, "table"), os.path.join(root, "ckpt"),
         n_buckets=16, record_metrics=False, merge_mode="append",
         compact_every=2,
+        mode_props={"merge.mode": "patch",
+                    "merge.patch.cols": ["html", "lang"]},
     )
-    cur = partial_update_collapse(
-        table.read(raw=True), "url", "lsn", ["html", "lang"]
-    )
+    # the table DECLARES its engine, so a plain read() IS the collapse
+    cur = table.read()
     return cur.select(
         "url", "lsn", F.octet_length("html").alias("html_len"), "lang"
     )

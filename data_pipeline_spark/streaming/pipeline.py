@@ -142,6 +142,7 @@ def run_stream(
     dlq_root: str | None = None,
     writer_id: str | None = None,
     merge_mode: str = "lww",
+    mode_props: dict | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -217,10 +218,20 @@ def run_stream(
             "watermark would drop patches/increments that are still "
             "valid contributions — filter the feed upstream instead"
         )
+    if mode_props is not None and merge_mode != "append":
+        raise ValueError(
+            "mode_props declares an APPEND table's merge engine; the "
+            "lww path's table needs no engine declaration"
+        )
     if merge_mode == "append":
         from data_pipeline_spark.pipeline import ensure_event_table
 
-        table = ensure_event_table(spark, table_root, n_buckets)
+        # ``mode_props`` (e.g. {"merge.mode": "patch", "merge.patch.cols":
+        # [...]}) stamps the engine into the table's metadata so a plain
+        # table.read() collapses correctly; without it the table is an
+        # undeclared event store and non-raw reads refuse (see
+        # ensure_event_table).
+        table = ensure_event_table(spark, table_root, n_buckets, mode_props)
     else:
         table = ensure_table(spark, table_root, n_buckets)
     # ``dlq_root`` arms per-record quarantine inside every epoch (the

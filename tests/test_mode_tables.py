@@ -98,6 +98,43 @@ def test_first_row_mode_read(spark):
     assert got == {"u": (1, "a1", "b1"), "v": (1, "av", "bv")}
 
 
+def test_props_derived_fold_compaction(spark):
+    """compact_append(horizon=) with NO fold callable derives the fold
+    kernel from the table's declared engine — and the collapsed read is
+    unchanged by the fold."""
+    t, _ = _mk(spark, {"merge.mode": "patch",
+                       "merge.patch.cols": ["a", "b"]})
+    before = {r["url"]: (r["lsn"], r["a"], r["b"]) for r in t.read().collect()}
+    compact_append(t, "fold", horizon=2, min_files=1)
+    after = {r["url"]: (r["lsn"], r["a"], r["b"]) for r in t.read().collect()}
+    assert after == before == {"u": (3, "a2", "b3"), "w": (3, None, "bw")}
+
+
+def test_props_derived_fold_refuses_undeclared(spark):
+    t, _ = _mk(spark, {"merge.mode": "first_row"})
+    with pytest.raises(ValueError, match="no props-derived fold"):
+        compact_append(t, "fold", horizon=2, min_files=1)
+
+
+def test_event_table_read_refuses_without_engine(spark):
+    """An undeclared event store (merge.mode='event', the
+    ensure_event_table default) has no sound collapse: non-raw read()
+    refuses instead of silently LWW-folding event rows."""
+    from data_pipeline_spark.pipeline import ensure_event_table
+
+    root = tempfile.mkdtemp(prefix="lake_event_")
+    t = ensure_event_table(spark, root, n_buckets=4)
+    ev = spark.createDataFrame(
+        [("u", 1, None, "insert", None, "en")],
+        "url string, lsn bigint, warc_ts timestamp, op string, "
+        "html binary, lang string",
+    )
+    t.commit_delta(ev, "e0")
+    with pytest.raises(ValueError, match="raw=True"):
+        t.read()
+    assert t.read(raw=True).count() == 1
+
+
 def test_lww_only_operations_refuse(spark):
     t, ev = _mk(spark, {"merge.mode": "patch",
                         "merge.patch.cols": ["a", "b"]})

@@ -126,6 +126,51 @@ def test_append_mode_dlq_allows_null_patch_columns(spark):
     assert _collapsed(t) == _collapsed_feed(spark)
 
 
+def test_stream_mode_props_declare_engine_read_collapses(spark):
+    """mode_props stamps the merge engine into the stream's table, so a
+    plain read() returns the stitched patch state — and the UNDECLARED
+    default refuses a non-raw read instead of silently LWW-folding."""
+    root = tempfile.mkdtemp(prefix="stream_props_")
+    wal = _mk_patch_wal(spark, root, n_files=2)
+    q = run_stream(
+        spark, wal, os.path.join(root, "t"), os.path.join(root, "ckpt"),
+        n_buckets=8, record_metrics=False, merge_mode="append",
+        mode_props={"merge.mode": "patch",
+                    "merge.patch.cols": ["html", "lang"]},
+    )
+    q.awaitTermination()
+    t = LakeTable(spark, os.path.join(root, "t"))
+    got = sorted(
+        (r["url"], r["lsn"], r["lang"],
+         None if r["html"] is None else len(r["html"]))
+        for r in t.read().collect()
+    )
+    assert got == _collapsed_feed(spark)
+
+    # undeclared default: read() refuses, raw read works
+    root2 = tempfile.mkdtemp(prefix="stream_noprops_")
+    wal2 = _mk_patch_wal(spark, root2, n_files=2)
+    q2 = run_stream(
+        spark, wal2, os.path.join(root2, "t"), os.path.join(root2, "ckpt"),
+        n_buckets=8, record_metrics=False, merge_mode="append",
+    )
+    q2.awaitTermination()
+    t2 = LakeTable(spark, os.path.join(root2, "t"))
+    with pytest.raises(ValueError, match="raw=True"):
+        t2.read()
+    assert _collapsed(t2) == _collapsed_feed(spark)
+
+
+def test_mode_props_refused_on_lww_path(spark):
+    root = tempfile.mkdtemp(prefix="stream_props_lww_")
+    with pytest.raises(ValueError, match="mode_props"):
+        run_stream(
+            spark, os.path.join(root, "wal"), os.path.join(root, "t"),
+            os.path.join(root, "ckpt"), merge_mode="lww",
+            mode_props={"merge.mode": "patch"},
+        )
+
+
 def test_append_mode_refuses_lww_watermark(spark):
     root = tempfile.mkdtemp(prefix="stream_patch_refuse_")
     with pytest.raises(ValueError, match="append merge_mode"):
