@@ -2700,6 +2700,97 @@ sql_pair(
 )
 
 
+# Exact-substring dedup (the suffix-array dedup of Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better", expressed
+# Spark-first): a position is duplicated when its K-token shingle occurs
+# in >= 2 distinct documents; maximal runs of consecutive duplicated
+# positions become spans, and spans of >= L tokens are reported with a
+# byte-exact md5 of the span text. Shingles come from index+slice (no
+# per-doc window sort in the build); islands via the classic
+# pos - row_number gap trick. Plan shape: one explode -> one hash agg on
+# the gram (dup detection) -> one equi-join back -> one per-doc window ->
+# one hash agg; the gram agg is the only corpus-wide shuffle, and at
+# 100 TB the gram space shards by hash exactly like MinHash banding.
+# A true suffix array finds duplicates at arbitrary token boundaries;
+# the shingle-island form finds the same spans whenever the duplicated
+# run is >= K tokens (K=10 here), which is the regime the paper targets
+# (its default is 50 BPE tokens). Reference analog: the dedup stage of a
+# web-crawl ingest (SURVEY.md training-data ops).
+_SUBSTR_K = 10
+_SUBSTR_L = 20
+
+SUBSTR_DEDUP_SPARK_SQL = f"""
+        WITH w AS (SELECT doc_id, split(text, ' ') AS words FROM documents),
+        g2 AS (
+          SELECT doc_id, pos,
+                 array_join(slice(words, pos + 1, {_SUBSTR_K}), ' ') AS g
+          FROM w LATERAL VIEW explode(
+            sequence(0, size(words) - {_SUBSTR_K})) t AS pos
+          WHERE size(words) >= {_SUBSTR_K}
+        ),
+        dup AS (SELECT g FROM g2
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM g2 JOIN dup ON g2.g = dup.g),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM hits),
+        spans AS (SELECT doc_id, min(pos) AS span_start,
+                         max(pos) + {_SUBSTR_K} - min(pos) AS span_len
+                  FROM isl GROUP BY doc_id, grp)
+        SELECT s.doc_id, s.span_start, s.span_len,
+               md5(array_join(
+                 slice(w.words, s.span_start + 1, s.span_len), ' '))
+                 AS span_md5
+        FROM spans s JOIN w ON w.doc_id = s.doc_id
+        WHERE s.span_len >= {_SUBSTR_L}
+    """
+
+sql_pair(
+    "docs_substring_dedup",
+    spark_sql=SUBSTR_DEDUP_SPARK_SQL,
+    duck_sql=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        g2 AS (
+          SELECT doc_id,
+                 unnest(range(0, len(words) - {_SUBSTR_K} + 1)) AS pos,
+                 words
+          FROM w WHERE len(words) >= {_SUBSTR_K}
+        ),
+        g3 AS (SELECT doc_id, pos,
+                      array_to_string(
+                        list_slice(words, pos + 1, pos + {_SUBSTR_K}), ' ')
+                        AS g
+               FROM g2),
+        dup AS (SELECT g FROM g3
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM g3 JOIN dup ON g3.g = dup.g),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM hits),
+        spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                         CAST(max(pos) + {_SUBSTR_K} - min(pos) AS BIGINT)
+                           AS span_len
+                  FROM isl GROUP BY doc_id, grp)
+        SELECT s.doc_id, s.span_start, s.span_len,
+               md5(array_to_string(
+                 list_slice(w.words, CAST(s.span_start + 1 AS BIGINT),
+                            CAST(s.span_start + s.span_len AS BIGINT)), ' '))
+                 AS span_md5
+        FROM spans s JOIN w ON w.doc_id = s.doc_id
+        WHERE s.span_len >= {_SUBSTR_L}
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Exact-substring dedup (suffix-array dedup expressed as shingle "
+    "islands): maximal cross-document duplicated runs >= 20 tokens, "
+    "byte-exact span md5 — 41/45/413 spans at sf0.001/0.01/0.1 "
+    "(scale-vacuousness checked)",
+)
+
+
 # Corpus collocation mining: top word pairs by PMI-style lift. The score
 # is kept RATIONAL — lift_ppm = n_xy * n_docs * 10^6 div (n_x * n_y), pure
 # bigint math (a log-PMI would hinge on cross-engine libm equality) — and
