@@ -56,14 +56,14 @@ def clone_table(
     os.makedirs(os.path.join(dest_root, MANIFEST_DIR), exist_ok=True)
     os.makedirs(os.path.join(dest_root, DATA_DIR), exist_ok=True)
     clone = LakeTable(spark, dest_root)
-    manifests: dict[str, str] = {}
+    manifests: dict[str, list[str]] = {}
     for b in snap.manifests:
         entries = [
             {**e, "path": os.path.join(source.root, e["path"])}
             for e in source.bucket_entries(snap, b)
         ]
         manifests[str(b)] = (
-            clone._write_manifest(0, int(b), entries) if entries else ""
+            [clone._write_manifest(0, int(b), entries)] if entries else []
         )
     new = Snapshot(
         version=0,

@@ -200,7 +200,15 @@ class Snapshot:
     schemas: dict[str, list[list[str]]]  # schema_version -> [[name, ddl], ...]
     n_buckets: int
     key: str
-    manifests: dict[str, str]  # bucket -> manifest file name ("" = empty)
+    # bucket -> manifest CHAIN (ordered list of manifest file names whose
+    # entries concatenate; [] = empty bucket). A delta commit APPENDS one
+    # manifest holding only its added entries — commit metadata is
+    # O(added files), the Iceberg manifest-list shape — and chains are
+    # merged back to length 1 by compaction, rewrite_manifests(), or
+    # automatically when a chain hits ``manifest.chain_max`` (bounding
+    # what planning must open). Legacy snapshots stored a single name
+    # (str); from_json normalizes.
+    manifests: dict[str, list[str]]
     commits: dict[str, int] = field(default_factory=dict)  # commit_key -> version
     summary: dict[str, Any] = field(default_factory=dict)
     order_col: str = "lsn"  # LWW order column for merge-on-read collapse
@@ -216,7 +224,12 @@ class Snapshot:
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
-        return Snapshot(**json.loads(s))
+        d = json.loads(s)
+        d["manifests"] = {
+            b: ([m] if m else []) if isinstance(m, str) else m
+            for b, m in d["manifests"].items()
+        }
+        return Snapshot(**d)
 
 
 def _atomic_write(path: str, content: str) -> None:
@@ -263,7 +276,7 @@ class LakeTable:
             schemas={"0": [[n, d] for n, d in schema]},
             n_buckets=n_buckets,
             key=key,
-            manifests={str(b): "" for b in range(n_buckets)},
+            manifests={str(b): [] for b in range(n_buckets)},
             commits={},
             summary={"op": "create"},
             order_col=order_col,
@@ -369,19 +382,26 @@ class LakeTable:
 
     # -- manifests ---------------------------------------------------------
 
-    def bucket_entries(self, snap: Snapshot, bucket: int | str) -> list[dict]:
-        """File entries of one bucket: ``{path, schema_version, kind}``
-        (``kind`` ∈ base|delta). Resolved through the bucket's manifest
-        file; manifests are immutable, so the cache never invalidates."""
-        name = snap.manifests.get(str(bucket), "")
-        if not name:
-            return []
+    def _load_manifest(self, name: str) -> list[dict]:
         cached = self._manifest_cache.get(name)
         if cached is None:
             with open(os.path.join(self.root, MANIFEST_DIR, name)) as f:
                 cached = json.load(f)
             self._manifest_cache[name] = cached
         return cached
+
+    def bucket_entries(self, snap: Snapshot, bucket: int | str) -> list[dict]:
+        """File entries of one bucket: ``{path, schema_version, kind}``
+        (``kind`` ∈ base|delta), the concatenation of its manifest chain
+        in commit order; manifests are immutable, so the per-name cache
+        never invalidates."""
+        chain = snap.manifests.get(str(bucket)) or []
+        if len(chain) == 1:  # the common (compacted / freshly-merged) case
+            return self._load_manifest(chain[0])
+        out: list[dict] = []
+        for name in chain:
+            out.extend(self._load_manifest(name))
+        return out
 
     def all_entries(self, snap: Snapshot) -> dict[int, list[dict]]:
         return {
@@ -497,6 +517,49 @@ class LakeTable:
         self._write_snapshot(new, expect_parent=snap.version)
         return new
 
+    def rewrite_manifests(
+        self, commit_key: str, max_chain: int = 1
+    ) -> Snapshot | None:
+        """Metadata-only manifest compaction (Iceberg ``rewrite_manifests``):
+        merge every bucket whose manifest chain is longer than
+        ``max_chain`` into a single manifest. No data files move; readers
+        of the old snapshot keep their chains (manifests are immutable).
+        Normally unnecessary — delta commits self-merge at
+        ``manifest.chain_max`` and compaction resets chains to one — but
+        a table whose compaction cadence lags its commit rate can bound
+        planning I/O explicitly with this. Returns None when every chain
+        is already within bound (no empty commits)."""
+        snap = self.current()
+        if commit_key in snap.commits:
+            return snap
+        new_manifests = dict(snap.manifests)
+        merged = []
+        for b, chain in snap.manifests.items():
+            if len(chain) <= max_chain:
+                continue
+            name = self._write_manifest(
+                snap.version + 1, b, list(self.bucket_entries(snap, b))
+            )
+            new_manifests[b] = [name] if name else []
+            merged.append(int(b))
+        if not merged:
+            return None
+        new = Snapshot(
+            **{
+                **snap.__dict__,
+                "version": snap.version + 1,
+                "manifests": new_manifests,
+                "commits": {**snap.commits, commit_key: snap.version + 1},
+                "summary": {
+                    "op": "rewrite_manifests",
+                    "merged_buckets": sorted(merged),
+                },
+                "props": dict(snap.props),
+            }
+        )
+        self._write_snapshot(new, expect_parent=snap.version)
+        return new
+
     def update_props(self, updates: dict[str, Any]) -> Snapshot:
         """Metadata-only table-property update (no data commit)."""
         snap = self.current()
@@ -588,7 +651,8 @@ class LakeTable:
                 )
                 for fn in files
             ]
-            new_manifests[str(nid)] = self._write_manifest(version, nid, entries)
+            name = self._write_manifest(version, nid, entries)
+            new_manifests[str(nid)] = [name] if name else []
         new = Snapshot(
             version=version,
             schema_version=snap.schema_version,
@@ -716,6 +780,10 @@ class LakeTable:
     # ``plan.distributed_min_bytes`` property.
     PLAN_DISTRIBUTED_MIN_BYTES = 32 << 20
 
+    # Default manifest chain length at which a delta commit merges the
+    # bucket's chain into one manifest (``manifest.chain_max`` property).
+    MANIFEST_CHAIN_MAX = 16
+
     def _plan_manifest_bytes(self, snap: Snapshot, sel: list[str]) -> int:
         """Byte size of the selected buckets' manifests — the auto-route
         proxy for entry count (O(buckets) stat calls, no parsing; counting
@@ -723,15 +791,13 @@ class LakeTable:
         path exists to avoid)."""
         total = 0
         for b in sel:
-            name = snap.manifests.get(str(b), "")
-            if not name:
-                continue
-            try:
-                total += os.path.getsize(
-                    os.path.join(self.root, MANIFEST_DIR, name)
-                )
-            except OSError:
-                pass
+            for name in snap.manifests.get(str(b)) or []:
+                try:
+                    total += os.path.getsize(
+                        os.path.join(self.root, MANIFEST_DIR, name)
+                    )
+                except OSError:
+                    pass
         return total
 
     def _select_files_spark(
@@ -759,10 +825,23 @@ class LakeTable:
         runner.py:31-54), admitted here with NO format change because
         manifests are already per-bucket and immutable. Crossover vs the
         driver loop is measured in BENCH.md's planning table."""
-        names = [snap.manifests[b] for b in sel if snap.manifests.get(b)]
+        names = [n for b in sel for n in (snap.manifests.get(b) or [])]
         if not names:
             return {}, set()
         paths = [os.path.join(self.root, MANIFEST_DIR, n) for n in names]
+        # Pieces of a multi-manifest chain must NOT apply the
+        # stats_bounds skip: the kernel's all-base soundness test only
+        # sees one piece, and a base-only piece of a bucket whose delta
+        # lives in a sibling piece would skip unsoundly (stale-row
+        # resurrection). Chained buckets have a delta tail by
+        # construction, so the conservative no-skip is what the driver
+        # loop computes for them anyway.
+        chained = {
+            n
+            for b in sel
+            if len(snap.manifests.get(b) or []) > 1
+            for n in snap.manifests[b]
+        }
         order_col = snap.order_col
         mo, pk, sb = min_order, point_keys, stats_bounds
 
@@ -772,33 +851,60 @@ class LakeTable:
             bloom_ints: dict[str, int] = {}
             key_masks: dict[tuple[str, int], int] = {}
             for pdf in batches:
+                out_b: list[int] = []
                 out_p: list[str] = []
                 out_sv: list[int] = []
                 out_d: list[bool] = []
-                for txt in pdf["value"]:
+                for fname, txt in zip(pdf["fname"], pdf["value"]):
+                    # manifest names are b{bucket}-v{version}-{uuid}.json;
+                    # a chained bucket spans SEVERAL files, so has_delta
+                    # must be OR-reduced per BUCKET on the driver — a
+                    # per-file flag would let a chain piece holding only
+                    # base files skip the collapse its sibling delta
+                    # piece requires.
+                    base = os.path.basename(fname)
+                    bucket = int(base.split("-", 1)[0][1:])
                     retained, has_delta = _plan_filter_entries(
-                        json.loads(txt), order_col, mo, pk, sb,
+                        json.loads(txt), order_col, mo, pk,
+                        None if base in chained else sb,
                         bloom_ints, key_masks,
                     )
+                    if has_delta and not retained:
+                        # flag-only row: the bucket's delta lives in a
+                        # piece whose entries were all filtered out
+                        out_b.append(bucket)
+                        out_p.append("")
+                        out_sv.append(0)
+                        out_d.append(True)
                     for rel, sv in retained:
+                        out_b.append(bucket)
                         out_p.append(rel)
                         out_sv.append(sv)
                         out_d.append(has_delta)
                 yield pd.DataFrame(
-                    {"path": out_p, "sv": out_sv, "in_delta": out_d}
+                    {"bucket": out_b, "path": out_p, "sv": out_sv,
+                     "in_delta": out_d}
                 )
 
         rows = (
             self.spark.read.text(paths, wholetext=True)
-            .mapInPandas(plan, "path string, sv int, in_delta boolean")
+            .select(
+                F.input_file_name().alias("fname"), F.col("value")
+            )
+            .mapInPandas(
+                plan, "bucket int, path string, sv int, in_delta boolean"
+            )
             .collect()
         )
+        delta_buckets = {r["bucket"] for r in rows if r["in_delta"]}
         groups: dict[int, list[str]] = {}
         delta_bucket_paths: set[str] = set()
         for r in rows:
+            if not r["path"]:
+                continue
             path = os.path.join(self.root, r["path"])
             groups.setdefault(r["sv"], []).append(path)
-            if r["in_delta"]:
+            if r["bucket"] in delta_buckets:
                 delta_bucket_paths.add(path)
         return groups, delta_bucket_paths
 
@@ -869,8 +975,12 @@ class LakeTable:
         point_keys: list[str] | None = None,
         columns: list[str] | None = None,
         stats_bounds: dict[str, tuple] | None = None,
+        distributed: bool | None = None,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
+
+        ``distributed`` forces the planning site (see
+        :meth:`_select_files`); ``None`` auto-routes by manifest bytes.
 
         ``stats_bounds`` ({col: (lo, hi) inclusive; values in column
         units — datetimes for timestamps}) applies the predicate exactly
@@ -959,7 +1069,8 @@ class LakeTable:
                 for c, lo_hi in stats_bounds.items()
             }
         groups, delta_paths = self._select_files(
-            snap, buckets, min_order, point_keys, norm_bounds
+            snap, buckets, min_order, point_keys, norm_bounds,
+            distributed=distributed,
         )
         cur_fields = self.schema_fields(sch)
         if columns is not None:
@@ -1462,9 +1573,8 @@ class LakeTable:
             + branch_snapshot_roots(self)
         )
         for s in roots:
-            for name in s.manifests.values():
-                if name:
-                    live_manifests.add(name)
+            for chain in s.manifests.values():
+                live_manifests.update(chain)
             for entries in self.all_entries(s).values():
                 live.update(e["path"] for e in entries)
         removed = 0
@@ -1938,10 +2048,28 @@ class LakeTable:
             snap.schema_version,
             "delta",
         )
+        # Chain-append: each touched bucket gains ONE manifest holding only
+        # this commit's entries — metadata written is O(added files), never
+        # O(bucket files) (the quadratic manifest tail a long delta run
+        # would otherwise pay; Iceberg's append-manifest shape). When a
+        # chain reaches ``manifest.chain_max`` the commit merges it back to
+        # one manifest (Iceberg's commit.manifest.min-count-to-merge):
+        # amortized cost stays O(added · chain_max⁻¹ · bucket), and
+        # planning never opens more than chain_max files per bucket.
+        chain_max = int(
+            snap.props.get("manifest.chain_max", self.MANIFEST_CHAIN_MAX)
+        )
         for b, paths in by_bucket.items():
-            entries = list(self.bucket_entries(snap, b))
-            entries.extend(made[p] for p in paths)
-            new_manifests[str(b)] = self._write_manifest(version, b, entries)
+            new_entries = [made[p] for p in paths]
+            chain = snap.manifests.get(str(b)) or []
+            if len(chain) + 1 > chain_max:
+                merged = list(self.bucket_entries(snap, b)) + new_entries
+                new_manifests[str(b)] = [
+                    self._write_manifest(version, b, merged)
+                ]
+            else:
+                name = self._write_manifest(version, b, new_entries)
+                new_manifests[str(b)] = [*chain, name] if name else chain
             added[str(b)] = paths
         ours = {str(b) for b in by_bucket}
         base = snap
@@ -2182,7 +2310,8 @@ class LakeTable:
                             self._bloom_conf(snap))
                 for p in paths
             ]
-            new_manifests[str(b)] = self._write_manifest(version, b, entries)
+            name = self._write_manifest(version, b, entries)
+            new_manifests[str(b)] = [name] if name else []
             added[str(b)] = paths
         new = Snapshot(
             version=version,

@@ -81,7 +81,7 @@ def build_table(root: str, n_files: int, n_buckets: int = 64) -> LakeTable:
         name = f"b{b:05d}-v00000001-{uuid.uuid4().hex[:8]}.json"
         _atomic_write(os.path.join(root, MANIFEST_DIR, name),
                       json.dumps(entries))
-        manifests[str(b)] = name
+        manifests[str(b)] = [name]
     snap = Snapshot(
         version=1, schema_version=1,
         schemas={"1": [["url", "string"], ["lsn", "bigint"]]},

@@ -125,9 +125,7 @@ def test_files_without_stats_are_never_skipped(spark):
     snap = t.current()
     full = _n_files(t, snap)
     # strip stats from every manifest on disk, drop the cache
-    for name in set(snap.manifests.values()):
-        if not name:
-            continue
+    for name in {n for chain in snap.manifests.values() for n in chain}:
         p = os.path.join(t.root, MANIFEST_DIR, name)
         entries = json.load(open(p))
         for e in entries:
