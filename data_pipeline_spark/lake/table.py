@@ -218,6 +218,12 @@ class Snapshot:
     # owns sub-buckets {x in [0, n_buckets·2^d) : x ≡ b (mod n_buckets)},
     # each its own manifest. Keys route via pmod(hash, n_buckets·2^depth).
     depths: dict[str, int] = field(default_factory=dict)
+    # Wall-clock publish time (epoch seconds), stamped by _write_snapshot
+    # the moment the snapshot becomes visible — the basis for
+    # AS OF TIMESTAMP time travel (snapshot_as_of). Staged (WAP) commits
+    # are stamped at PUBLISH, not at stage: readers could never have
+    # seen them earlier. 0.0 on legacy/pre-stamp snapshots.
+    committed_at: float = 0.0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -339,6 +345,9 @@ class LakeTable:
                     f"expected parent v{expect_parent}, _CURRENT is {cur_name}"
                 )
         name = f"v{snap.version:08d}.json"
+        # unconditional: spread-constructed snapshots (rollback, props,
+        # rewrite_manifests) inherit the parent's stamp and must not keep it
+        snap.committed_at = time.time()
         final = os.path.join(self.root, SNAPSHOT_DIR, name)
         tmp = f"{final}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -1643,6 +1652,29 @@ class LakeTable:
             ddl += ", etag string"
         return self.spark.createDataFrame(rows, T.StructType.fromDDL(ddl))
 
+    def snapshot_as_of(self, ts: float) -> Snapshot:
+        """Time travel by wall clock (``AS OF TIMESTAMP`` / Iceberg
+        ``snapshot_for_timestamp``): the snapshot that was current at
+        epoch-seconds ``ts`` — the latest surviving snapshot whose
+        publish stamp is ≤ ``ts``. Raises if ``ts`` predates the oldest
+        surviving snapshot (expired history cannot be resurrected)."""
+        best: Snapshot | None = None
+        for s in self.snapshot_log():
+            if s.committed_at <= ts and (
+                best is None or s.version > best.version
+            ):
+                best = s
+        if best is None:
+            raise ValueError(
+                f"no surviving snapshot at or before ts={ts} (history "
+                "may have been expired)"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """``SELECT ... FOR TIMESTAMP AS OF`` read."""
+        return self.read(snap=self.snapshot_as_of(ts))
+
     def history(self) -> DataFrame:
         """Snapshot-history metadata table (Iceberg ``table$history`` /
         ``$snapshots`` analog): one row per surviving snapshot — version,
@@ -1658,6 +1690,7 @@ class LakeTable:
                 "touched_buckets": len(s.summary.get("touched", []) or []),
                 "n_commits": len(s.commits),
                 "is_current": s.version == cur,
+                "committed_at": float(s.committed_at),
             }
             for s in self.snapshot_log()
         ]
@@ -1665,7 +1698,8 @@ class LakeTable:
             rows,
             T.StructType.fromDDL(
                 "version int, op string, schema_version int, "
-                "touched_buckets int, n_commits int, is_current boolean"
+                "touched_buckets int, n_commits int, is_current boolean, "
+                "committed_at double"
             ),
         )
 
