@@ -270,6 +270,52 @@ def cdc_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_snapshot_handoff",
+    _final_state_duck(),
+    doc="Bootstrap → tail handoff: a consistent snapshot taken at WAL "
+    "position L loads as one commit (per-key lsn lineage kept), then an "
+    "at-least-once tail resumes from an EARLIER checkpoint (10% overlap) "
+    "— LWW absorbs the redelivery, and the final state is byte-identical "
+    "to a full replay (Debezium initial-snapshot / Flink-CDC hybrid "
+    "source; reference: bulk convert then watch loop, "
+    "ingest_v1_s1_rtc.py:323-420 + watch_cdse_and_process.py:241-277)",
+)
+def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.bootstrap import bootstrap_snapshot, tail_wal
+    from data_pipeline_spark.operators.lww import last_writer_wins
+    from data_pipeline_spark.pipeline import ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).first()[0]
+    split = hi // 2
+    # The consistent snapshot at L: LWW state of the feed prefix, with
+    # extraction applied (the form an existing source table is in).
+    latest = last_writer_wins(log.filter(F.col("lsn") <= split), "url", "lsn")
+    snapshot = (
+        latest.filter(F.col("op") != "delete")
+        .withColumn("text", extract_text("html"))
+        .select("url", "lsn", "warc_ts", "html", "text", "lang")
+    )
+    root = tempfile.mkdtemp(prefix="lake_boot_")
+    table = ensure_table(spark, os.path.join(root, "table"), n_buckets=16)
+    bootstrap_snapshot(table, snapshot, split)
+    # Resume from a checkpoint 10% BEFORE the watermark: the overlap is
+    # redelivered and must no-op via the per-key lsn race.
+    tail_wal(table, log, from_lsn=int(split * 0.9), n_batches=3)
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_partial_update",
     f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
         patch AS (
