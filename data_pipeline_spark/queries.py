@@ -270,6 +270,57 @@ def cdc_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_runtime_filter_join",
+    f"""
+    WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+        FROM changelog) WHERE rn = 1),
+    state AS (SELECT url, lsn, lang FROM latest WHERE op <> 'delete'),
+    dim AS (
+      SELECT DISTINCT url, CAST(length(url) % 5 AS BIGINT) AS prio
+      FROM changelog WHERE url LIKE 'https://site-7.%')
+    SELECT s.url, s.lsn, s.lang, d.prio
+    FROM state s JOIN dim d ON s.url = d.url
+    """,
+    doc="Runtime-filter join: the dim side's distinct keys prune the lake "
+    "scan (bucket routing + manifest key-blooms) BEFORE the join — "
+    "Iceberg runtime filtering / DPP economics: a selective dim join "
+    "opens O(matching files), not O(table) "
+    "(operators/runtime_filter.py; reference: bounded id-list catalog "
+    "fetches, query_stac.py:152-182)",
+)
+def cdc_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.runtime_filter import (
+        runtime_filtered_join,
+    )
+    from data_pipeline_spark.pipeline import materialize_wal, replay_log
+
+    root = tempfile.mkdtemp(prefix="lake_rf_")
+    par = spark.sparkContext.defaultParallelism
+    log = materialize_wal(
+        spark, sf_dir, os.path.join(root, "wal"), partitions=2 * par
+    )
+    table = replay_log(
+        spark, log, os.path.join(root, "table"), n_batches=3, n_buckets=16,
+        record_metrics=False,
+    )
+    dim = (
+        log.filter(F.col("url").startswith("https://site-7."))
+        .select("url")
+        .distinct()
+        .withColumn("prio", (F.length("url") % 5).cast("bigint"))
+    )
+    j = runtime_filtered_join(table, dim, on="url")
+    return j.select("url", "lsn", "lang", "prio")
+
+
+@register(
     "cdc_snapshot_handoff",
     _final_state_duck(),
     doc="Bootstrap → tail handoff: a consistent snapshot taken at WAL "
