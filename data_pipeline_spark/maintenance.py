@@ -640,3 +640,179 @@ def forget(
                 f"still carry data for forgotten keys"
             )
     return report
+
+
+# -- policy-driven maintenance scheduler --------------------------------------
+
+
+@dataclass
+class MaintenancePolicy:
+    """Thresholds a maintenance round decides from — all evaluated on
+    manifest metadata only (``partitions()`` stats + snapshot fields),
+    never a data scan. Defaults match a live CDC table between
+    compactions; ``None`` disables that action entirely.
+
+    The policy is the Iceberg/Delta "table service" configuration shape:
+    the table's writers stay thin (O(batch) delta commits) and a single
+    scheduled round re-establishes read-side invariants — bounded file
+    counts, bounded manifest chains, bounded bucket sizes, bounded
+    snapshot history — touching only what drifted past a threshold.
+    Reference analog: the nightly cleanup/aggregate crons
+    (scripts/cleanup_expired_items.py:67-127,
+    scripts/aggregate_items.py:121-199) collapsed into one planned,
+    idempotent, bounded round.
+    """
+
+    # Compact a bucket when its delta share of bytes exceeds this …
+    max_delta_ratio: float | None = 0.2
+    # … or its file count exceeds this (whichever trips first).
+    max_files_per_bucket: int | None = 8
+    # Bound one round to the worst N buckets (None = all that qualify).
+    max_compact_buckets: int | None = 16
+    # Split any base bucket whose live bytes exceed this (None = never).
+    max_bucket_bytes: int | None = None
+    max_splits: int | None = 4
+    # Merge manifest chains longer than this (None = leave to chain_max).
+    max_chain_len: int | None = None
+    # Keep at most N snapshots (None = never expire).
+    keep_snapshots: int | None = None
+    # Reclaim unreferenced files older than this (None = never vacuum).
+    vacuum_min_age_s: float | None = None
+
+
+def plan_maintenance(
+    table: LakeTable, policy: MaintenancePolicy | None = None
+) -> dict:
+    """Dry-run: what one maintenance round WOULD do, as a plain dict
+    (the ops/observability surface; ``run_maintenance`` executes exactly
+    this plan). Metadata-only — safe to call on any cadence."""
+    policy = policy or MaintenancePolicy()
+    snap = table.current()
+
+    compact_buckets: list[int] = []
+    split_buckets: list[int] = []
+    base_bytes: dict[int, int] = {}
+    for r in table.partitions(snap).collect():
+        trip = (
+            policy.max_delta_ratio is not None
+            and r["delta_ratio"] > policy.max_delta_ratio
+        ) or (
+            policy.max_files_per_bucket is not None
+            and r["n_files"] > policy.max_files_per_bucket
+        )
+        if trip:
+            compact_buckets.append((r["n_files"], r["bucket"]))
+        base = r["bucket"] % snap.n_buckets
+        base_bytes[base] = base_bytes.get(base, 0) + r["bytes"]
+    compact_buckets.sort(reverse=True)
+    if policy.max_compact_buckets is not None:
+        compact_buckets = compact_buckets[: policy.max_compact_buckets]
+    if policy.max_bucket_bytes is not None:
+        split_buckets = sorted(
+            (b for b, n in base_bytes.items() if n > policy.max_bucket_bytes),
+            key=lambda b: -base_bytes[b],
+        )
+        if policy.max_splits is not None:
+            split_buckets = split_buckets[: policy.max_splits]
+
+    long_chains = (
+        sorted(
+            int(b)
+            for b, chain in snap.manifests.items()
+            if policy.max_chain_len is not None
+            and len(chain) > policy.max_chain_len
+        )
+        if policy.max_chain_len is not None
+        else []
+    )
+    n_snapshots = len(table.snapshot_log())
+    expire = (
+        policy.keep_snapshots is not None
+        and n_snapshots > policy.keep_snapshots
+    )
+    mode = snap.props.get("merge.mode", "lww")
+    return {
+        "mode": mode,
+        "split_buckets": split_buckets,
+        "compact_buckets": sorted(b for _, b in compact_buckets),
+        "compact_kind": "compact" if mode == "lww" else "compact_append",
+        "rewrite_manifest_buckets": long_chains,
+        "expire_snapshots": policy.keep_snapshots if expire else None,
+        "vacuum": policy.vacuum_min_age_s is not None,
+    }
+
+
+def run_maintenance(
+    table: LakeTable,
+    commit_key: str,
+    policy: MaintenancePolicy | None = None,
+) -> dict:
+    """Execute one bounded maintenance round: split → compact →
+    rewrite_manifests → expire_snapshots → vacuum, each step planned
+    from the thresholds in ``policy`` and committed through the normal
+    idempotent snapshot protocol (a crashed round re-runs with the same
+    ``commit_key`` and resumes where it stopped; sub-keys are derived
+    per action). Splits run FIRST so the round's compaction folds the
+    freshly split sub-buckets; manifest rewrite runs after compaction
+    because compaction already resets the chains it touches.
+
+    Mode-aware: LWW tables compact through the whole-row rewrite; append
+    merge-mode tables (patch/aggregate/first-row/event) route to the
+    FILES-ONLY ``compact_append`` — the scheduler never folds events,
+    because a sound fold horizon is a watermark contract the caller
+    owns, not a threshold (pass one explicitly via
+    :func:`compact_append` when you hold it).
+
+    Returns the executed plan plus per-step outcomes.
+    """
+    policy = policy or MaintenancePolicy()
+    plan = plan_maintenance(table, policy)
+    report = dict(plan)
+
+    if plan["split_buckets"]:
+        report["split_done"] = auto_split(
+            table,
+            f"{commit_key}/split",
+            max_bucket_bytes=policy.max_bucket_bytes,
+            max_splits=policy.max_splits,
+        )
+
+    if plan["compact_buckets"]:
+        # Re-plan bucket ids if splits changed the layout this round.
+        buckets = set(
+            plan_maintenance(table, policy)["compact_buckets"]
+            if plan["split_buckets"]
+            else plan["compact_buckets"]
+        )
+        if plan["compact_kind"] == "compact":
+            out = table.compact(
+                f"{commit_key}/compact",
+                buckets=buckets,
+                min_files=1,
+                max_buckets=policy.max_compact_buckets,
+            )
+        else:
+            out = compact_append(
+                table,
+                f"{commit_key}/compact",
+                buckets=buckets,
+                min_files=1,
+                max_buckets=policy.max_compact_buckets,
+            )
+        report["compact_done"] = out is not None
+
+    if policy.max_chain_len is not None:
+        out = table.rewrite_manifests(
+            f"{commit_key}/manifests", max_chain=policy.max_chain_len
+        )
+        report["rewrite_done"] = out is not None
+
+    if plan["expire_snapshots"] is not None:
+        report["expired_versions"] = table.expire_snapshots(
+            keep_last=policy.keep_snapshots
+        )
+    if plan["vacuum"]:
+        report["vacuumed_files"] = table.vacuum(
+            min_age_s=policy.vacuum_min_age_s
+        )
+    return report
