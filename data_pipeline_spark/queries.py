@@ -3311,6 +3311,54 @@ sql_pair(
     doc="MinHash(16) + LSH(4 bands) near-dup pairs, exact-Jaccard verified",
 )
 
+@register(
+    "docs_incremental_dedup",
+    _dd.minhash_near_dup_sql(
+        _dd.DUCK, n_hashes=32, n_bands=8, fast=False, min_ppm=500_000
+    ),
+    doc="INCREMENTAL near-dup: documents ingested in three sequential "
+    "batches against a persisted lake-table signature store "
+    "(operators/incremental_dedup.py) — each batch re-shingles only "
+    "itself plus its candidate sliver, band-joins the narrow store, and "
+    "appends its signatures through the idempotent commit path. The "
+    "union of per-batch decisions must equal the one-shot batch sweep "
+    "(same md5-mode DuckDB oracle as docs_minhash_near_dup_fast: exact-"
+    "Jaccard thresholding makes decisions hash-family-independent)",
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.incremental_dedup import (
+        SignatureStore,
+    )
+
+    _views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [(-1, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi)]
+    store = SignatureStore(spark, tempfile.mkdtemp(prefix="sigstore_"))
+    outs = []
+    for i, (lo, up) in enumerate(cuts):
+        batch = docs.filter(
+            (F.col("doc_id") > lo) & (F.col("doc_id") <= up)
+        )
+        outs.append(
+            store.process_batch(batch, docs, commit_key=f"batch-{i}")
+            .select(
+                F.col("doc_a").cast("bigint").alias("doc_a"),
+                F.col("doc_b").cast("bigint").alias("doc_b"),
+                "inter", "n_a", "n_b", "jacc_ppm",
+            )
+            # Materialize NOW: each batch's decisions are made against
+            # the store state at ITS OWN commit time (lazy evaluation
+            # would see later batches' signatures).
+            .localCheckpoint(eager=True)
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 _KEEP_LIST = """
     WITH pairs AS ({pairs_sql}),
     dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
