@@ -2948,6 +2948,65 @@ sql_pair(
 )
 
 
+# BM25 ranked retrieval, integer-exact. Everything that feeds the score is
+# a bigint (tf, df, doc length, corpus length-sum), the idf is the RATIONAL
+# Robertson form without the log — (2N-2df+1)/(2df+1), rank-equivalent per
+# term since log is monotone — and k1=1.2, b=0.75 are folded into one
+# exact fraction per (doc, term):
+#   44·f·Σlen·(2N-2df+1)  /  (2df+1)·(20·f·Σlen + 6·Σlen + 18·len·N)
+# Each term's ppm score is floor(1e6·num/den): num and den are exact
+# bigints, IEEE division is correctly rounded, floor is exact — so both
+# engines produce the identical bigint, per-doc sums of bigints match,
+# and the fully tie-broken top-k is deterministic (the docs_pmi_pairs
+# no-libm discipline applied to retrieval).
+def _bm25_sql(dialect: str) -> str:
+    tok = (
+        "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+        if dialect == "spark"
+        else "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents"
+    )
+    return f"""
+        WITH tok AS ({tok}),
+        dl AS (SELECT doc_id, count(*) AS len FROM tok WHERE w <> ''
+               GROUP BY doc_id),
+        g AS (SELECT count(*) AS n_docs, sum(len) AS sumlen FROM dl),
+        tf AS (
+          SELECT doc_id, w, count(*) AS f FROM tok
+          WHERE w IN ('merge', 'join', 'window') GROUP BY doc_id, w),
+        dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        term AS (
+          SELECT tf.doc_id,
+            CAST(floor(
+              (1e6 * CAST(44 * tf.f * g.sumlen
+                          * (2*g.n_docs - 2*dfs.df + 1) AS DOUBLE))
+              / CAST((2*dfs.df + 1)
+                     * (20*tf.f*g.sumlen + 6*g.sumlen
+                        + 18*dl.len*g.n_docs) AS DOUBLE)
+            ) AS BIGINT) AS s_ppm
+          FROM tf JOIN dfs ON tf.w = dfs.w
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN g)
+        SELECT doc_id, CAST(sum(s_ppm) AS BIGINT) AS bm25_ppm
+        FROM term GROUP BY doc_id
+        ORDER BY bm25_ppm DESC, doc_id LIMIT 20
+    """
+
+
+sql_pair(
+    "docs_bm25_topk",
+    spark_sql=_bm25_sql("spark"),
+    duck_sql=_bm25_sql("duck"),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="BM25 top-20 retrieval for a 3-term query, integer-exact "
+    "(rational idf, floor-ppm term scores — no libm): token explode -> "
+    "narrow tf/df/len aggregates -> per-term exact fraction; the "
+    "single-row corpus stats broadcast, the per-doc plan never "
+    "shuffles text",
+)
+
+
 _TOKEN_STATS_DUCK = r"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
