@@ -746,6 +746,7 @@ def run_maintenance(
     table: LakeTable,
     commit_key: str,
     policy: MaintenancePolicy | None = None,
+    retry_conflicts: int = 3,
 ) -> dict:
     """Execute one bounded maintenance round: split → compact →
     rewrite_manifests → expire_snapshots → vacuum, each step planned
@@ -765,45 +766,75 @@ def run_maintenance(
 
     Returns the executed plan plus per-step outcomes.
     """
+    from data_pipeline_spark.lake.table import ConcurrentCommitError
+
     policy = policy or MaintenancePolicy()
     plan = plan_maintenance(table, policy)
     report = dict(plan)
+    report["conflicts"] = 0
+    report["skipped"] = []
+
+    def attempt(name, fn):
+        # A maintenance action racing a live writer loses the snapshot
+        # CAS; each retry re-reads the head and re-derives its work from
+        # the CURRENT state (compact/split/rewrite all re-plan inside),
+        # so retrying with the SAME commit key is exact: either the key
+        # is already recorded (crash after commit -> no-op) or the
+        # action re-applies cleanly on the moved head. Exhausted retries
+        # are REPORTED, not raised - table services are best-effort by
+        # design and the next round's plan re-derives the backlog
+        # (Iceberg commit-retry shape).
+        for _ in range(max(1, retry_conflicts)):
+            try:
+                return fn()
+            except ConcurrentCommitError:
+                report["conflicts"] += 1
+        report["skipped"].append(name)
+        return None
 
     if plan["split_buckets"]:
-        report["split_done"] = auto_split(
-            table,
-            f"{commit_key}/split",
-            max_bucket_bytes=policy.max_bucket_bytes,
-            max_splits=policy.max_splits,
+        report["split_done"] = attempt(
+            "split",
+            lambda: auto_split(
+                table,
+                f"{commit_key}/split",
+                max_bucket_bytes=policy.max_bucket_bytes,
+                max_splits=policy.max_splits,
+            ),
         )
 
     if plan["compact_buckets"]:
-        # Re-plan bucket ids if splits changed the layout this round.
-        buckets = set(
-            plan_maintenance(table, policy)["compact_buckets"]
-            if plan["split_buckets"]
-            else plan["compact_buckets"]
-        )
-        if plan["compact_kind"] == "compact":
-            out = table.compact(
-                f"{commit_key}/compact",
-                buckets=buckets,
-                min_files=1,
-                max_buckets=policy.max_compact_buckets,
-            )
-        else:
-            out = compact_append(
+        def _compact():
+            # Re-plan bucket ids from the CURRENT head: splits this round
+            # (or an interleaved writer) may have changed the layout.
+            buckets = set(plan_maintenance(table, policy)["compact_buckets"])
+            if not buckets:
+                return None
+            kind = table.compact if plan["compact_kind"] == "compact" else None
+            if kind is not None:
+                return table.compact(
+                    f"{commit_key}/compact",
+                    buckets=buckets,
+                    min_files=1,
+                    max_buckets=policy.max_compact_buckets,
+                )
+            return compact_append(
                 table,
                 f"{commit_key}/compact",
                 buckets=buckets,
                 min_files=1,
                 max_buckets=policy.max_compact_buckets,
             )
+
+        out = attempt("compact", _compact)
         report["compact_done"] = out is not None
 
     if policy.max_chain_len is not None:
-        out = table.rewrite_manifests(
-            f"{commit_key}/manifests", max_chain=policy.max_chain_len
+        out = attempt(
+            "rewrite_manifests",
+            lambda: table.rewrite_manifests(
+                f"{commit_key}/manifests", max_chain=policy.max_chain_len
+            ),
         )
         report["rewrite_done"] = out is not None
 

@@ -126,3 +126,66 @@ def test_chain_rewrite_and_history_bounds(spark):
     assert all(len(ch) <= 2 for ch in t.current().manifests.values())
     assert len(t.snapshot_log()) == 1
     assert sorted(t.read(raw=True).collect()) == before
+
+
+def test_conflict_with_live_writer_retries_and_lands(spark):
+    """A maintenance compaction losing the snapshot CAS to a live writer
+    must retry from the new head (same commit key) and fold the
+    interleaved rows too — table services run ALONGSIDE writers."""
+    t = _fill(spark, _mk(spark))
+    root = t.root
+    other = LakeTable(spark, root)
+    orig = t._write_snapshot
+    state = {"fired": False}
+
+    def hooked(snap, expect_parent):
+        if not state["fired"] and snap.summary.get("op") == "compact":
+            state["fired"] = True
+            merge_into(
+                other,
+                _batch(spark, [("u0", 999, TS, "vRACE", "upsert")]),
+                "race",
+            )
+        return orig(snap, expect_parent)
+
+    t._write_snapshot = hooked
+    try:
+        pol = MaintenancePolicy(max_delta_ratio=0.0, max_files_per_bucket=1)
+        rep = run_maintenance(t, "round-1", pol)
+    finally:
+        t._write_snapshot = orig
+    assert state["fired"], "the race must actually have fired"
+    assert rep["conflicts"] == 1 and rep["compact_done"]
+    assert rep["skipped"] == []
+    # The retried compaction saw the racer's row; the table reads it.
+    row = {r["url"]: r["v"] for r in t.read().collect()}
+    assert row["u0"] == "vRACE"
+
+
+def test_exhausted_conflicts_reported_not_raised(spark):
+    t = _fill(spark, _mk(spark))
+    other = LakeTable(spark, t.root)
+    orig = t._write_snapshot
+    state = {"n": 0}
+
+    def hooked(snap, expect_parent):
+        if snap.summary.get("op") == "compact":
+            state["n"] += 1
+            merge_into(
+                other,
+                _batch(spark, [("u0", 1000 + state["n"], TS, "x", "upsert")]),
+                f"race-{state['n']}",
+            )
+        return orig(snap, expect_parent)
+
+    t._write_snapshot = hooked
+    try:
+        pol = MaintenancePolicy(max_delta_ratio=0.0, max_files_per_bucket=1)
+        rep = run_maintenance(t, "round-1", pol, retry_conflicts=2)
+    finally:
+        t._write_snapshot = orig
+    assert rep["conflicts"] == 2 and rep["skipped"] == ["compact"]
+    assert rep["compact_done"] is False
+    # The table itself is untouched by the failed service round: every
+    # racer commit landed, nothing lost.
+    assert t.read().filter(F.col("url") == "u0").first()["lsn"] == 1002
