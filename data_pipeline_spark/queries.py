@@ -1175,6 +1175,57 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_search_duck(terms: list[str]) -> str:
+    from data_pipeline_spark.operators.text_index import doc_tokens_duckdb
+
+    toks = doc_tokens_duckdb(extract_text_duckdb("html"))
+    cond = " AND ".join(f"list_contains({toks}, '{t}')" for t in sorted(terms))
+    return f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete')
+        SELECT url, lsn, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM live WHERE {cond}
+    """
+
+
+@register(
+    "cdc_token_search",
+    _token_search_duck(["signup", "lorem"]),
+    doc="Inverted text index: replay, fold the table's retract-stream "
+    "changelog into a (token, url) postings lake table (operators/"
+    "text_index.py TextIndex — asserts fenced above retractions at equal "
+    "epoch so token-stable updates keep postings live), cluster postings "
+    "by token, then answer the conjunctive search 'signup AND lorem' with one "
+    "stats-pruned postings read per term + one hash aggregate — the "
+    "oracle recomputes membership by scanning every live document's "
+    "token set (pgSTAC free-text q= filter analog, "
+    "query_stac.py:152-202)",
+)
+def cdc_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.text_index import TextIndex
+    from data_pipeline_spark.pipeline import ensure_table, replay
+
+    root = tempfile.mkdtemp(prefix="lake_tix_")
+    table = replay(
+        spark, sf_dir, root, n_batches=3, n_buckets=16, record_metrics=False,
+    )
+    idx = TextIndex(
+        spark, table, tempfile.mkdtemp(prefix="lake_tixi_"), "text", 16
+    )
+    idx.refresh()
+    idx.optimize("opt-1")
+    return idx.search(["signup", "lorem"], max_point_keys=4096).select(
+        "url", "lsn", "lang", F.sha2("text", 256).alias("text_sha")
+    )
+
+
 @register(
     "cdc_read_since",
     f"""
