@@ -1006,6 +1006,106 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incr_join_view",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        fact AS (
+          SELECT url, lsn AS src_lsn, lang,
+                 regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                 {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+          FROM live),
+        dim AS (
+          SELECT concat('site-', k, '.example.com') AS domain,
+                 CAST(CASE WHEN k % 4 = 1 THEN 10 + k % 3
+                           ELSE k % 3 END AS BIGINT) AS tier,
+                 concat('org-', k % 7) AS owner
+          FROM range(0, 31) t(k) WHERE k % 13 <> 5)
+        SELECT f.url, f.src_lsn, f.lang, f.domain, d.tier, d.owner, f.text_sha
+        FROM fact f JOIN dim d ON f.domain = d.domain
+    """,
+    doc="Incrementally-maintained JOIN view (matview_join.JoinView): "
+    "enrich the url-keyed fact table with a domain dimension, refreshed "
+    "by delta-scoped recompute — epoch 1 joins half the replay against "
+    "dim v1, epoch 2 folds the remaining fact churn PLUS dim churn "
+    "(tier updates on k%4==1, dim-key deletes on k%13==5 dropping their "
+    "urls from the inner view) — and the folded view must equal the "
+    "oracle's from-scratch join of both final states "
+    "(register-time per-collection enrichment kept consistent, "
+    "register_v1.py:130-155)",
+)
+def cdc_incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.merge import merge_into
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.matview_join import JoinView
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    b = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    fact = ensure_table(spark, tempfile.mkdtemp(prefix="lake_jvf_"), 16)
+    dim = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="lake_jvd_"),
+        [("domain", "string"), ("lsn", "bigint"), ("tier", "bigint"),
+         ("owner", "string")],
+        key="domain",
+        n_buckets=4,
+    )
+    merge_into(dim, spark.range(31).selectExpr(
+        "concat('site-', id, '.example.com') AS domain",
+        "CAST(1 AS BIGINT) AS lsn",
+        "CAST(id % 3 AS BIGINT) AS tier",
+        "concat('org-', id % 7) AS owner",
+        "'insert' AS op",
+    ), "dim-v1")
+    apply_batch(fact, log.filter(F.col("lsn") <= cut), "jv-f1",
+                record_metrics=False)
+    domain_expr = "regexp_extract(url, 'https://([^/]+)/', 1)"
+    view = JoinView(
+        spark, fact, dim, tempfile.mkdtemp(prefix="lake_jvv_"),
+        join_expr=domain_expr,
+        fact_cols=[
+            ("src_lsn", "bigint", "lsn"),
+            ("lang", "string", "lang"),
+            ("domain", "string", domain_expr),
+            ("text_sha", "string", "sha2(text, 256)"),
+        ],
+        dim_cols=["tier", "owner"],
+        how="inner",
+        n_buckets=16,
+        join_expr_cols=["url"],
+    )
+    view.refresh()
+    # dim churn: tier bump on k%4==1, dim-key delete on k%13==5
+    upd = spark.range(31).filter("id % 4 = 1").selectExpr(
+        "concat('site-', id, '.example.com') AS domain",
+        "CAST(2 AS BIGINT) AS lsn",
+        "CAST(10 + id % 3 AS BIGINT) AS tier",
+        "concat('org-', id % 7) AS owner",
+        "'update' AS op",
+    )
+    dele = spark.range(31).filter("id % 13 = 5").selectExpr(
+        "concat('site-', id, '.example.com') AS domain",
+        "CAST(3 AS BIGINT) AS lsn",
+        "'delete' AS op",
+    )
+    merge_into(dim, upd.unionByName(dele, allowMissingColumns=True), "dim-v2")
+    apply_batch(fact, log.filter(F.col("lsn") > cut), "jv-f2",
+                record_metrics=False)
+    view.refresh()
+    return view.read().select(
+        "url", "src_lsn", "lang", "domain", "tier", "owner", "text_sha"
+    )
+
+
+@register(
     "cdc_drop_column",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
