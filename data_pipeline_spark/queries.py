@@ -1006,6 +1006,47 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_row_lineage",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        fenced AS (
+          SELECT url, lsn, warc_ts,
+                 max(CASE WHEN op = 'delete' THEN lsn END)
+                   OVER (PARTITION BY url) AS fence,
+                 count(CASE WHEN op = 'delete' THEN 1 END)
+                   OVER (PARTITION BY url) AS dels
+          FROM changelog),
+        span AS (SELECT * FROM fenced WHERE lsn > coalesce(fence, -1))
+        SELECT url,
+               CAST(min(lsn) AS BIGINT) AS row_id,
+               CAST(max(lsn) AS BIGINT) AS last_lsn,
+               CAST(count(*) AS BIGINT) AS n_versions,
+               CAST(max(dels) AS BIGINT) AS n_prior_deletes,
+               {TS_DUCK.format(c='min_by(warc_ts, lsn)')} AS created_ts_s
+        FROM span GROUP BY url
+    """,
+    doc="Row lineage (Iceberg v3 _row_id analog): per live key, the "
+    "span-opening lsn since the last delete is the row's stable identity; "
+    "one exchange (window fence + hash aggregate reusing its "
+    "partitioning), no UDFs (operators/lineage.py; item ids stable while "
+    "assets churn, register_v1.py:130-155)",
+)
+def cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.lineage import row_lineage
+
+    feed = cl.changelog(spark, sf_dir)
+    out = row_lineage(feed)
+    return out.select(
+        "url", "row_id", "last_lsn", "n_versions", "n_prior_deletes",
+        F.date_format("created_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "created_ts_s"
+        ),
+    )
+
+
+@register(
     "cdc_incr_join_view",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
