@@ -4854,3 +4854,69 @@ def entry_df(spark: SparkSession) -> DataFrame:
     return table.read().select(
         "url", "lsn", "warc_ts", "lang", F.sha2("text", 256).alias("text_sha")
     )
+
+
+def _dsir_sql(dialect: str) -> str:
+    """DSIR-flavored importance ranking (Xie et al. 2022, arXiv:2302.03169)
+    made integer-exact: hashed unigram+bigram features (portable md5
+    bucket, B=256), Laplace-smoothed target/raw frequency ratio in ppm,
+    per-doc mean feature ratio as the importance score. No libm, no
+    floats — both engines rank identically. Target = lang='en' docs; raw
+    = whole corpus; high scores = docs whose hashed-ngram profile
+    resembles the target distribution."""
+    if dialect == "spark":
+        split = "split(text, ' ')"
+        uni = "SELECT doc_id, lang, explode(l) AS g FROM toks"
+        bi = (
+            "SELECT doc_id, lang, explode(CASE WHEN size(l) < 2 THEN "
+            "array() ELSE zip_with(slice(l, 1, size(l) - 1), "
+            "slice(l, 2, size(l) - 1), (a, b) -> concat(a, ' ', b)) END) "
+            "AS g FROM toks"
+        )
+        bucket = "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % 256"
+        intdiv = "DIV"
+    else:
+        split = "string_split(text, ' ')"
+        uni = "SELECT doc_id, lang, unnest(l) AS g FROM toks"
+        bi = (
+            "SELECT doc_id, lang, unnest(list_transform(range(1, len(l)), "
+            "i -> l[i] || ' ' || l[i + 1])) AS g FROM toks"
+        )
+        bucket = "CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 256"
+        intdiv = "//"
+    return f"""
+        WITH toks AS (SELECT doc_id, lang, {split} AS l FROM documents),
+        uni AS ({uni}),
+        bi AS ({bi}),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        feats AS (SELECT doc_id, lang, {bucket} AS b FROM grams),
+        q AS (SELECT b, count(*) AS qb FROM feats GROUP BY b),
+        t AS (SELECT b, count(*) AS tb FROM feats WHERE lang = 'en' GROUP BY b),
+        r AS (SELECT q.b,
+                     CAST((coalesce(t.tb, 0) + 1) * 1000000 AS BIGINT)
+                       {intdiv} CAST(q.qb + 1 AS BIGINT) AS ppm
+              FROM q LEFT JOIN t ON q.b = t.b),
+        scored AS (
+          SELECT f.doc_id,
+                 CAST(sum(r.ppm) {intdiv} count(*) AS BIGINT) AS score_ppm,
+                 CAST(count(*) AS BIGINT) AS n_grams
+          FROM feats f JOIN r ON f.b = r.b GROUP BY f.doc_id)
+        SELECT s.doc_id, d.lang, s.score_ppm, s.n_grams
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        ORDER BY s.score_ppm DESC, s.doc_id LIMIT 100
+    """
+
+
+sql_pair(
+    "docs_dsir_importance",
+    spark_sql=_dsir_sql("spark"),
+    duck_sql=_dsir_sql("duck"),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="DSIR-style importance ranking (hashed n-gram importance "
+    "resampling, arXiv:2302.03169) integer-exact: unigram+bigram "
+    "features hashed into 256 portable-md5 buckets, Laplace-smoothed "
+    "target(en)/raw ratio in ppm, per-doc mean ratio ranks the corpus "
+    "for target-resembling selection; the 256-row ratio table "
+    "broadcasts, docs shuffle once on doc_id",
+)
