@@ -4920,3 +4920,57 @@ sql_pair(
     "for target-resembling selection; the 256-row ratio table "
     "broadcasts, docs shuffle once on doc_id",
 )
+
+
+def _recrawl_sql(dialect: str) -> str:
+    """Crawl-frontier recrawl priority: expected-changes-since-last-crawl
+    = staleness / mean inter-change interval, per live url, integer-exact
+    in ppm. The per-url history folds in ONE hash aggregate; the global
+    corpus watermark is a single-row aggregate broadcast back."""
+    epoch = (
+        "unix_micros(CAST({c} AS TIMESTAMP))"  # NTZ->TS exact under the pinned-UTC session
+        if dialect == "spark" else "epoch_us({c})"
+    )
+    intdiv = "DIV" if dialect == "spark" else "//"
+    e_last = epoch.format(c="last_ts")
+    e_first = epoch.format(c="first_ts")
+    e_wm = epoch.format(c="wm")
+    return f"""
+        WITH hist AS (
+          SELECT url,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 min(warc_ts) AS first_ts,
+                 max(warc_ts) AS last_ts,
+                 max_by(op, lsn) AS last_op
+          FROM changelog GROUP BY url),
+        wm AS (SELECT max(warc_ts) AS wm FROM changelog),
+        live AS (SELECT * FROM hist WHERE last_op <> 'delete'),
+        scored AS (
+          SELECT url, n_events,
+                 CASE WHEN n_events >= 2 THEN
+                   CAST(({e_last} - {e_first}) AS BIGINT)
+                     {intdiv} (n_events - 1)
+                 END AS gap_us,
+                 CAST(({e_wm} - {e_last}) AS BIGINT) AS stale_us
+          FROM live CROSS JOIN wm)
+        SELECT url, n_events, gap_us, stale_us,
+               CASE WHEN gap_us > 0
+                    THEN stale_us * 1000000 {intdiv} gap_us
+                    ELSE CAST(0 AS BIGINT) END AS priority_ppm
+        FROM scored
+        ORDER BY priority_ppm DESC, url LIMIT 200
+    """
+
+
+sql_pair(
+    "cdc_recrawl_priority",
+    spark_sql=_recrawl_sql("spark"),
+    duck_sql=_recrawl_sql("duck"),
+    doc="Recrawl scheduling: per live url, expected changes since last "
+    "observation (staleness over mean inter-change interval, ppm "
+    "integer-exact) ranks the crawl frontier — the adaptive-revisit "
+    "policy of incremental crawlers (Cho & Garcia-Molina), one hash "
+    "aggregate + a broadcast single-row watermark "
+    "(watch_cdse_and_process.py:95-117 polls on exactly this freshness "
+    "signal)",
+)
