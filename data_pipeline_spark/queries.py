@@ -4974,3 +4974,47 @@ sql_pair(
     "(watch_cdse_and_process.py:95-117 polls on exactly this freshness "
     "signal)",
 )
+
+
+def _event_time_travel_sql(dialect: str) -> str:
+    """State AS OF an EVENT-TIME instant (not a commit version): LWW over
+    only the events whose warc_ts is at or before the cut — the
+    reconstruction a reprocessing job needs when asked "what did the web
+    look like at T", independent of when events were ingested.
+    Commit-version and publish-time travel are read_version /
+    snapshot_as_of (driver entries cdc_time_travel); this is the third
+    axis, derived exactly from the feed. The cut is the 3/4 point of the
+    corpus's event-time span (deterministic, scale-free)."""
+    if dialect == "spark":
+        ep = "unix_micros(CAST({c} AS TIMESTAMP))"
+        ts_s = TS_SPARK
+    else:
+        ep = "epoch_us({c})"
+        ts_s = TS_DUCK
+    lo, hi = ep.format(c="min(warc_ts)"), ep.format(c="max(warc_ts)")
+    e = ep.format(c="warc_ts")
+    return f"""
+        WITH cut AS (
+          SELECT {lo} + (({hi} - {lo}) * 3) / 4 AS cut_us FROM changelog),
+        pre AS (
+          SELECT * FROM changelog CROSS JOIN cut WHERE {e} <= cut_us),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM pre) WHERE rn = 1)
+        SELECT url, lsn, {ts_s.format(c='warc_ts')} AS warc_ts_s, lang
+        FROM latest WHERE op <> 'delete'
+    """
+
+
+sql_pair(
+    "cdc_event_time_travel",
+    spark_sql=_event_time_travel_sql("spark"),
+    duck_sql=_event_time_travel_sql("duck"),
+    doc="Event-time AS OF reconstruction: LWW state over the event-time "
+    "prefix warc_ts <= cut (3/4 of the corpus span) — the third travel "
+    "axis next to commit-version (read_version) and publish-time "
+    "(snapshot_as_of); the cut predicate pushes to the scan and the "
+    "single-row cut broadcast-joins (reprocessing 'as the catalog stood "
+    "at T', s3_item_cleanup.py:38-42 canonical-timestamp discipline)",
+)
