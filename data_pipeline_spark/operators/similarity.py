@@ -497,3 +497,69 @@ def kmeans_train(df, vec_col: str = "embedding", k: int = 8,
             for cid, c in enumerate(cents)
         ]
     return cents
+
+
+def semdedup_sql(
+    dialect: str,
+    emb_rel: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = DIM,
+    plant_below: int = 20,
+    cos_pct: int = 90,
+) -> str:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) Spark-first:
+    cluster the corpus with the in-engine k-means codebook, then search
+    for semantic near-duplicates ONLY within a cluster — the cluster
+    equi-join replaces the quadratic all-pairs scan (at 100 TB: shuffle
+    on cid, per-cluster pair generation, no corpus self-join).
+
+    Kept integer-exact end to end: the codebook is the kmeans_cte chain
+    (BIGINT arithmetic), and the cosine threshold test
+    ``cos(a,b) >= cos_pct/100`` is evaluated as
+    ``dot > 0 AND 10000*dot^2 >= cos_pct^2 * |a|^2 * |b|^2`` — all BIGINT
+    (quantized coords ≤ ~300 ⇒ every product < 2^62), so both engines
+    agree bit-for-bit. The corpus has no organic near-dups, so the
+    planted-fixture discipline of embedding_near_dup_sql applies: vecs
+    below ``plant_below`` are cloned at +1_000_000 with a +1 nudge —
+    the oracle comparison is provably non-empty. Output: each dropped
+    vector with its keeper (lowest similar same-cluster id) — the
+    keep-one-per-duplicate-group decision of the paper."""
+    cte, final = kmeans_cte(dialect, emb_rel, k, iters, dim)
+    d_ac = int_l2("v.qe", "c.ce", dialect, dim)
+    dot_ab = int_dot("a.qe", "b.qe", dialect, dim)
+    na2 = int_dot("a.qe", "a.qe", dialect, dim)
+    nb2 = int_dot("b.qe", "b.qe", dialect, dim)
+    return f"""
+        WITH {cte},
+        planted AS (
+          SELECT vec_id + 1000000 AS vec_id,
+                 {_perturb_first('qe', dialect)} AS qe
+          FROM base WHERE vec_id < {plant_below}
+        ),
+        allv AS (
+          SELECT vec_id, qe FROM base
+          UNION ALL
+          SELECT vec_id, qe FROM planted
+        ),
+        assigned AS (
+          SELECT vec_id, qe, cid FROM (
+            SELECT v.vec_id, v.qe, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {d_ac}, c.cid) AS rn
+            FROM allv v JOIN {final} c ON 1 = 1
+          ) s WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+          FROM assigned a JOIN assigned b
+            ON b.cid = a.cid AND a.vec_id < b.vec_id
+          WHERE {dot_ab} > 0
+            AND 10000 * ({dot_ab}) * ({dot_ab})
+                >= {cos_pct * cos_pct} * ({na2}) * ({nb2})
+        )
+        SELECT drop_id,
+               CAST(min(keep_id) AS BIGINT) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_similar
+        FROM pairs GROUP BY drop_id
+    """

@@ -3785,6 +3785,19 @@ sql_pair(
 )
 
 sql_pair(
+    "emb_semdedup",
+    spark_sql=_sim.semdedup_sql(_sim.SPARK),
+    duck_sql=_sim.semdedup_sql(_sim.DUCK),
+    tables=("embeddings",),
+    with_changelog_cte=False,
+    doc="SemDeDup (arXiv:2303.09540): k-means-cluster the corpus "
+    "in-engine, then drop semantic near-dups only WITHIN a cluster "
+    "(cluster equi-join replaces all-pairs; cosine>=0.9 evaluated as an "
+    "exact BIGINT cross-multiplication, planted fixture keeps the "
+    "oracle non-vacuous) — each dropped vec reported with its keeper",
+)
+
+sql_pair(
     "emb_near_dup",
     spark_sql=_sim.embedding_near_dup_sql(_sim.SPARK),
     duck_sql=_sim.embedding_near_dup_sql(_sim.DUCK),
