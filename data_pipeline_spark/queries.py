@@ -5031,3 +5031,69 @@ sql_pair(
     "single-row cut broadcast-joins (reprocessing 'as the catalog stood "
     "at T', s3_item_cleanup.py:38-42 canonical-timestamp discipline)",
 )
+
+
+def _pagerank_sql(dialect: str, iters: int = 3) -> str:
+    """Domain-graph PageRank, integer-exact: navigation edges from
+    consecutive events of the same crawl thread (lsn % 97 — the feed
+    exposes no user key; 97 deterministic interleaved threads), weighted
+    by transition count, then ``iters`` unrolled power iterations in ppb
+    with damping 85/100 — every term a positive-BIGINT floor division,
+    so both engines produce identical ranks with no float summation
+    anywhere. Scale shape per iteration: one (edges ⋈ ranks) shuffle on
+    src + one hash aggregate on dst; the 31-node rank vector would
+    broadcast at any real web scale too (hosts ≪ pages)."""
+    intdiv = "DIV" if dialect == "spark" else "//"
+
+    def fd(s: str, n: str) -> str:
+        # positive operands throughout: truncation == floor in both engines
+        return f"(({s}) {intdiv} ({n}))"
+
+    pr0 = fd("1000000000", "(SELECT n FROM nn)")
+    parts = [
+        f"""edges0 AS (
+          SELECT domain AS src,
+                 lead(domain) OVER (PARTITION BY thread ORDER BY lsn) AS dst
+          FROM (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                       lsn, lsn % 97 AS thread FROM changelog)),
+        edges AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM edges0 WHERE dst IS NOT NULL AND dst <> src
+          GROUP BY src, dst),
+        nodes AS (SELECT src AS d FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        outw AS (
+          SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+        pr0 AS (
+          SELECT d, {pr0} AS pr FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        contrib = fd("p.pr * 85 * e.w", "100 * o.wout")
+        parts.append(f"""pr{t} AS (
+          SELECT n.d,
+                 {fd('150000000', '(SELECT n FROM nn)')}
+                 + coalesce(s.m, CAST(0 AS BIGINT)) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS d, CAST(sum({contrib}) AS BIGINT) AS m
+            FROM edges e JOIN outw o ON o.src = e.src
+            JOIN pr{t - 1} p ON p.d = e.src
+            GROUP BY e.dst) s ON s.d = n.d)""")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT d AS domain, CAST(pr AS BIGINT) AS pr_ppb "
+        f"FROM pr{iters} ORDER BY pr_ppb DESC, domain"
+    )
+
+
+sql_pair(
+    "cdc_domain_pagerank",
+    spark_sql=_pagerank_sql("spark"),
+    duck_sql=_pagerank_sql("duck"),
+    doc="Link-graph centrality: PageRank over the domain navigation "
+    "graph (consecutive same-thread events), 3 unrolled power "
+    "iterations in ppb — positive-BIGINT floor arithmetic end to end, "
+    "so ranks are bit-identical across engines; per iteration one "
+    "src-join and one dst-aggregate (the aggregate-items rollup family "
+    "taken to graph shape, aggregate_items.py:42-77)",
+)
