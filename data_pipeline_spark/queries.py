@@ -5097,3 +5097,67 @@ sql_pair(
     "src-join and one dst-aggregate (the aggregate-items rollup family "
     "taken to graph shape, aggregate_items.py:42-77)",
 )
+
+
+def _boilerplate_sql(dialect: str, k: int = 5) -> str:
+    """Per-domain boilerplate detection (the CCNet/Dolma template-scrub
+    model): a k-token shingle is boilerplate for a domain when at least
+    half of the domain's LIVE pages contain it — cross-document frequency
+    separates template chrome from content. Distinct-per-page shingles
+    feed ONE (domain, shingle) hash aggregate joined back to per-domain
+    page counts; at 100 TB both sides shuffle on domain-prefixed keys and
+    hot template shingles collapse map-side."""
+    if dialect == "spark":
+        shingles = (
+            f"array_distinct(CASE WHEN size(l) < {k} THEN array() ELSE "
+            f"transform(sequence(1, size(l) - {k - 1}), "
+            f"i -> array_join(slice(l, i, {k}), ' ')) END)"
+        )
+        split = "split(text, ' ')"
+        explode = "explode"
+    else:
+        shingles = (
+            f"list_distinct(list_transform(range(1, len(l) - {k - 2}), "
+            f"i -> array_to_string(l[i:i + {k - 1}], ' ')))"
+        )
+        split = "string_split(text, ' ')"
+        explode = "unnest"
+    live_text = (
+        extract_text_duckdb("html")
+        if dialect == "duck"
+        else "trim(regexp_replace(regexp_replace(decode(html, 'utf-8'), "
+        "'<[^>]*>', ' '), ' +', ' '))"
+    )
+    return f"""
+        WITH latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (
+          SELECT url, regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                 {live_text} AS text
+          FROM latest WHERE op <> 'delete'),
+        toks AS (SELECT url, domain, {split} AS l FROM live),
+        pages AS (
+          SELECT domain, CAST(count(*) AS BIGINT) AS n_pages
+          FROM live GROUP BY domain),
+        sh AS (SELECT url, domain, {explode}({shingles}) AS shingle FROM toks),
+        df AS (
+          SELECT domain, shingle, CAST(count(*) AS BIGINT) AS df
+          FROM sh GROUP BY domain, shingle)
+        SELECT d.domain, d.shingle, d.df, p.n_pages
+        FROM df d JOIN pages p ON p.domain = d.domain
+        WHERE p.n_pages >= 5 AND d.df * 2 >= p.n_pages
+    """
+
+
+sql_pair(
+    "docs_domain_boilerplate",
+    spark_sql=_boilerplate_sql("spark"),
+    duck_sql=_boilerplate_sql("duck"),
+    doc="Per-domain boilerplate detection (CCNet-style template scrub "
+    "model): 5-token shingles present in >=50% of a domain's live pages "
+    "are template chrome, found with one (domain, shingle) hash "
+    "aggregate over distinct-per-page shingles — the frequency-based "
+    "complement of docs_segment_dedup's first-occurrence scrub",
+)
