@@ -5161,3 +5161,71 @@ sql_pair(
     "aggregate over distinct-per-page shingles — the frequency-based "
     "complement of docs_segment_dedup's first-occurrence scrub",
 )
+
+
+def _bigram_lm_sql(dialect: str) -> str:
+    """Statistical-LM quality filtering (the CCNet wiki-LM perplexity
+    gate, arXiv:1911.00359, rebuilt in-engine and integer-exact): train
+    bigram transition frequencies on the corpus itself, score every doc
+    by its mean transition likelihood in ppm, and surface the 100 LEAST
+    likely docs — the perplexity-outlier junk candidates. No logs, no
+    floats: p(w2|w1) becomes 1e6*c(w1 w2)//c(w1 ·), doc score is the
+    occurrence-weighted floor mean. Plan: bigram explode -> two narrow
+    count aggregates -> ratio joined back by gram -> one per-doc
+    aggregate; the gram-ratio table is corpus-vocab-sized and joins by
+    equi-key (no all-pairs anywhere)."""
+    if dialect == "spark":
+        bigrams = (
+            "explode(CASE WHEN size(l) < 2 THEN array() ELSE "
+            "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), "
+            "(a, b) -> concat(a, ' ', b)) END)"
+        )
+        split = "split(text, ' ')"
+        intdiv = "DIV"
+    else:
+        bigrams = (
+            "unnest(list_transform(range(1, len(l)), "
+            "i -> l[i] || ' ' || l[i + 1]))"
+        )
+        split = "string_split(text, ' ')"
+        intdiv = "//"
+    return f"""
+        WITH toks AS (SELECT doc_id, {split} AS l FROM documents),
+        big AS (SELECT doc_id, {bigrams} AS g FROM toks),
+        occ AS (
+          SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+          FROM big GROUP BY doc_id, g),
+        cg AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS c FROM occ GROUP BY g),
+        cw AS (
+          SELECT split_part(g, ' ', 1) AS w1,
+                 CAST(sum(cnt) AS BIGINT) AS c
+          FROM occ GROUP BY split_part(g, ' ', 1)),
+        ratio AS (
+          SELECT cg.g,
+                 (cg.c * 1000000) {intdiv} cw.c AS ppm
+          FROM cg JOIN cw ON cw.w1 = split_part(cg.g, ' ', 1)),
+        scored AS (
+          SELECT o.doc_id,
+                 CAST(sum(o.cnt * r.ppm) {intdiv} sum(o.cnt) AS BIGINT)
+                   AS lm_ppm,
+                 CAST(sum(o.cnt) AS BIGINT) AS n_bigrams
+          FROM occ o JOIN ratio r ON r.g = o.g
+          GROUP BY o.doc_id)
+        SELECT s.doc_id, d.lang, s.lm_ppm, s.n_bigrams
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        ORDER BY s.lm_ppm ASC, s.doc_id LIMIT 100
+    """
+
+
+sql_pair(
+    "docs_bigram_lm_score",
+    spark_sql=_bigram_lm_sql("spark"),
+    duck_sql=_bigram_lm_sql("duck"),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Statistical-LM quality gate (CCNet perplexity filter analog, "
+    "arXiv:1911.00359) integer-exact: corpus-trained bigram transition "
+    "ppm, occurrence-weighted floor-mean per doc, bottom-100 "
+    "perplexity outliers surfaced — no libm, identical ranks both "
+    "engines",
+)
