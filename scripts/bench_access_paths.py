@@ -126,8 +126,55 @@ def main() -> None:
         ),
     }
 
+    # Conjunctive token search: inverted text index (per-term pruned
+    # postings reads + one aggregate) vs re-tokenizing every live doc.
+    from data_pipeline_spark.operators.text_index import TextIndex, doc_tokens
+
+    tix = TextIndex(
+        spark, table, tempfile.mkdtemp(prefix="lake_ap_t_"), "text", 16
+    )
+    tix.refresh()
+    tix.optimize("ap-tix", target_rows_per_file=4096)
+    # One RARE term (a live row's lsn digits — appears as 'rev <lsn>' in
+    # exactly that document) conjoined with one common term: the realistic
+    # search shape, and the one where postings pruning pays (a common-term-
+    # only query legitimately touches most postings files — its result IS
+    # large).
+    rare = [
+        str(r.lsn)
+        for r in table.read().select("lsn").orderBy("lsn").limit(3).collect()
+    ]
+    term_sets = [[rare[0], "lorem"], [rare[1], "user"], [rare[2], "signup"]]
+
+    def _scan_tokens(terms):
+        df = table.read(columns=["url", "text"]).select(
+            "url", doc_tokens(F.col("text")).alias("__t")
+        )
+        cond = None
+        for t in terms:
+            c = F.array_contains("__t", t)
+            cond = c if cond is None else (cond & c)
+        return df.filter(cond)
+
+    results["token_search"] = {
+        "indexed_s": best_of(
+            trials,
+            lambda: tix.search(
+                term_sets[_next() % 3], max_point_keys=4096
+            ).count(),
+        ),
+        "full_s": best_of(
+            trials, lambda: _scan_tokens(term_sets[_next() % 3]).count()
+        ),
+    }
+
     # Equality probes: every fast path must return exactly the naive
     # path's rows (a wrong fast path is worse than a slow one).
+    for ts_ in term_sets:
+        assert sorted(
+            r.url for r in tix.search(ts_, max_point_keys=1 << 20)
+            .select("url").collect()
+        ) == sorted(r.url for r in _scan_tokens(ts_).select("url").collect())
     ks = pick(3)
     assert (
         table.lookup(ks).count()
@@ -176,6 +223,18 @@ def main() -> None:
     results["indexed_lookup"]["files"] = [
         sum(len(f) for f in igroups.values()),
         sum(len(f) for f in iall.values()),
+    ]
+
+    tsnap = tix.table.current()
+    tprobe = sum(
+        sum(len(f) for f in tix.table._select_files(
+            tsnap, stats_bounds={"tok": (t, t)}
+        )[0].values())
+        for t in term_sets[0]
+    )
+    tall, _ = tix.table._select_files(tsnap)
+    results["token_search"]["files"] = [
+        tprobe, sum(len(f) for f in tall.values())
     ]
 
     for k, v in results.items():
