@@ -78,11 +78,22 @@ def _read_block(
     the current field list (absent-then columns → typed NULL; widened
     columns → cast). All writers normalize the tombstone column in
     (lake/table.py _normalize), so ``__deleted`` is always present."""
+    all_ids, _ = table._all_field_ids(snap)
+    tgt_ids = all_ids[str(snap.schema_version)]
+    src_by_id = {i: n for n, i in all_ids[str(sv)].items()}
     have = {n for n, _ in table.schema_fields(snap, sv)}
+
+    def _src(n: str) -> str | None:
+        # field-ID alignment, mirroring LakeTable.read(): renamed columns
+        # read old files under their then-name; re-added names (fresh id)
+        # read NULL from pre-drop files.
+        s = src_by_id.get(tgt_ids.get(n))
+        return s if s in have else None
+
     casts = [
         (
-            f"CAST({_q(n)} AS {_sql_type(d)}) AS {_q(n)}"
-            if n in have
+            f"CAST({_q(_src(n))} AS {_sql_type(d)}) AS {_q(n)}"
+            if _src(n) is not None
             else f"CAST(NULL AS {_sql_type(d)}) AS {_q(n)}"
         )
         for n, d in cur_fields

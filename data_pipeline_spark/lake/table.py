@@ -279,7 +279,7 @@ class LakeTable:
         snap = Snapshot(
             version=0,
             schema_version=0,
-            schemas={"0": [[n, d] for n, d in schema]},
+            schemas={"0": [[n, d, i] for i, (n, d) in enumerate(schema)]},
             n_buckets=n_buckets,
             key=key,
             manifests={str(b): [] for b in range(n_buckets)},
@@ -438,7 +438,45 @@ class LakeTable:
 
     def schema_fields(self, snap: Snapshot, schema_version: int | None = None) -> list[tuple[str, str]]:
         sv = snap.schema_version if schema_version is None else schema_version
-        return [(n, d) for n, d in snap.schemas[str(sv)]]
+        # entries are [name, ddl] (legacy) or [name, ddl, field_id]
+        return [(e[0], e[1]) for e in snap.schemas[str(sv)]]
+
+    def _all_field_ids(self, snap: Snapshot) -> tuple[dict[str, dict[str, int]], int]:
+        """Per-schema-version {column name → field id} maps, plus the next
+        free id. Field ids are the Iceberg identity mechanism: alignment
+        of old files to the current schema matches columns BY ID, so a
+        rename keeps reading old bytes under the new name, and a dropped-
+        then-re-added name gets a FRESH id (old bytes can never resurface
+        — previously a documented caveat of name-based alignment).
+
+        Ids ride inside the ``schemas`` entries (``[name, ddl, id]``) so
+        every snapshot-copying commit carries them for free. Legacy
+        2-element entries (pre-id tables) derive ids deterministically by
+        first-appearance name matching — exactly the old name-based
+        semantics, so legacy tables read identically."""
+        out: dict[str, dict[str, int]] = {}
+        seen: dict[str, int] = {}
+        nxt = 0
+        for sv in sorted(int(k) for k in snap.schemas):
+            m: dict[str, int] = {}
+            for e in snap.schemas[str(sv)]:
+                if len(e) >= 3:
+                    m[e[0]] = int(e[2])
+                    seen[e[0]] = int(e[2])
+                    nxt = max(nxt, int(e[2]) + 1)
+                else:
+                    if e[0] not in seen:
+                        seen[e[0]] = nxt
+                        nxt += 1
+                    m[e[0]] = seen[e[0]]
+            out[str(sv)] = m
+        return out, nxt
+
+    def field_ids(
+        self, snap: Snapshot, schema_version: int | None = None
+    ) -> dict[str, int]:
+        sv = snap.schema_version if schema_version is None else schema_version
+        return self._all_field_ids(snap)[0][str(sv)]
 
     def spark_schema(self, snap: Snapshot, schema_version: int | None = None) -> T.StructType:
         ddl = ", ".join(f"{n} {d}" for n, d in self.schema_fields(snap, schema_version))
@@ -451,17 +489,18 @@ class LakeTable:
         commit_key: str | None = None,
         drop_columns: list[str] | None = None,
         compat: str | None = None,
+        rename_columns: dict[str, str] | None = None,
     ) -> Snapshot:
-        """Add-column / type-widen / drop-column as a metadata-only commit
-        (no data rewrite). Dropped columns leave the current field list:
-        readers align every file to the current schema, so the column
-        disappears from all reads immediately while old files keep their
-        bytes until compaction rewrites them. Caveat vs Iceberg's
-        id-based drops: alignment is by NAME, so re-ADDING a dropped name
-        resurfaces pre-drop values from not-yet-compacted files — re-add
-        under a fresh name, or compact between drop and re-add, when
-        clean-slate semantics matter. The key, order, and event-time
-        columns are structural and cannot be dropped.
+        """Add-column / type-widen / drop-column / rename-column as a
+        metadata-only commit (no data rewrite). Alignment of old files to
+        the current schema matches columns by FIELD ID (Iceberg
+        semantics, :meth:`_all_field_ids`): a renamed column keeps its id,
+        so every pre-rename file reads under the new name; a re-ADDED
+        name gets a FRESH id, so pre-drop bytes in not-yet-compacted
+        files can never resurface (on tables created before field ids,
+        ids derive by name — the old name-matching behavior — until the
+        first id-carrying evolve). The key, order, and event-time
+        columns are structural and cannot be dropped or renamed.
 
         ``compat`` (default: the ``schema.compat`` table property, else
         ``"none"``) is the compatibility policy the schema-registry world
@@ -478,13 +517,17 @@ class LakeTable:
         )
         if policy not in ("none", "backward"):
             raise ValueError(f"unknown compat policy {policy!r}")
-        if policy == "backward" and drop_columns:
+        if policy == "backward" and (drop_columns or rename_columns):
             raise ValueError(
-                "schema.compat=backward refuses drop-column (readers of "
-                "the previous schema would break); override with "
-                "compat='none' if every consumer is known-migrated"
+                "schema.compat=backward refuses drop-column and "
+                "rename-column (readers of the previous schema would "
+                "break); override with compat='none' if every consumer "
+                "is known-migrated"
             )
+        ids, next_id = self._all_field_ids(snap)
+        ids = dict(ids[str(snap.schema_version)])
         fields = dict(self.schema_fields(snap))
+        protected = {snap.key, snap.order_col, "warc_ts"}
         for n, d in (widen or {}).items():
             if n not in fields:
                 raise KeyError(f"widen: no such column {n}")
@@ -493,16 +536,30 @@ class LakeTable:
             if n in fields:
                 raise KeyError(f"add_columns: column exists {n}")
             fields[n] = d
-        protected = {snap.key, snap.order_col, "warc_ts"}
+            ids[n] = next_id
+            next_id += 1
         for n in drop_columns or []:
             if n not in fields:
                 raise KeyError(f"drop_columns: no such column {n}")
             if n in protected:
                 raise ValueError(f"drop_columns: {n} is structural")
             del fields[n]
+            del ids[n]
+        for old, new in (rename_columns or {}).items():
+            if old not in fields:
+                raise KeyError(f"rename_columns: no such column {old}")
+            if new in fields:
+                raise KeyError(f"rename_columns: target exists {new}")
+            if old in protected:
+                raise ValueError(f"rename_columns: {old} is structural")
+            # same field id under the new name: old files keep reading
+            fields = {
+                (new if k == old else k): v for k, v in fields.items()
+            }
+            ids[new] = ids.pop(old)
         new_sv = snap.schema_version + 1
         schemas = dict(snap.schemas)
-        schemas[str(new_sv)] = [[n, d] for n, d in fields.items()]
+        schemas[str(new_sv)] = [[n, d, ids[n]] for n, d in fields.items()]
         new = Snapshot(
             version=snap.version + 1,
             schema_version=new_sv,
@@ -516,6 +573,7 @@ class LakeTable:
                 "add": add_columns or {},
                 "widen": widen or {},
                 "drop": drop_columns or [],
+                "rename": rename_columns or {},
             },
             order_col=snap.order_col,
             props=dict(snap.props),
@@ -1093,6 +1151,9 @@ class LakeTable:
             if raw or include_tombstones:
                 return empty
             return empty.drop(TOMBSTONE_COL)
+        all_ids, _ = self._all_field_ids(sch)
+        tgt_ids = all_ids[str(sch.schema_version)]
+
         def _aligned(files: list[str], sv: int) -> DataFrame:
             read_schema = self._ddl_schema(
                 self.schema_fields(sch, sv) + [(TOMBSTONE_COL, "boolean")]
@@ -1102,10 +1163,24 @@ class LakeTable:
                 # pushed to the parquet reader (row-group dictionary/
                 # stats filtering under the manifest-level bloom skip)
                 df = df.filter(F.col(snap.key).isin(point_keys))
+            # field-ID alignment (Iceberg semantics): a current column
+            # reads from whatever NAME carried its id when this file was
+            # written — renames map through, re-added names (fresh id)
+            # read NULL from pre-drop files.
+            src_by_id = {i: n for n, i in all_ids[str(sv)].items()}
             have = set(df.columns)
+
+            def _src(n: str) -> str | None:
+                s = src_by_id.get(tgt_ids.get(n))
+                return s if s in have else None
+
             return df.select(
                 *[
-                    (F.col(n).cast(d) if n in have else F.lit(None).cast(d)).alias(n)
+                    (
+                        F.col(_src(n)).cast(d)
+                        if _src(n) is not None
+                        else F.lit(None).cast(d)
+                    ).alias(n)
                     for n, d in cur_fields
                 ],
                 F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(

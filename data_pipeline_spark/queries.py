@@ -1187,6 +1187,61 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_rename_column",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        hi AS (SELECT max(lsn) AS m FROM changelog)
+        SELECT url,
+               CASE WHEN substr(md5(url), 1, 1) < '4'
+                    THEN (SELECT m FROM hi) + 1 ELSE lsn END AS lsn,
+               CASE WHEN substr(md5(url), 1, 1) < '4'
+                    THEN 're-' || lang ELSE lang END AS language,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM live
+    """,
+    doc="Rename-column schema evolution (field-ID alignment): replay, "
+    "RENAME lang->language (metadata-only — pre-rename files keep their "
+    "bytes and read under the new name by field id), then merge a "
+    "post-rename update batch carrying the NEW column name for a "
+    "deterministic ~25%% of urls (lake/table.py evolve_schema "
+    "rename_columns; Iceberg identity semantics)",
+)
+def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.merge import merge_into
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_rn_"), 16)
+    apply_batch(table, log, "rn-1", record_metrics=False)
+    table.evolve_schema(rename_columns={"lang": "language"}, commit_key="rn-evo")
+    hi = log.agg(F.max("lsn").alias("m")).first()["m"]
+    patch = (
+        table.read()
+        .filter(F.substring(F.md5(F.col("url")), 1, 1) < "4")
+        .select(
+            "url",
+            F.lit(hi + 1).cast("bigint").alias("lsn"),
+            "warc_ts",
+            "html",
+            "text",
+            F.concat(F.lit("re-"), F.col("language")).alias("language"),
+            F.lit("update").alias("op"),
+        )
+    )
+    merge_into(table, patch, "rn-2")
+    return table.read().select(
+        "url", "lsn", "language", F.sha2("text", 256).alias("text_sha")
+    )
+
+
+@register(
     "cdc_predicate_delete",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
