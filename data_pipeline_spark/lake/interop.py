@@ -67,6 +67,15 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+def _sql_lit(v) -> str:
+    """Portable SQL literal for an initial-default scalar."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def _read_block(
     table: LakeTable,
     snap: Snapshot,
@@ -83,18 +92,25 @@ def _read_block(
     src_by_id = {i: n for n, i in all_ids[str(sv)].items()}
     have = {n for n, _ in table.schema_fields(snap, sv)}
 
+    dflts = table.field_defaults(snap)
+
     def _src(n: str) -> str | None:
         # field-ID alignment, mirroring LakeTable.read(): renamed columns
         # read old files under their then-name; re-added names (fresh id)
-        # read NULL from pre-drop files.
+        # read their INITIAL default (else NULL) from pre-add files.
         s = src_by_id.get(tgt_ids.get(n))
         return s if s in have else None
+
+    def _absent(n: str, d: str) -> str:
+        if n in dflts:
+            return f"CAST({_sql_lit(dflts[n])} AS {_sql_type(d)})"
+        return f"CAST(NULL AS {_sql_type(d)})"
 
     casts = [
         (
             f"CAST({_q(_src(n))} AS {_sql_type(d)}) AS {_q(n)}"
             if _src(n) is not None
-            else f"CAST(NULL AS {_sql_type(d)}) AS {_q(n)}"
+            else f"{_absent(n, d)} AS {_q(n)}"
         )
         for n, d in cur_fields
     ]
@@ -217,20 +233,30 @@ def scan_spec(table: LakeTable, snap: Snapshot | None = None) -> dict:
     columns, and the LWW rule). JSON-serializable by construction."""
     snap = snap or table.current()
     groups, delta_paths = table._select_files(snap, distributed=False)
+    all_ids, _ = table._all_field_ids(snap)
+    dflts = table.field_defaults(snap)
+
+    def _schema(sv: int) -> list[dict]:
+        ids = all_ids[str(sv)]
+        out = []
+        for n, d in table.schema_fields(snap, sv):
+            e: dict = {"name": n, "type": d, "field_id": ids[n]}
+            if sv == snap.schema_version and n in dflts:
+                e["initial_default"] = dflts[n]
+            out.append(e)
+        return out
+
     return {
         "table_root": table.root,
         "snapshot_version": snap.version,
         "key": snap.key,
         "order_col": snap.order_col,
         "tombstone_col": TOMBSTONE_COL,
-        "schema": [{"name": n, "type": d} for n, d in table.schema_fields(snap)],
+        "schema": _schema(snap.schema_version),
         "file_groups": [
             {
                 "schema_version": sv,
-                "schema": [
-                    {"name": n, "type": d}
-                    for n, d in table.schema_fields(snap, sv)
-                ],
+                "schema": _schema(sv),
                 "base_files": sorted(
                     f for f in files if f not in delta_paths
                 ),
@@ -241,7 +267,10 @@ def scan_spec(table: LakeTable, snap: Snapshot | None = None) -> dict:
         "merge_rule": (
             "per key keep the row with max(order_col) across ALL of the "
             "key's bucket files when that bucket has delta_files (base "
-            "buckets are pre-collapsed); drop rows where tombstone_col"
+            "buckets are pre-collapsed); drop rows where tombstone_col. "
+            "Align a file's columns to the current schema by FIELD_ID "
+            "(not name); a current field id absent from the file's "
+            "schema reads initial_default if present, else NULL"
         ),
     }
 

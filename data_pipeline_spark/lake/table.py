@@ -478,6 +478,22 @@ class LakeTable:
         sv = snap.schema_version if schema_version is None else schema_version
         return self._all_field_ids(snap)[0][str(sv)]
 
+    def field_defaults(
+        self, snap: Snapshot, schema_version: int | None = None
+    ) -> dict[str, Any]:
+        """INITIAL defaults (the Iceberg v3 default-value shape): the
+        value a column reads from files written before the column existed
+        (its field id absent from the file's schema version). Not a write
+        default — post-add writers that omit the column store real NULLs,
+        and those NULLs read back as NULL. Defaults ride as the 4th
+        element of ``schemas`` entries (``[name, ddl, id, default]``)."""
+        sv = snap.schema_version if schema_version is None else schema_version
+        return {
+            e[0]: e[3]
+            for e in snap.schemas[str(sv)]
+            if len(e) >= 4 and e[3] is not None
+        }
+
     def spark_schema(self, snap: Snapshot, schema_version: int | None = None) -> T.StructType:
         ddl = ", ".join(f"{n} {d}" for n, d in self.schema_fields(snap, schema_version))
         return T.StructType.fromDDL(ddl)
@@ -490,6 +506,7 @@ class LakeTable:
         drop_columns: list[str] | None = None,
         compat: str | None = None,
         rename_columns: dict[str, str] | None = None,
+        defaults: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Add-column / type-widen / drop-column / rename-column as a
         metadata-only commit (no data rewrite). Alignment of old files to
@@ -510,7 +527,13 @@ class LakeTable:
         the old columns; widened types still hold every old value).
         Downstream mirrors consume the schema through the table feed
         (streaming/table_feed.py), so the policy is the feed's contract
-        guard. Pass ``compat="none"`` to override one call."""
+        guard. Pass ``compat="none"`` to override one call.
+
+        ``defaults`` assigns INITIAL defaults to columns in
+        ``add_columns`` (:meth:`field_defaults`): files written before
+        the add read the default instead of NULL; files written after
+        read their stored value (including real NULLs). Scalars only —
+        they must survive a JSON round-trip and a SQL literal."""
         snap = self.current()
         policy = compat if compat is not None else str(
             snap.props.get("schema.compat", "none")
@@ -524,8 +547,20 @@ class LakeTable:
                 "break); override with compat='none' if every consumer "
                 "is known-migrated"
             )
+        for n, v in (defaults or {}).items():
+            if n not in (add_columns or {}):
+                raise KeyError(
+                    f"defaults: {n} is not being added this commit — "
+                    "initial defaults attach at add-column time (existing "
+                    "columns already have files whose NULLs mean NULL)"
+                )
+            if not isinstance(v, (int, float, str, bool)):
+                raise ValueError(
+                    f"defaults: {n}={v!r} is not a scalar literal"
+                )
         ids, next_id = self._all_field_ids(snap)
         ids = dict(ids[str(snap.schema_version)])
+        dflts = dict(self.field_defaults(snap))
         fields = dict(self.schema_fields(snap))
         protected = {snap.key, snap.order_col, "warc_ts"}
         for n, d in (widen or {}).items():
@@ -538,6 +573,8 @@ class LakeTable:
             fields[n] = d
             ids[n] = next_id
             next_id += 1
+            if defaults and n in defaults:
+                dflts[n] = defaults[n]
         for n in drop_columns or []:
             if n not in fields:
                 raise KeyError(f"drop_columns: no such column {n}")
@@ -545,6 +582,7 @@ class LakeTable:
                 raise ValueError(f"drop_columns: {n} is structural")
             del fields[n]
             del ids[n]
+            dflts.pop(n, None)
         for old, new in (rename_columns or {}).items():
             if old not in fields:
                 raise KeyError(f"rename_columns: no such column {old}")
@@ -557,9 +595,14 @@ class LakeTable:
                 (new if k == old else k): v for k, v in fields.items()
             }
             ids[new] = ids.pop(old)
+            if old in dflts:
+                dflts[new] = dflts.pop(old)
         new_sv = snap.schema_version + 1
         schemas = dict(snap.schemas)
-        schemas[str(new_sv)] = [[n, d, ids[n]] for n, d in fields.items()]
+        schemas[str(new_sv)] = [
+            [n, d, ids[n]] + ([dflts[n]] if n in dflts else [])
+            for n, d in fields.items()
+        ]
         new = Snapshot(
             version=snap.version + 1,
             schema_version=new_sv,
@@ -1153,6 +1196,7 @@ class LakeTable:
             return empty.drop(TOMBSTONE_COL)
         all_ids, _ = self._all_field_ids(sch)
         tgt_ids = all_ids[str(sch.schema_version)]
+        dflts = self.field_defaults(sch)
 
         def _aligned(files: list[str], sv: int) -> DataFrame:
             read_schema = self._ddl_schema(
@@ -1166,7 +1210,7 @@ class LakeTable:
             # field-ID alignment (Iceberg semantics): a current column
             # reads from whatever NAME carried its id when this file was
             # written — renames map through, re-added names (fresh id)
-            # read NULL from pre-drop files.
+            # read their INITIAL default (else NULL) from pre-add files.
             src_by_id = {i: n for n, i in all_ids[str(sv)].items()}
             have = set(df.columns)
 
@@ -1179,7 +1223,7 @@ class LakeTable:
                     (
                         F.col(_src(n)).cast(d)
                         if _src(n) is not None
-                        else F.lit(None).cast(d)
+                        else F.lit(dflts.get(n)).cast(d)
                     ).alias(n)
                     for n, d in cur_fields
                 ],

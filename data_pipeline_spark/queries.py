@@ -1242,6 +1242,53 @@ def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_widen_default",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        b AS (SELECT min(lsn) AS lo, max(lsn) AS hi FROM changelog)
+        SELECT url, lsn,
+               CASE WHEN lsn <= (SELECT lo + (hi - lo) // 2 FROM b)
+                    THEN CAST(7 AS BIGINT) ELSE NULL END AS fetch_ms,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM live
+    """,
+    doc="Initial-default + type-widen evolution: replay half, ADD "
+    "fetch_ms int with INITIAL DEFAULT 7 (Iceberg v3 default-value "
+    "shape — pre-add files read 7, post-add writers store real NULLs), "
+    "replay the rest, WIDEN int->bigint (metadata-only; old int bytes "
+    "cast on read). A url's winning row decides which side it reads "
+    "from, so the oracle is the lsn cut (lake/table.py evolve_schema "
+    "defaults=/widen=, field_defaults)",
+)
+def cdc_widen_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    b = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_wd_"), 16)
+    apply_batch(table, log.filter(F.col("lsn") <= cut), "wd-1",
+                record_metrics=False)
+    table.evolve_schema(
+        add_columns={"fetch_ms": "int"}, defaults={"fetch_ms": 7},
+        commit_key="wd-add",
+    )
+    apply_batch(table, log.filter(F.col("lsn") > cut), "wd-2",
+                record_metrics=False)
+    table.evolve_schema(widen={"fetch_ms": "bigint"}, commit_key="wd-widen")
+    return table.read().select(
+        "url", "lsn", "fetch_ms", F.sha2("text", 256).alias("text_sha")
+    )
+
+
+@register(
     "cdc_predicate_delete",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

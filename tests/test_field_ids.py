@@ -122,6 +122,61 @@ def test_legacy_two_element_schemas_read_unchanged(spark):
     assert got == want
 
 
+def test_initial_default_reads_from_pre_add_files_only(spark):
+    t = _mk(spark)
+    merge_into(t, _rows(spark, [("u1", 1, TS, "a", "x1", "upsert")]), "c1")
+    t.evolve_schema(
+        add_columns={"fetch_ms": "bigint"}, defaults={"fetch_ms": 7},
+        commit_key="e1",
+    )
+    # pre-add file: the default, not NULL
+    assert [r["fetch_ms"] for r in t.read().collect()] == [7]
+    # post-add writer omitting the column stores a REAL null → reads NULL
+    merge_into(t, _rows(spark, [("u2", 2, TS, "b", "x2", "upsert")]), "c2")
+    got = {r["url"]: r["fetch_ms"] for r in t.read().collect()}
+    assert got == {"u1": 7, "u2": None}
+    # default survives a rename and later evolutions
+    t.evolve_schema(rename_columns={"fetch_ms": "latency_ms"}, commit_key="e2")
+    t.evolve_schema(add_columns={"other": "string"}, commit_key="e3")
+    got = {r["url"]: r["latency_ms"] for r in t.read().collect()}
+    assert got == {"u1": 7, "u2": None}
+    # drop kills the default; a fresh re-add does NOT inherit it
+    t.evolve_schema(drop_columns=["latency_ms"], commit_key="e4")
+    t.evolve_schema(add_columns={"latency_ms": "bigint"}, commit_key="e5")
+    assert {r["latency_ms"] for r in t.read().collect()} == {None}
+
+
+def test_default_guards(spark):
+    t = _mk(spark)
+    with pytest.raises(KeyError, match="not being added"):
+        t.evolve_schema(add_columns={"a": "bigint"}, defaults={"v": "x"})
+    with pytest.raises(ValueError, match="scalar"):
+        t.evolve_schema(add_columns={"a": "bigint"}, defaults={"a": [1]})
+
+
+def test_reader_sql_with_initial_default(spark):
+    import duckdb
+
+    from data_pipeline_spark.lake.interop import reader_sql
+
+    t = _mk(spark)
+    merge_into(t, _rows(spark, [("u1", 1, TS, "a", "x1", "upsert")]), "c1")
+    t.evolve_schema(
+        add_columns={"score": "double"}, defaults={"score": 1.5},
+        commit_key="e1",
+    )
+    merge_into(t, _rows(spark, [("u2", 2, TS, "b", "x2", "upsert")]), "c2")
+    df = t.read()
+    cols = sorted(df.columns)
+    want = sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+    cur = duckdb.connect().execute(reader_sql(t))
+    names = [d[0] for d in cur.description]
+    assert sorted(names) == cols
+    idx = [names.index(c) for c in cols]
+    got = sorted(tuple(str(r[i]) for i in idx) for r in cur.fetchall())
+    assert got == want
+
+
 def test_reader_sql_across_rename(spark):
     """External-reader export stays byte-equal to read() when old files
     carry a pre-rename column name (id alignment in portable SQL)."""
