@@ -28,6 +28,7 @@ from data_pipeline_spark import changelog as cl
 from data_pipeline_spark.extraction import (
     extract_text,
     extract_text_duckdb,
+    extract_text_sql,
     quality_score,
     quality_score_sql,
     token_count,
@@ -1238,6 +1239,84 @@ def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_into(table, patch, "rn-2")
     return table.read().select(
         "url", "lsn", "language", F.sha2("text", 256).alias("text_sha")
+    )
+
+
+@register(
+    "cdc_merge_when",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        hi AS (SELECT max(lsn) AS m FROM changelog),
+        src AS (SELECT url, warc_ts, html, lang FROM latest
+                WHERE substr(md5(url), 1, 1) < '8'),
+        updated AS (
+          SELECT l.url, (SELECT m FROM hi) + 1 AS lsn, l.warc_ts, l.html,
+                 l.lang || '+' || s.lang AS lang
+          FROM live l JOIN src s USING (url)
+          WHERE substr(md5(l.url), 2, 1) >= '2'),
+        inserted AS (
+          SELECT s.url, (SELECT m FROM hi) + 1 AS lsn, s.warc_ts, s.html,
+                 s.lang
+          FROM src s WHERE s.url NOT IN (SELECT url FROM live)),
+        untouched AS (
+          SELECT url, lsn, warc_ts, html, lang FROM live
+          WHERE url NOT IN (SELECT url FROM src)),
+        final AS (
+          SELECT * FROM untouched
+          UNION ALL SELECT * FROM updated
+          UNION ALL SELECT * FROM inserted)
+        SELECT url, lsn, {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM final
+    """,
+    doc="Conditional-clause MERGE (Delta MERGE INTO surface): a recrawl "
+    "batch (each url's latest payload, deterministic half of the corpus) "
+    "merges with WHEN MATCHED AND md5-slice THEN DELETE / WHEN MATCHED "
+    "THEN UPDATE SET lang = t.lang||'+'||s.lang (SET mixes both sides) / "
+    "WHEN NOT MATCHED THEN INSERT (resurrects deleted urls). Target "
+    "fetch is bloom+bucket-pruned by the source key set; the outcome "
+    "commits through the ordinary merge-on-read event path "
+    "(operators/merge_clauses.py merge_when)",
+)
+def cdc_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.merge_clauses import merge_when
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_mw_"), 16)
+    apply_batch(table, log, "mw-replay", record_metrics=False)
+    hi = log.agg(F.max("lsn").alias("m")).first()["m"]
+    latest = (
+        log.groupBy("url")
+        .agg(F.max_by(F.struct("warc_ts", "html", "lang"), "lsn").alias("w"))
+        .select("url", "w.*")
+    )
+    src = latest.filter(F.substring(F.md5(F.col("url")), 1, 1) < "8").select(
+        "url",
+        F.lit(hi + 1).cast("bigint").alias("lsn"),
+        "warc_ts",
+        "html",
+        extract_text_sql("html").alias("text"),
+        "lang",
+    )
+    merge_when(
+        table, src, "mw-1",
+        matched_update={"lang": "concat(t.lang, '+', s.lang)"},
+        matched_delete_cond="substr(md5(s.url), 2, 1) < '2'",
+    )
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
     )
 
 
