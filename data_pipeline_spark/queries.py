@@ -1243,6 +1243,41 @@ def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_warc_scan",
+    _final_state_duck(),
+    doc="WARC source path (ISO 28500, the Common Crawl container): the "
+    "change feed renders into standard WARC segments (pure-codegen "
+    "record concat, one hash agg per segment) and is scanned BACK via "
+    "the Arrow-batched length-prefixed segment walk "
+    "(operators/warc.py mapInPandas), then LWW-collapsed to the final "
+    "state. Oracle = the direct changelog final state, so any "
+    "render/parse byte drift (headers, Content-Length, microsecond "
+    "WARC-Date, payload bytes) breaks parity",
+)
+def cdc_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.lww import last_writer_wins
+    from data_pipeline_spark.operators.warc import (
+        parse_warc_segments,
+        render_warc_segments,
+        warc_date_to_ts,
+    )
+
+    log = cl.changelog(spark, sf_dir)
+    segs = render_warc_segments(log, n_segments=16)
+    feed = parse_warc_segments(segs).withColumn("warc_ts", warc_date_to_ts())
+    latest = last_writer_wins(feed, "url", "lsn")
+    return latest.filter(F.col("op") != "delete").select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2(extract_text("html"), 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_merge_when",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
