@@ -1784,6 +1784,41 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_warc_stream_state",
+    _final_state_duck(),
+    doc="Same final state via the STREAMING engine tailing .warc SEGMENT "
+    "drops (run_stream source_format='warc'): binaryFile path stream, "
+    "per-epoch Arrow-batched WARC decode, the identical epoch-keyed "
+    "exactly-once apply core (streaming/pipeline.py write_warc_wal + "
+    "operators/warc.py)",
+)
+def cdc_warc_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.streaming.pipeline import (
+        stream_to_completion,
+        write_warc_wal,
+    )
+
+    root = tempfile.mkdtemp(prefix="lake_wq_")
+    wal = os.path.join(root, "wal")
+    write_warc_wal(spark, sf_dir, wal, n_files=3)
+    table = stream_to_completion(
+        spark, wal, os.path.join(root, "table"), os.path.join(root, "ckpt"),
+        n_buckets=16, record_metrics=False, source_format="warc",
+    )
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_envelope_roundtrip",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')})

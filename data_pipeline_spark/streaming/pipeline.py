@@ -92,6 +92,62 @@ WAL_SCHEMA = (
 )
 
 
+def write_warc_wal(
+    spark: SparkSession, sf_dir: str, wal_dir: str, n_files: int = 8,
+    amplify: int = 1,
+) -> int:
+    """Land the change log as ``.warc`` segment files (the Common Crawl
+    landing-zone shape; operators/warc.py). Segments are written from
+    the executors (mapInPandas over the rendered segment rows — no
+    driver collect), one file per segment id."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.warc import render_warc_segments
+
+    log = cl.changelog(spark, sf_dir, amplify=amplify)
+    segs = render_warc_segments(log, n_segments=n_files)
+    os.makedirs(wal_dir, exist_ok=True)
+
+    def _write(batches):
+        for pdf in batches:
+            for sid, blob in zip(pdf["segment_id"], pdf["blob"]):
+                path = os.path.join(wal_dir, f"seg-{int(sid):05d}.warc")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(blob))
+                os.replace(tmp, path)  # appear atomically to the tail
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    n = segs.mapInPandas(_write, "n int").agg(F.sum("n")).first()[0]
+    return int(n or 0)
+
+
+def _parse_warc_batch(batch: DataFrame) -> DataFrame:
+    """(path, content) binaryFile rows → WAL-schema rows (the warc
+    source's epoch decode: Arrow-batched segment walk, then JVM-side
+    timestamp cast and column order)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.warc import (
+        parse_warc_segments,
+        warc_date_to_ts,
+    )
+
+    segs = batch.select(
+        F.xxhash64("path").alias("segment_id"),
+        F.col("content").alias("blob"),
+    )
+    return parse_warc_segments(segs).select(
+        "url",
+        "lsn",
+        warc_date_to_ts().alias("warc_ts"),
+        "op",
+        "html",
+        "lang",
+    )
+
+
 def wal_stream(
     spark: SparkSession,
     wal_dir: str,
@@ -143,6 +199,7 @@ def run_stream(
     writer_id: str | None = None,
     merge_mode: str = "lww",
     mode_props: dict | None = None,
+    source_format: str = "parquet",
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -209,9 +266,26 @@ def run_stream(
     increments; horizon-folding stays a maintenance decision since only
     the feed owner can promise no event below the horizon. Append mode
     still refuses ``watermark_days``: a late patch is a valid
-    contribution, not a drop candidate."""
+    contribution, not a drop candidate.
+
+    ``source_format="warc"`` tails a directory of ``.warc`` segment
+    drops instead of parquet (the Common Crawl landing-zone shape): the
+    stream carries segment paths (binaryFile source, content column
+    pruned) and each epoch decodes its segments with the Arrow-batched
+    WARC walk (operators/warc.py) before the same apply core. Offsets,
+    exactly-once epoch keys, kill/resume, DLQ, and compaction cadence
+    are identical — the source format is orthogonal to the sink
+    machinery."""
     if merge_mode not in ("lww", "append"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}")
+    if source_format not in ("parquet", "warc"):
+        raise ValueError(f"unknown source_format {source_format!r}")
+    if source_format == "warc" and not reread_files:
+        raise ValueError(
+            "the warc source streams segment paths and decodes inside "
+            "each epoch (the binaryFile-scan shape); reread_files=False "
+            "would put whole segment blobs through the stream plan"
+        )
     if merge_mode == "append" and watermark_days is not None:
         raise ValueError(
             "append merge_mode stores every event: the LWW late-event "
@@ -256,6 +330,10 @@ def run_stream(
         ]
         if not live:
             return sess.createDataFrame([], WAL_SCHEMA)
+        if source_format == "warc":
+            return _parse_warc_batch(
+                sess.read.format("binaryFile").load(live)
+            )
         return sess.read.schema(WAL_SCHEMA).parquet(*live)
 
     def apply_epoch(batch: DataFrame, batch_id: int) -> None:
@@ -309,9 +387,32 @@ def run_stream(
         if crash and fail_mode == "after":
             raise RuntimeError("injected post-commit failure (before checkpoint)")
 
+    if source_format == "warc":
+        from pyspark.sql import functions as F
+
+        source = (
+            spark.readStream.format("binaryFile")
+            # the binaryFile source's fixed schema, spelled out because
+            # streaming sources refuse inference
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length bigint, content binary"
+            )
+            .option("pathGlobFilter", "*.warc")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("recursiveFileLookup", "true")
+            .load(wal_dir)
+            # paths only: binaryFile prunes the content column, so the
+            # stream plan carries the epoch's FILE LIST and each epoch's
+            # decode runs as a batch binaryFile scan in _reread
+            .select(F.col("path").alias("wal_path"))
+        )
+    else:
+        source = wal_stream(
+            spark, wal_dir, max_files_per_trigger, paths_only=reread_files
+        )
     writer = (
-        wal_stream(spark, wal_dir, max_files_per_trigger,
-                   paths_only=reread_files)
+        source
         .writeStream.foreachBatch(apply_epoch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
