@@ -97,48 +97,70 @@ def write_warc_wal(
     amplify: int = 1,
 ) -> int:
     """Land the change log as ``.warc`` segment files (the Common Crawl
-    landing-zone shape; operators/warc.py). Segments are written from
-    the executors (mapInPandas over the rendered segment rows — no
-    driver collect), one file per segment id."""
+    landing-zone shape; operators/warc.py).
+
+    Scale shape: records are rendered by the codegen record expression,
+    hash-routed to their segment's partition, sorted within partitions
+    by (segment, lsn), and STREAMED into segment files from the
+    executors — memory is O(one Arrow batch), never O(segment), and no
+    segment ever materializes as a single value (the naive
+    collect-list-per-segment render OOMs once segments reach real
+    archive size). Files appear atomically (tmp + rename) so a
+    concurrent streaming tail never lists a half-written segment.
+    Byte-identical to :func:`operators.warc.render_warc_segments` for
+    the same (feed, n_files) — test-pinned."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from data_pipeline_spark.operators.warc import render_warc_segments
+    from data_pipeline_spark.operators.warc import warc_record_column
 
     log = cl.changelog(spark, sf_dir, amplify=amplify)
-    segs = render_warc_segments(log, n_segments=n_files)
     os.makedirs(wal_dir, exist_ok=True)
+    recs = (
+        log.select(
+            F.pmod(F.col("lsn"), F.lit(n_files)).alias("segment_id"),
+            F.col("lsn"),
+            warc_record_column().alias("rec"),
+        )
+        .repartition(n_files, "segment_id")
+        .sortWithinPartitions("segment_id", "lsn")
+    )
 
     def _write(batches):
+        handles: dict[int, tuple[str, object]] = {}
         for pdf in batches:
-            for sid, blob in zip(pdf["segment_id"], pdf["blob"]):
-                path = os.path.join(wal_dir, f"seg-{int(sid):05d}.warc")
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(bytes(blob))
-                os.replace(tmp, path)  # appear atomically to the tail
-            yield pd.DataFrame({"n": [len(pdf)]})
+            for sid, rec in zip(pdf["segment_id"], pdf["rec"]):
+                sid = int(sid)
+                h = handles.get(sid)
+                if h is None:
+                    path = os.path.join(wal_dir, f"seg-{sid:05d}.warc")
+                    h = handles[sid] = (path, open(path + ".tmp", "wb"))
+                h[1].write(rec.encode("ascii"))
+        for path, fh in handles.values():
+            fh.close()
+            os.replace(path + ".tmp", path)  # atomic to the tail
+        yield pd.DataFrame({"n": [len(handles)]})
 
-    n = segs.mapInPandas(_write, "n int").agg(F.sum("n")).first()[0]
+    n = recs.mapInPandas(_write, "n int").agg(F.sum("n")).first()[0]
     return int(n or 0)
 
 
-def _parse_warc_batch(batch: DataFrame) -> DataFrame:
-    """(path, content) binaryFile rows → WAL-schema rows (the warc
-    source's epoch decode: Arrow-batched segment walk, then JVM-side
-    timestamp cast and column order)."""
+def _decode_warc_paths(sess: SparkSession, paths: list[str]) -> DataFrame:
+    """Segment paths → WAL-schema rows: each task STREAM-walks its files
+    (operators/warc.py parse_warc_files, O(chunk) memory per task — an
+    archive-size segment never materializes as a single value), then the
+    JVM-side timestamp cast and WAL column order."""
     from pyspark.sql import functions as F
 
     from data_pipeline_spark.operators.warc import (
-        parse_warc_segments,
+        parse_warc_files,
         warc_date_to_ts,
     )
 
-    segs = batch.select(
-        F.xxhash64("path").alias("segment_id"),
-        F.col("content").alias("blob"),
-    )
-    return parse_warc_segments(segs).select(
+    pdf = sess.createDataFrame(
+        [(p,) for p in sorted(paths)], "wal_path string"
+    ).repartition(min(len(paths), sess.sparkContext.defaultParallelism))
+    return parse_warc_files(pdf).select(
         "url",
         "lsn",
         warc_date_to_ts().alias("warc_ts"),
@@ -331,9 +353,7 @@ def run_stream(
         if not live:
             return sess.createDataFrame([], WAL_SCHEMA)
         if source_format == "warc":
-            return _parse_warc_batch(
-                sess.read.format("binaryFile").load(live)
-            )
+            return _decode_warc_paths(sess, live)
         return sess.read.schema(WAL_SCHEMA).parquet(*live)
 
     def apply_epoch(batch: DataFrame, batch_id: int) -> None:

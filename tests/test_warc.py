@@ -47,6 +47,26 @@ def test_render_is_deterministic(spark):
     assert a == b
 
 
+def test_file_writer_matches_dataframe_render_bytes(spark):
+    """The streaming file writer (O(batch) memory) lands byte-identical
+    segments to the DataFrame render (O(segment) memory)."""
+    import os
+    import tempfile
+
+    from data_pipeline_spark.streaming.pipeline import write_warc_wal
+
+    wal = tempfile.mkdtemp(prefix="warcbytes_")
+    assert write_warc_wal(spark, SF_SMOKE, wal, n_files=4) == 4
+    log = cl.changelog(spark, SF_SMOKE)
+    blobs = {
+        int(r["segment_id"]): bytes(r["blob"])
+        for r in render_warc_segments(log, n_segments=4).collect()
+    }
+    for sid, blob in blobs.items():
+        with open(os.path.join(wal, f"seg-{sid:05d}.warc"), "rb") as f:
+            assert f.read() == blob
+
+
 def test_truncated_record_strict_raises_lax_keeps_prefix(spark):
     log = cl.changelog(spark, SF_SMOKE).limit(20)
     segs = render_warc_segments(log, n_segments=1)
@@ -58,6 +78,57 @@ def test_truncated_record_strict_raises_lax_keeps_prefix(spark):
         parse_warc_segments(cut, strict=True).count()
     # lax mode: every record except the torn tail survives
     assert parse_warc_segments(cut, strict=False).count() == 19
+
+
+def test_file_walker_roundtrip_and_truncation(spark):
+    """parse_warc_files (the O(chunk)-memory streaming walker) matches
+    the in-memory segment walk exactly, including torn-tail handling."""
+    import os
+    import tempfile
+
+    from data_pipeline_spark.operators.warc import parse_warc_files
+    from data_pipeline_spark.streaming.pipeline import write_warc_wal
+
+    wal = tempfile.mkdtemp(prefix="warcfiles_")
+    write_warc_wal(spark, SF_SMOKE, wal, n_files=4)
+    paths = spark.createDataFrame(
+        [(os.path.join(wal, f),) for f in sorted(os.listdir(wal))],
+        "wal_path string",
+    )
+    got = parse_warc_files(paths).withColumn("warc_ts", warc_date_to_ts())
+    log = cl.changelog(spark, SF_SMOKE)
+    cols = ["url", "lsn", "warc_ts", "op", "lang", "html"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, log.select(*cols).collect())
+    )
+    # tear one file's tail: strict raises, lax keeps its valid prefix
+    victim = os.path.join(wal, sorted(os.listdir(wal))[0])
+    data = open(victim, "rb").read()
+    open(victim, "wb").write(data[:-6])
+    one = spark.createDataFrame([(victim,)], "wal_path string")
+    with pytest.raises(Exception, match="truncated"):
+        parse_warc_files(one, strict=True).count()
+    n_victim_records = data.count(b"WARC/1.0")
+    assert parse_warc_files(one, strict=False).count() == n_victim_records - 1
+
+
+def test_file_walker_small_chunks(spark):
+    """The buffered walk is chunk-size independent (records spanning
+    refill boundaries reassemble exactly)."""
+    import io
+    import os
+    import tempfile
+
+    from data_pipeline_spark.operators.warc import _walk_file
+    from data_pipeline_spark.streaming.pipeline import write_warc_wal
+
+    wal = tempfile.mkdtemp(prefix="warcchunk_")
+    write_warc_wal(spark, SF_SMOKE, wal, n_files=1)
+    path = os.path.join(wal, sorted(os.listdir(wal))[0])
+    data = open(path, "rb").read()
+    big = list(_walk_file("x", io.BytesIO(data), True, chunk=1 << 20))
+    tiny = list(_walk_file("x", io.BytesIO(data), True, chunk=7))
+    assert big == tiny and len(big) == data.count(b"WARC/1.0")
 
 
 def test_garbage_segment_strict_raises(spark):
