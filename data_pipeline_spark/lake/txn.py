@@ -76,6 +76,24 @@ class MultiTableTransaction:
         self._parts.append((table, stage_id, commit_key))
         return stats
 
+    def stage_with(self, table: LakeTable, commit_key: str, fn):
+        """Stage one participant through an arbitrary write path: ``fn``
+        receives the allocated ``stage_id`` and must run a staged commit
+        on ``table`` under it (e.g. ``pipeline.apply_batch(...,
+        stage_id=stage_id)``) keyed by ``commit_key``. This lets
+        full pipelines — winner selection, extraction, DLQ — participate
+        in a multi-table transaction, not just raw ``merge_into`` batches.
+        The idempotent-replay contract is the callee's: if ``commit_key``
+        is already recorded on the table, ``fn`` must no-op WITHOUT
+        creating a staged snapshot (``commit_delta`` / ``merge_into``
+        already behave this way)."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        stage_id = f"txn-{self.txn_id}-{len(self._parts)}"
+        result = fn(stage_id)
+        self._parts.append((table, stage_id, commit_key))
+        return result
+
     def commit(self) -> None:
         """Publish every participant, all-or-nothing at the manifest
         write (the commit point).

@@ -1818,6 +1818,78 @@ def cdc_warc_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROUTE_EVEN = "CAST(regexp_extract(url, 'site-([0-9]+)', 1) AS INT) % 2 = 0"
+
+
+@register(
+    "cdc_routed_fanout",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        routed AS (
+          SELECT 'even' AS route, * FROM changelog WHERE {_ROUTE_EVEN}
+          UNION ALL
+          SELECT 'rest' AS route, * FROM changelog
+          WHERE NOT coalesce(({_ROUTE_EVEN}), false)
+        ),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number()
+              OVER (PARTITION BY route, url ORDER BY lsn DESC) rn
+            FROM routed) WHERE rn = 1)
+        SELECT route, url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete'
+    """,
+    doc="Routed multi-table fan-out sync (streaming/routes.py): ONE "
+    "streamed WAL routed by a key-derived predicate into TWO lake "
+    "tables, every epoch published all-or-nothing through a multi-table "
+    "transaction (Flink-CDC database-sync shape); result = union of "
+    "both tables' final states, oracle = per-route LWW collapse of the "
+    "predicate-filtered feed",
+)
+def cdc_routed_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.streaming.pipeline import write_wal
+    from data_pipeline_spark.streaming.routes import (
+        routed_stream_to_completion,
+    )
+
+    root = tempfile.mkdtemp(prefix="lake_rt_")
+    wal = os.path.join(root, "wal")
+    write_wal(spark, sf_dir, wal, n_files=3)
+    tables = routed_stream_to_completion(
+        spark,
+        wal,
+        {
+            "even": (os.path.join(root, "t_even"), _ROUTE_EVEN),
+            "rest": (os.path.join(root, "t_rest"), None),
+        },
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "txn"),
+        n_buckets=16,
+    )
+    frames = [
+        tables[name]
+        .read()
+        .select(
+            F.lit(name).alias("route"),
+            "url",
+            "lsn",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "warc_ts_s"
+            ),
+            "lang",
+            F.sha2("text", 256).alias("text_sha"),
+        )
+        for name in ("even", "rest")
+    ]
+    return frames[0].unionByName(frames[1])
+
+
 @register(
     "cdc_envelope_roundtrip",
     f"""

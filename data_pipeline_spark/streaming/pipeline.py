@@ -170,6 +170,29 @@ def _decode_warc_paths(sess: SparkSession, paths: list[str]) -> DataFrame:
     )
 
 
+def reread_wal_paths(
+    batch: DataFrame, source_format: str = "parquet"
+) -> DataFrame:
+    """Turn a paths-only epoch frame (one ``wal_path`` per WAL file the
+    file source assigned to this epoch) back into the epoch's event rows
+    via a real batch scan — pruned FileScans, pushed filters, and AQE
+    instead of an unpruned ``Scan ExistingRDD`` (see :func:`wal_stream`
+    ``paths_only``). Local files an in-place feed repair deleted are
+    skipped (the replacement segments arrive as a fresh epoch); non-local
+    URIs pass through untouched (object stores are immutable-by-key)."""
+    sess = batch.sparkSession
+    paths = [r[0] for r in batch.select("wal_path").distinct().collect()]
+    live = [
+        p for p in paths
+        if not p.startswith("file:") or os.path.exists(p[len("file:"):])
+    ]
+    if not live:
+        return sess.createDataFrame([], WAL_SCHEMA)
+    if source_format == "warc":
+        return _decode_warc_paths(sess, live)
+    return sess.read.schema(WAL_SCHEMA).parquet(*live)
+
+
 def wal_stream(
     spark: SparkSession,
     wal_dir: str,
@@ -341,20 +364,7 @@ def run_stream(
     seen = {"n": 0}
 
     def _reread(batch: DataFrame) -> DataFrame:
-        sess = batch.sparkSession
-        paths = [r[0] for r in batch.select("wal_path").distinct().collect()]
-        # Local-FS existence filter (scheme "file:"): a redelivered epoch
-        # may reference files an in-place repair deleted. Non-local URIs
-        # pass through untouched (object stores are immutable-by-key).
-        live = [
-            p for p in paths
-            if not p.startswith("file:") or os.path.exists(p[len("file:"):])
-        ]
-        if not live:
-            return sess.createDataFrame([], WAL_SCHEMA)
-        if source_format == "warc":
-            return _decode_warc_paths(sess, live)
-        return sess.read.schema(WAL_SCHEMA).parquet(*live)
+        return reread_wal_paths(batch, source_format)
 
     def apply_epoch(batch: DataFrame, batch_id: int) -> None:
         crash = fail_after_batches is not None and seen["n"] >= fail_after_batches
