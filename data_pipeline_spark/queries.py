@@ -1818,6 +1818,79 @@ def cdc_warc_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ISO 639-1 -> 639-2/T enrichment dim for the stream-side lookup join.
+_LANG3 = [
+    ("en", "eng"), ("de", "deu"), ("fr", "fra"), ("es", "spa"), ("pt", "por")
+]
+_LANG3_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{a}' THEN '{b}'" for a, b in _LANG3)
+    + " ELSE lang END"
+)
+
+
+@register(
+    "cdc_stream_enriched_state",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn,
+               {TS_DUCK.format(c='warc_ts')} AS warc_ts_s,
+               {_LANG3_CASE} AS lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete'
+    """,
+    doc="Stream-side enrichment (run_stream transform=): each epoch "
+    "broadcast-joins a small lang dim (ISO 639-1 -> 639-2) BEFORE the "
+    "apply — the Flink lookup-join shape; the dim broadcasts, wide feed "
+    "rows never shuffle, and the epoch key covers the enriched result; "
+    "oracle maps lang on the LWW final state (the mapping is a pure "
+    "function of lang, so per-event and per-winner enrichment agree)",
+)
+def cdc_stream_enriched_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.streaming.pipeline import (
+        stream_to_completion,
+        write_wal,
+    )
+
+    def enrich(batch: DataFrame) -> DataFrame:
+        dim = F.broadcast(
+            batch.sparkSession.createDataFrame(
+                _LANG3, "lang string, lang3 string"
+            )
+        )
+        cols = batch.columns
+        return (
+            batch.join(dim, "lang", "left")
+            .withColumn("lang", F.coalesce("lang3", "lang"))
+            .select(*cols)
+        )
+
+    root = tempfile.mkdtemp(prefix="lake_en_")
+    wal = os.path.join(root, "wal")
+    write_wal(spark, sf_dir, wal, n_files=3)
+    table = stream_to_completion(
+        spark, wal, os.path.join(root, "table"), os.path.join(root, "ckpt"),
+        n_buckets=16, record_metrics=False, transform=enrich,
+    )
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "warc_ts_s"
+        ),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
 _ROUTE_EVEN = "CAST(regexp_extract(url, 'site-([0-9]+)', 1) AS INT) % 2 = 0"
 
 

@@ -245,6 +245,7 @@ def run_stream(
     merge_mode: str = "lww",
     mode_props: dict | None = None,
     source_format: str = "parquet",
+    transform=None,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -313,6 +314,20 @@ def run_stream(
     still refuses ``watermark_days``: a late patch is a valid
     contribution, not a drop candidate.
 
+    ``transform`` (DataFrame -> DataFrame, WAL-schema-preserving) runs
+    INSIDE each epoch, after the file re-read and before the quality
+    gate / DLQ / apply — the stream-side enrichment stage (Flink lookup
+    join / Paimon dim-table enrichment analog). The canonical use is a
+    broadcast join against a small dimension (lang canonicalization,
+    tenant lookup, denylist tag): the dim broadcasts once per epoch, the
+    wide feed rows never shuffle, and the epoch's exactly-once key
+    covers the enriched result — a redelivered epoch re-enriches and
+    no-ops, so the transform MUST be deterministic (pure function of the
+    epoch's rows plus stable reference data; no clocks, no RNG, no
+    mutable external state). It runs before the gate on purpose:
+    enrichment can repair/derive contract columns, and the gate then
+    validates what will actually be committed.
+
     ``source_format="warc"`` tails a directory of ``.warc`` segment
     drops instead of parquet (the Common Crawl landing-zone shape): the
     stream carries segment paths (binaryFile source, content column
@@ -372,6 +387,8 @@ def run_stream(
             raise RuntimeError("injected mid-replay failure (before apply)")
         if reread_files:
             batch = _reread(batch)
+        if transform is not None:
+            batch = transform(batch)
         if max_fail_ratio is not None:
             from data_pipeline_spark.maintenance import quality_gate
 
