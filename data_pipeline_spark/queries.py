@@ -4343,6 +4343,81 @@ sql_pair(
 )
 
 
+sql_pair(
+    "docs_gopher_rules",
+    spark_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, lang, split(trim(text), '\\s+') AS t FROM documents),
+        m AS (
+          SELECT doc_id, lang, size(t) AS wc,
+                 aggregate(transform(t, x -> length(x)),
+                           CAST(0 AS BIGINT), (a, x) -> a + x) AS cs,
+                 size(array_distinct(t)) AS uniq,
+                 (CASE WHEN array_contains(t, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN array_contains(t, 'of')  THEN 1 ELSE 0 END
+                + CASE WHEN array_contains(t, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN array_contains(t, 'to')  THEN 1 ELSE 0 END
+                + CASE WHEN array_contains(t, 'in')  THEN 1 ELSE 0 END)
+                   AS nstop
+          FROM toks)
+        SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+               CAST(CASE WHEN wc BETWEEN 40 AND 100000
+                    THEN 1 ELSE 0 END AS INT) AS r_wordcount,
+               CAST(CASE WHEN cs * 10 >= 43 * wc AND cs <= 10 * wc
+                    THEN 1 ELSE 0 END AS INT) AS r_meanwordlen,
+               CAST(CASE WHEN uniq * 10 >= 4 * wc
+                    THEN 1 ELSE 0 END AS INT) AS r_uniquewords,
+               CAST(CASE WHEN lang <> 'en' OR nstop >= 2
+                    THEN 1 ELSE 0 END AS INT) AS r_stopwords,
+               CAST(CASE WHEN wc BETWEEN 40 AND 100000
+                          AND cs * 10 >= 43 * wc AND cs <= 10 * wc
+                          AND uniq * 10 >= 4 * wc
+                          AND (lang <> 'en' OR nstop >= 2)
+                    THEN 1 ELSE 0 END AS INT) AS keep
+        FROM m
+    """,
+    duck_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang, len(t) AS wc,
+                 list_sum(list_transform(t, x -> length(x))) AS cs,
+                 len(list_distinct(t)) AS uniq,
+                 (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(t, 'of')  THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(t, 'to')  THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(t, 'in')  THEN 1 ELSE 0 END)
+                   AS nstop
+          FROM toks)
+        SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+               CAST(CASE WHEN wc BETWEEN 40 AND 100000
+                    THEN 1 ELSE 0 END AS INT) AS r_wordcount,
+               CAST(CASE WHEN cs * 10 >= 43 * wc AND cs <= 10 * wc
+                    THEN 1 ELSE 0 END AS INT) AS r_meanwordlen,
+               CAST(CASE WHEN uniq * 10 >= 4 * wc
+                    THEN 1 ELSE 0 END AS INT) AS r_uniquewords,
+               CAST(CASE WHEN lang <> 'en' OR nstop >= 2
+                    THEN 1 ELSE 0 END AS INT) AS r_stopwords,
+               CAST(CASE WHEN wc BETWEEN 40 AND 100000
+                          AND cs * 10 >= 43 * wc AND cs <= 10 * wc
+                          AND uniq * 10 >= 4 * wc
+                          AND (lang <> 'en' OR nstop >= 2)
+                    THEN 1 ELSE 0 END AS INT) AS keep
+        FROM m
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Gopher-style rule-set filter (Rae et al. 2021 shape): per-doc "
+    "word count, mean-word-length band, unique-word fraction, and "
+    "stopword presence (en only) as exact integer predicates — no "
+    "floats, cross-multiplied thresholds, identical in both engines; "
+    "every rule discriminates on this corpus (keep ~17% at all sfs); "
+    "shuffle-free single-pass projection at scale",
+)
+
+
 @register(
     "docs_quality",
     f"SELECT doc_id, CAST(floor(({quality_score_sql('text', 'duck')}) "
