@@ -1007,6 +1007,70 @@ def cdc_incr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_stream_matview",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (
+          SELECT url, lsn, {extract_text_duckdb('html')} AS text
+          FROM latest WHERE op <> 'delete')
+        SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(length(text)) AS BIGINT) AS text_chars,
+               CAST(max(lsn) AS BIGINT) AS lsn_max
+        FROM live GROUP BY 1
+    """,
+    doc="STREAM-maintained materialized view (run_stream matview_spec=): "
+    "the per-domain rollup folds inside the stream loop every "
+    "refresh_every epochs (retract-stream changelog diff + keyed merge, "
+    "never a recompute — the Materialize-style downstream view); a final "
+    "maintenance refresh() catches the cadence tail; oracle = "
+    "from-scratch recompute over the LWW final state",
+)
+def cdc_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_pipeline_spark.matview import AggSpec, IncrementalView
+    from data_pipeline_spark.pipeline import ensure_table
+    from data_pipeline_spark.streaming.pipeline import (
+        stream_to_completion,
+        write_wal,
+    )
+
+    root = tempfile.mkdtemp(prefix="lake_smv_")
+    wal = os.path.join(root, "wal")
+    view_root = os.path.join(root, "view")
+    spec = {
+        "root": view_root,
+        "group_by": [
+            ("domain", "string", "regexp_extract(url, 'https://([^/]+)/', 1)")
+        ],
+        "aggs": [
+            AggSpec("n_pages", "count"),
+            AggSpec("text_chars", "sum", "length(text)"),
+            AggSpec("lsn_max", "max", "lsn"),
+        ],
+        "source_columns": ["text"],
+        "refresh_every": 2,
+    }
+    write_wal(spark, sf_dir, wal, n_files=3)
+    table = stream_to_completion(
+        spark, wal, os.path.join(root, "table"), os.path.join(root, "ckpt"),
+        n_buckets=16, record_metrics=False, matview_spec=spec,
+    )
+    view = IncrementalView(
+        spark, ensure_table(spark, os.path.join(root, "table"), 16),
+        view_root, group_by=spec["group_by"], aggs=spec["aggs"],
+        source_columns=spec["source_columns"],
+    )
+    view.refresh()  # cadence tail (epoch 3 landed after the last tick)
+    return view.read()
+
+
+@register(
     "cdc_row_lineage",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

@@ -246,6 +246,7 @@ def run_stream(
     mode_props: dict | None = None,
     source_format: str = "parquet",
     transform=None,
+    matview_spec: dict | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -328,6 +329,20 @@ def run_stream(
     enrichment can repair/derive contract columns, and the gate then
     validates what will actually be committed.
 
+    ``matview_spec`` keeps an incrementally-maintained materialized view
+    (matview.IncrementalView) in sync INSIDE the stream loop — the
+    Materialize / Paimon-aggregation downstream-view shape: ``{"root":
+    view_root, "group_by": [(name, ddl, sql_expr)], "aggs": [AggSpec,
+    ...], "source_columns": [...], "refresh_every": N}``. Every N
+    applied epochs the view folds the source's new commits via its
+    retract-stream changelog (one changelog diff + one keyed merge per
+    refresh, never a recompute). The view's own cursor-in-props epochs
+    make refreshes idempotent across stream restarts and redeliveries,
+    and a crash between the apply commit and the refresh just leaves the
+    view one refresh behind — the next cadence tick (or a maintenance
+    ``refresh()``) catches it up. LWW mode only (append-mode tables have
+    no whole-row changelog).
+
     ``source_format="warc"`` tails a directory of ``.warc`` segment
     drops instead of parquet (the Common Crawl landing-zone shape): the
     stream carries segment paths (binaryFile source, content column
@@ -357,6 +372,12 @@ def run_stream(
             "mode_props declares an APPEND table's merge engine; the "
             "lww path's table needs no engine declaration"
         )
+    if matview_spec is not None and merge_mode != "lww":
+        raise ValueError(
+            "matview_spec folds the table's whole-row retract-stream "
+            "changelog — append-mode tables store raw events and have "
+            "none; maintain views over their read-time collapse instead"
+        )
     if merge_mode == "append":
         from data_pipeline_spark.pipeline import ensure_event_table
 
@@ -377,6 +398,22 @@ def run_stream(
 
         dlq = ensure_dlq(spark, dlq_root)
     seen = {"n": 0}
+    mv: dict = {"view": None}
+
+    def _view():
+        if mv["view"] is None:
+            from data_pipeline_spark.matview import IncrementalView
+
+            mv["view"] = IncrementalView(
+                spark,
+                table,
+                matview_spec["root"],
+                group_by=matview_spec["group_by"],
+                aggs=matview_spec["aggs"],
+                n_buckets=matview_spec.get("n_buckets", 16),
+                source_columns=matview_spec.get("source_columns"),
+            )
+        return mv["view"]
 
     def _reread(batch: DataFrame) -> DataFrame:
         return reread_wal_paths(batch, source_format)
@@ -431,6 +468,14 @@ def run_stream(
                     f"stream-compact-{key_n}",
                     min_delta_ratio=compact_min_delta_ratio,
                 )
+        if (
+            matview_spec is not None
+            and seen["n"] % matview_spec.get("refresh_every", 1) == 0
+        ):
+            # Cursor-idempotent: a redelivered epoch's refresh folds
+            # nothing new; a crash before this line leaves the view one
+            # cadence behind, caught up by the next tick.
+            _view().refresh()
         if crash and fail_mode == "after":
             raise RuntimeError("injected post-commit failure (before checkpoint)")
 
