@@ -5220,6 +5220,56 @@ sql_pair(
     "hash order (engine-reproducible, no RNG) — training-mix balancing",
 )
 
+# Curation: temperature-weighted mixture resampling — per-group quotas
+# follow count^alpha with alpha=1/2 (the multilingual-sampling temperature
+# of mBERT/XLM-R: frequent languages down-weighted, rare ones kept),
+# computed EXACTLY: integer sqrt via correctly-rounded IEEE sqrt + floor
+# (identical in both engines for bigint counts), quotas as bigint
+# fractions of a 40%-of-corpus token budget, docs drawn per group in md5
+# hash order (no RNG). At scale: one count aggregate (broadcastable
+# group dim) + one window per group partition — no global shuffle of doc
+# payloads.
+sql_pair(
+    "docs_temperature_mix",
+    spark_sql="""
+        WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        w AS (SELECT lang, c,
+                     CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS w
+              FROM cnt),
+        tot AS (SELECT sum(w) AS tw, sum(c) AS tc FROM w),
+        quota AS (SELECT lang, ((tc * 2 div 5) * w) div tw AS q FROM w, tot),
+        ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.lang FROM ranked r
+        JOIN quota q ON r.lang = q.lang WHERE r.rn <= q.q
+    """,
+    duck_sql="""
+        WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        w AS (SELECT lang, c,
+                     CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS w
+              FROM cnt),
+        tot AS (SELECT sum(w) AS tw, sum(c) AS tc FROM w),
+        quota AS (SELECT lang, ((tc * 2 // 5) * w) // tw AS q FROM w, tot),
+        ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.lang FROM ranked r
+        JOIN quota q ON r.lang = q.lang WHERE r.rn <= q.q
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Temperature-weighted mixture resampling (alpha=0.5 sampling "
+    "temperature, the multilingual training-mix flattener): per-lang "
+    "quotas proportional to sqrt(count) over a 40%-of-corpus budget — "
+    "en's 40% share flattens to ~28% while rare langs keep more; exact "
+    "integer quotas, md5-hash-order draw, engine-reproducible",
+)
+
 # Curation: domain diversity cap — keep at most N documents per source
 # (the anti-domination pass: one crawl-heavy domain must not swamp the
 # training mix). Rank by quality proxy (longer docs first), tiebreak id.
