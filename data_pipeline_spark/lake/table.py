@@ -1641,19 +1641,38 @@ class LakeTable:
             out_cols.append(expr.alias(c))
         return changed.select(F.col(key), op.alias("op"), *out_cols)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 1, respect_consumers: bool = True
+    ) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (Iceberg
         expire_snapshots). Returns the expired version numbers. Data files
         still referenced by surviving snapshots are untouched — run
         :meth:`vacuum` afterwards to reclaim orphaned files. Tagged
         versions (and staged commits' parents) always survive — tags are
-        the rollback anchors expiry must not eat."""
+        the rollback anchors expiry must not eat.
+
+        ``respect_consumers`` (default True): registered incremental
+        readers (streaming/table_feed.py consumer registry, the Paimon
+        consumer-id shape) pin every snapshot at or above the laggiest
+        consumer's delivered version, so a reader that fell behind
+        resumes with incremental diffs instead of a full-state resync.
+        An abandoned consumer pins history forever — ``drop_consumer``
+        releases it (the caller's maintenance policy decides when)."""
         snaps = self.snapshot_log()
         if len(snaps) <= keep_last:
             return []
         cur = self.current().version
         keep = {s.version for s in snaps[-keep_last:]} | {cur}
         keep |= set(self.tags().values())
+        if respect_consumers:
+            from data_pipeline_spark.streaming.table_feed import (
+                consumer_versions,
+            )
+
+            pins = consumer_versions(self)
+            if pins:
+                floor = min(pins.values())
+                keep |= {s.version for s in snaps if s.version >= floor}
         keep |= {
             s.summary["staged_parent"]
             for s in self.staged_snapshots().values()

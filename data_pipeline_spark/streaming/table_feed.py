@@ -60,12 +60,64 @@ def write_cursor(checkpoint_dir: str, version: int) -> None:
     _atomic_write(_cursor_path(checkpoint_dir), json.dumps({"version": version}))
 
 
+# -- consumer registry (Paimon consumer-id analog) --------------------------
+#
+# A CONSUMER is a named incremental reader whose delivered position is
+# registered IN the source table (one tiny JSON per consumer under
+# ``_consumers/``). ``expire_snapshots(respect_consumers=True)`` keeps
+# every snapshot at or above the laggiest registered consumer, so a
+# reader that falls behind gets incremental diffs on resume instead of
+# the full-state resync epoch. The checkpoint cursor stays the
+# consumer-side truth; the registration is the table-side retention
+# contract. Operational edges: an ABANDONED consumer pins history
+# forever — ``drop_consumer`` (or Paimon's expiration-time policy,
+# enforced by the caller's maintenance round) releases it.
+
+CONSUMER_DIR = "_consumers"
+
+
+def _consumer_path(table: LakeTable, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"bad consumer name {name!r}")
+    return os.path.join(table.root, CONSUMER_DIR, f"{name}.json")
+
+
+def register_consumer(table: LakeTable, name: str, version: int) -> None:
+    """Record (create or advance) a consumer's delivered position."""
+    os.makedirs(os.path.join(table.root, CONSUMER_DIR), exist_ok=True)
+    _atomic_write(
+        _consumer_path(table, name), json.dumps({"version": int(version)})
+    )
+
+
+def drop_consumer(table: LakeTable, name: str) -> bool:
+    """Release a consumer's retention pin. Returns True if it existed."""
+    p = _consumer_path(table, name)
+    if os.path.exists(p):
+        os.remove(p)
+        return True
+    return False
+
+
+def consumer_versions(table: LakeTable) -> dict[str, int]:
+    d = os.path.join(table.root, CONSUMER_DIR)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                out[fn[: -len(".json")]] = int(json.load(f)["version"])
+    return out
+
+
 def follow_table(
     table: LakeTable,
     checkpoint_dir: str,
     apply_fn: Callable[[DataFrame, str], None],
     max_versions_per_epoch: int | None = None,
     start_version: int | None = None,
+    consumer: str | None = None,
 ) -> int:
     """Drain the table's commit log from the checkpointed cursor to the
     current snapshot, delivering one change-feed DataFrame per epoch to
@@ -82,13 +134,26 @@ def follow_table(
     Call again later to pick up new commits; each call is one polling
     drain (wrap in the caller's trigger loop / scheduler for continuous
     tailing — the same shape as streaming/pipeline.run_stream epochs).
+
+    ``consumer`` names this reader in the SOURCE table's consumer
+    registry: every cursor advance also registers the delivered version
+    (:func:`register_consumer`), and ``expire_snapshots(
+    respect_consumers=True)`` then refuses to expire the suffix this
+    reader still needs — a lagging consumer resumes with incremental
+    diffs instead of the full-state resync epoch below.
     """
+
+    def _advance(v: int) -> None:
+        write_cursor(checkpoint_dir, v)
+        if consumer is not None:
+            register_consumer(table, consumer, v)
+
     cur = table.current().version
     oldest = min(s.version for s in table.snapshot_log())
     v0 = read_cursor(checkpoint_dir)
     if v0 is None:
         v0 = start_version if start_version is not None else oldest
-        write_cursor(checkpoint_dir, v0)
+        _advance(v0)
     if v0 < oldest:
         # The cursor points past `expire_snapshots`' horizon — the missed
         # intervals no longer exist as diffs. The LWW table still holds
@@ -114,7 +179,7 @@ def follow_table(
             ],
         )
         apply_fn(feed, f"table-feed-resync-{v0}-{cur}")
-        write_cursor(checkpoint_dir, cur)
+        _advance(cur)
         return 1
     epochs = 0
     while v0 < cur:
@@ -124,7 +189,7 @@ def follow_table(
         feed = table.changes_between(v0, v1)
         if not feed.isEmpty():
             apply_fn(feed, f"table-feed-{v0}-{v1}")
-        write_cursor(checkpoint_dir, v1)
+        _advance(v1)
         v0 = v1
         epochs += 1
     return epochs
