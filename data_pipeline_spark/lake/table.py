@@ -1074,6 +1074,84 @@ class LakeTable:
             min_order=order_gt, include_tombstones=include_tombstones
         )
 
+    def count_rows(
+        self,
+        snap: Snapshot | None = None,
+        buckets: set[int] | None = None,
+        raw: bool = False,
+        with_plan: bool = False,
+    ):
+        """COUNT(*) with metadata pushdown (Iceberg count-aggregate /
+        Paimon record-count shape): buckets whose files are all BASE kind
+        answer from manifest ``live_rows`` sums — zero data IO — because
+        base files hold unique keys per bucket (only compaction / split /
+        create write them) and ``live_rows`` already excludes tombstone
+        rows; buckets carrying deltas fall back to ONE scan pruned to
+        exactly those buckets (the same soundness split the per-bucket
+        merge-on-read collapse uses). On a live 10^10-row table between
+        compactions this turns COUNT(*) from a full scan into a
+        metadata sum plus a scan of the delta tail.
+
+        ``raw=True`` counts PHYSICAL rows (tombstones included, no LWW
+        collapse) — always a pure metadata sum, and the only count a
+        merge-mode (event/patch/agg) table supports: its logical row
+        count depends on the read-time merge engine, so the default
+        refuses loudly there rather than guessing.
+
+        Legacy manifest entries written before row counts existed force
+        the scan fallback for their buckets (never a wrong answer).
+
+        ``with_plan=True`` returns ``{"count", "metadata_buckets",
+        "scanned_buckets"}`` for tests and access-path benchmarks."""
+        snap = snap or self.current()
+        mode = snap.props.get("merge.mode", "lww")
+        if mode != "lww" and not raw:
+            raise ValueError(
+                f"count_rows on a merge.mode={mode!r} table needs "
+                "raw=True (physical event rows): its logical count is "
+                "defined by the read-time merge engine — count the "
+                "collapsed read instead"
+            )
+        sel = (
+            set(snap.manifests)
+            if buckets is None
+            else {str(b) for b in buckets}
+        )
+        total = 0
+        meta_b: list[int] = []
+        scan_b: set[int] = set()
+        for b in sorted(sel, key=int):
+            entries = self.bucket_entries(snap, b)
+            if raw:
+                if all("rows" in e for e in entries):
+                    total += sum(e["rows"] for e in entries)
+                    meta_b.append(int(b))
+                else:
+                    scan_b.add(int(b))
+                continue
+            if all(
+                e["kind"] == "base" and "live_rows" in e for e in entries
+            ):
+                total += sum(e["live_rows"] for e in entries)
+                meta_b.append(int(b))
+            else:
+                scan_b.add(int(b))
+        if scan_b:
+            total += self.read(
+                buckets=scan_b,
+                snap=snap,
+                raw=raw,
+                include_tombstones=raw,
+                columns=[snap.key],
+            ).count()
+        if with_plan:
+            return {
+                "count": total,
+                "metadata_buckets": meta_b,
+                "scanned_buckets": sorted(scan_b),
+            }
+        return total
+
     def read(
         self,
         buckets: set[int] | None = None,
@@ -1980,6 +2058,24 @@ class LakeTable:
             "bytes": os.path.getsize(abs_p),
             "stats": self._footer_stats(abs_p),
         }
+        # Row counts for metadata-only aggregation (Iceberg
+        # record_count / count-pushdown shape): total rows come free from
+        # the footer; live rows (tombstones excluded) cost one bit-packed
+        # boolean-column read — a sliver next to the payload, on the same
+        # GIL-releasing thread pool. count_rows() answers COUNT(*) from
+        # these for all-base buckets and scans only delta buckets.
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(abs_p)
+        e["rows"] = md.num_rows
+        names = set(md.schema.to_arrow_schema().names)
+        if TOMBSTONE_COL in names and md.num_rows:
+            import pyarrow.compute as pc
+
+            col = pq.read_table(abs_p, columns=[TOMBSTONE_COL]).column(0)
+            e["live_rows"] = md.num_rows - (pc.sum(col).as_py() or 0)
+        else:
+            e["live_rows"] = md.num_rows
         if bloom is not None:
             import base64
 
