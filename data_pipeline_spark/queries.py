@@ -1548,6 +1548,53 @@ def cdc_wap_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_count_pushdown",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT 'compacted' AS phase,
+               CAST(count(*) FILTER (WHERE op <> 'delete') AS BIGINT)
+                 AS n_live
+        FROM latest
+        UNION ALL
+        SELECT 'with_delta_tail' AS phase,
+               CAST(count(*) FILTER (WHERE op <> 'delete') AS BIGINT)
+                 AS n_live
+        FROM latest
+    """,
+    doc="Metadata-only COUNT(*) (count_rows): after compaction the count "
+    "is a pure manifest sum (zero data IO, asserted); after one more "
+    "delta commit only the touched buckets scan — both phases must equal "
+    "the oracle's from-scratch live count (the late batch re-delivers "
+    "existing winners, so the logical count is unchanged while the "
+    "physical plan shifts from metadata to mixed)",
+)
+def cdc_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, replay
+
+    root = tempfile.mkdtemp(prefix="lake_cnt_")
+    table = replay(spark, sf_dir, root, n_batches=3, n_buckets=16,
+                   record_metrics=False)
+    table.compact("c1")
+    p1 = table.count_rows(with_plan=True)
+    assert p1["scanned_buckets"] == [], "compacted count must be metadata-only"
+    late = cl.changelog(spark, sf_dir).orderBy(F.desc("lsn")).limit(50)
+    apply_batch(table, late, commit_key="late", record_metrics=False)
+    p2 = table.count_rows(with_plan=True)
+    assert p2["scanned_buckets"], "delta tail must scan its buckets"
+    assert len(p2["scanned_buckets"]) < 16 or len(p2["metadata_buckets"]) == 0
+    return spark.createDataFrame(
+        [("compacted", p1["count"]), ("with_delta_tail", p2["count"])],
+        "phase string, n_live bigint",
+    )
+
+
+@register(
     "cdc_point_lookup",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
