@@ -1420,6 +1420,62 @@ def cdc_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_merge_sql",
+    REGISTRY["cdc_merge_when"].oracle,
+    doc="The SAME conditional merge driven through its SQL TEXT "
+    "(sql_merge.py): the Delta/Iceberg `MERGE INTO ... WHEN MATCHED AND "
+    "... THEN DELETE / UPDATE SET / WHEN NOT MATCHED INSERT *` statement "
+    "parsed (alias rewrite, clause mapping, guardrails) and compiled "
+    "onto merge_when — identical oracle as cdc_merge_when, so any parse "
+    "or compilation drift breaks parity",
+)
+def cdc_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+    from data_pipeline_spark.sql_merge import merge_sql
+
+    log = cl.changelog(spark, sf_dir)
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_ms_"), 16)
+    apply_batch(table, log, "ms-replay", record_metrics=False)
+    hi = log.agg(F.max("lsn").alias("m")).first()["m"]
+    latest = (
+        log.groupBy("url")
+        .agg(F.max_by(F.struct("warc_ts", "html", "lang"), "lsn").alias("w"))
+        .select("url", "w.*")
+    )
+    src = latest.filter(F.substring(F.md5(F.col("url")), 1, 1) < "8").select(
+        "url",
+        F.lit(hi + 1).cast("bigint").alias("lsn"),
+        "warc_ts",
+        "html",
+        extract_text_sql("html").alias("text"),
+        "lang",
+    )
+    merge_sql(
+        """
+        MERGE INTO pages AS tgt
+        USING recrawl AS src
+        ON tgt.url = src.url
+        WHEN MATCHED AND substr(md5(src.url), 2, 1) < '2' THEN DELETE
+        WHEN MATCHED
+          THEN UPDATE SET lang = concat(tgt.lang, '+', src.lang)
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        "ms-1",
+        tables={"pages": table},
+        sources={"recrawl": src},
+    )
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_widen_default",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

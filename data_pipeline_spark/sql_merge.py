@@ -1,0 +1,243 @@
+"""SQL text front end for conditional MERGE — the statement a
+Delta/Iceberg user already writes, compiled onto this engine's
+:func:`operators.merge_clauses.merge_when`:
+
+    MERGE INTO pages AS t
+    USING updates AS s
+    ON t.url = s.url
+    WHEN MATCHED AND s.op = 'delete' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET lang = s.lang
+    WHEN NOT MATCHED THEN INSERT *
+
+Why a bespoke parser instead of ``spark.sql``: open-source Spark parses
+``MERGE INTO`` but can only EXECUTE it against a catalog that implements
+row-level operations (Delta's extension or an Iceberg catalog jar) — in
+a jar-less deployment the statement dies at analysis. The grammar below
+is the intersection both of those engines accept, so statements written
+here run unchanged on Delta/Iceberg later (the reverse-compatibility
+mirror of lake/interop.py's reader_sql export).
+
+Restricted grammar (case-insensitive keywords, one clause per kind —
+Delta's semantics are in-order first-match anyway, and the engine's
+DELETE-before-UPDATE precedence matches Delta's canonical CDC form):
+
+    MERGE INTO <target> [AS] <t-alias>
+    USING (<ident> | (<subquery>)) [AS] <s-alias>
+    ON <t-alias>.<key> = <s-alias>.<key>      -- key equality, either order
+    [WHEN MATCHED [AND <cond>] THEN DELETE]
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET <col> = <expr>[, ...] | SET *]
+    [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+
+Conditions / SET expressions are ordinary Spark SQL over the two
+aliases; they are rewritten to the canonical ``s.`` / ``t.`` before
+compilation (word-boundary alias rewrite, quoted strings left intact).
+Everything after the parse is the existing engine: pruned target fetch,
+one declarative clause join, merge-on-read event commit, exactly-once
+on ``commit_key``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from data_pipeline_spark.lake.merge import MergeStats
+from data_pipeline_spark.lake.table import LakeTable
+from data_pipeline_spark.operators.merge_clauses import merge_when
+
+_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)\s+(?:AS\s+)?(?P<t>\w+)\s+"
+    r"USING\s+(?:(?P<src>[\w.]+)|\((?P<sub>.+?)\))\s+(?:AS\s+)?(?P<s>\w+)\s+"
+    r"ON\s+(?P<on>.+?)\s*(?=WHEN\s)",
+    re.IGNORECASE | re.DOTALL,
+)
+_CLAUSE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"(?P<action>DELETE|UPDATE\s+SET\s+(?P<set>.+?)|INSERT\s*\*)\s*"
+    r"(?=WHEN\s|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/quotes (SET assignment list)."""
+    parts, depth, q, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _rewrite_aliases(expr: str, t_alias: str, s_alias: str) -> str:
+    """Rewrite user aliases to the canonical t./s. outside quotes."""
+    out, q = [], None
+    i = 0
+    pat = re.compile(
+        rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\s*\.", re.IGNORECASE
+    )
+    while i < len(expr):
+        ch = expr[i]
+        if q is None and ch in "'\"":
+            q = ch
+            out.append(ch)
+            i += 1
+        elif q is not None:
+            if ch == q:
+                q = None
+            out.append(ch)
+            i += 1
+        else:
+            m = pat.match(expr, i)
+            if m:
+                alias = m.group(1).lower()
+                out.append("t." if alias == t_alias.lower() else "s.")
+                i = m.end()
+            else:
+                out.append(ch)
+                i += 1
+    return "".join(out)
+
+
+def merge_sql(
+    sql: str,
+    commit_key: str,
+    tables: dict[str, LakeTable],
+    sources: dict[str, DataFrame] | None = None,
+    **merge_kw,
+) -> MergeStats:
+    """Parse and execute one MERGE statement. ``tables`` resolves the
+    target name; ``USING <name>`` resolves through ``sources`` first,
+    then Spark temp views; ``USING (SELECT ...)`` runs through
+    ``spark.sql``. Extra kwargs pass to :func:`merge_when`
+    (``max_point_keys`` etc.)."""
+    head = _HEAD.match(sql)
+    if not head:
+        raise ValueError(
+            "unparseable MERGE header — expected: MERGE INTO <tbl> [AS] t "
+            "USING <src|(subquery)> [AS] s ON t.<key> = s.<key> WHEN ..."
+        )
+    tname = head.group("target")
+    if tname not in tables:
+        raise KeyError(f"unknown target table {tname!r}")
+    table = tables[tname]
+    t_alias, s_alias = head.group("t"), head.group("s")
+    if t_alias.lower() == s_alias.lower():
+        raise ValueError("target and source aliases must differ")
+
+    spark = table.spark
+    if head.group("sub"):
+        source = spark.sql(head.group("sub"))
+    else:
+        sname = head.group("src")
+        source = (sources or {}).get(sname)
+        if source is None:
+            source = spark.table(sname)
+
+    key = table.current().key
+    on = _rewrite_aliases(head.group("on"), t_alias, s_alias)
+    canon = {
+        re.sub(r"\s+", "", f"t.{key}=s.{key}"),
+        re.sub(r"\s+", "", f"s.{key}=t.{key}"),
+    }
+    if re.sub(r"\s+", "", on) not in canon:
+        raise ValueError(
+            f"ON must be key equality on {key!r} "
+            f"(got {head.group('on')!r}) — general join conditions are "
+            "not part of the restricted grammar"
+        )
+
+    kw: dict = dict(
+        matched_update=None,
+        matched_update_cond=None,
+        matched_delete_cond=None,
+        insert_not_matched=False,
+        not_matched_cond=None,
+    )
+    body = sql[head.end():]
+    seen_clauses = set()
+    matched_count = 0
+    for m in _CLAUSE.finditer(body):
+        is_not = bool(m.group("not"))
+        cond = m.group("cond")
+        cond = (
+            _rewrite_aliases(cond, t_alias, s_alias) if cond else None
+        )
+        action = m.group("action").upper()
+        if is_not:
+            if not action.startswith("INSERT"):
+                raise ValueError("WHEN NOT MATCHED supports only INSERT *")
+            kind = "insert"
+        elif action == "DELETE":
+            kind = "delete"
+        elif action.startswith("UPDATE"):
+            kind = "update"
+        else:
+            raise ValueError(f"unsupported matched action {action!r}")
+        if kind in seen_clauses:
+            raise ValueError(f"duplicate WHEN clause kind: {kind}")
+        seen_clauses.add(kind)
+        if kind == "insert":
+            kw["insert_not_matched"] = True
+            kw["not_matched_cond"] = cond
+        elif kind == "delete":
+            kw["matched_delete_cond"] = cond or "true"
+            matched_count += 1
+        else:
+            set_txt = m.group("set").strip()
+            if set_txt == "*":
+                fields = table.schema_fields(table.current())
+                order = table.current().order_col
+                kw["matched_update"] = {
+                    n: f"s.{n}"
+                    for n, _ in fields
+                    if n not in (key, order)
+                }
+            else:
+                upd = {}
+                for a in _split_top_level(set_txt):
+                    col, _, expr = a.partition("=")
+                    col = col.strip()
+                    if not expr.strip():
+                        raise ValueError(f"bad SET assignment {a!r}")
+                    if "." in col:
+                        alias, _, bare = col.partition(".")
+                        if alias.lower() != t_alias.lower():
+                            raise ValueError(
+                                f"SET target {col!r} must be a target column"
+                            )
+                        col = bare.strip()
+                    upd[col] = _rewrite_aliases(
+                        expr.strip(), t_alias, s_alias
+                    )
+                kw["matched_update"] = upd
+            kw["matched_update_cond"] = cond
+            matched_count += 1
+    if not seen_clauses:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    # DELETE-before-UPDATE is the engine's fixed precedence (Delta's
+    # canonical CDC ordering); statements relying on UPDATE being tried
+    # first would silently change meaning, so refuse them at parse time.
+    if matched_count == 2:
+        first = _CLAUSE.search(body)
+        if first and first.group("action").upper().startswith("UPDATE"):
+            du = kw["matched_update_cond"]
+            if du is None:
+                raise ValueError(
+                    "an unconditional UPDATE written before DELETE would "
+                    "shadow it under in-order semantics, but this engine "
+                    "evaluates DELETE first — add a condition to the "
+                    "UPDATE clause or reorder the statement"
+                )
+    return merge_when(table, source, commit_key, **kw, **merge_kw)
