@@ -1775,7 +1775,7 @@ class LakeTable:
                 expired.append(s.version)
         return expired
 
-    def vacuum(self, min_age_s: float = 0.0) -> int:
+    def vacuum(self, min_age_s: float = 0.0, dry_run: bool = False) -> int:
         """Delete data files and manifests referenced by NO surviving
         snapshot — pending staged (WAP) commits count as live roots, so
         an audit window can outlast a vacuum; an ABORTED stage's files
@@ -1784,7 +1784,11 @@ class LakeTable:
         commits; with OPTIMISTIC concurrent writers, pass ``min_age_s``
         (Iceberg's orphan-file retention): a racer's freshly-written
         files are unreferenced until its snapshot CAS lands, and an
-        age floor longer than any in-flight commit keeps them safe."""
+        age floor longer than any in-flight commit keeps them safe.
+
+        ``dry_run=True`` reports the count without deleting anything
+        (the operational what-would-go audit before a destructive
+        sweep)."""
         from data_pipeline_spark.lake.branch import branch_snapshot_roots
 
         now = time.time()
@@ -1811,13 +1815,16 @@ class LakeTable:
                 if fn.endswith(".parquet") and rel not in live:
                     if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
                         continue  # too young: possibly an in-flight commit
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     removed += 1
-            if not os.listdir(dirpath):
+            if not dry_run and not os.listdir(dirpath):
                 os.rmdir(dirpath)
         man_dir = os.path.join(self.root, MANIFEST_DIR)
         for fn in os.listdir(man_dir):
             if fn.endswith(".json") and fn not in live_manifests:
+                if dry_run:
+                    continue
                 os.remove(os.path.join(man_dir, fn))
                 self._manifest_cache.pop(fn, None)
         return removed

@@ -168,6 +168,16 @@ def main() -> None:
         ),
     }
 
+    # COUNT(*): metadata sum over manifest live_rows (zero data IO on
+    # the compacted table) vs the full collapsed scan. The fast path's
+    # wall is pure driver-side JSON walking — no Spark job at all.
+    results["count_star"] = {
+        "indexed_s": best_of(trials, lambda: table.count_rows()),
+        "full_s": best_of(trials, lambda: table.read().count()),
+    }
+    assert table.count_rows() == table.read().count()
+    assert table.count_rows(with_plan=True)["scanned_buckets"] == []
+
     # Equality probes: every fast path must return exactly the naive
     # path's rows (a wrong fast path is worse than a slow one).
     for ts_ in term_sets:

@@ -76,3 +76,15 @@ def test_bucket_subset_count(spark, tmp_path):
     t.compact("c1")
     sub = {0, 3, 5}
     assert t.count_rows(buckets=sub) == t.read(buckets=sub).count()
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    t = replay(spark, SF_DIR, str(tmp_path / "t"), n_batches=2,
+               n_buckets=8, record_metrics=False)
+    t.compact("c1")
+    t.expire_snapshots(keep_last=1, respect_consumers=False)
+    would = t.vacuum(dry_run=True)
+    assert would > 0
+    assert t.read().count() == t.count_rows()  # nothing was touched
+    assert t.vacuum() == would  # the real sweep removes exactly that many
+    assert t.vacuum(dry_run=True) == 0
