@@ -105,6 +105,65 @@ def delete_where(
     return merge_into(table, batch, commit_key, precollapsed=True)
 
 
+def update_where(
+    table: LakeTable,
+    set_exprs: dict[str, str],
+    predicate: Column | str,
+    commit_key: str,
+) -> "MergeStats":
+    """Predicate update (``UPDATE t SET col = expr WHERE ...``) as a
+    normal DELTA commit: every currently-live row matching ``predicate``
+    re-enters with the named columns replaced by their SET expressions
+    (ordinary Spark SQL over the row's own columns) and the order column
+    stamped at the table's high-watermark lsn + 1 — "as of this
+    snapshot", same fencing as :func:`delete_where`: anything already
+    reflected loses the read-time LWW race to the rewrite, a genuinely
+    newer feed event still wins.
+
+    Writes O(matching rows) via the merge-on-read delta path — no bucket
+    rewrite; compaction folds the superseded versions later. Idempotent
+    on ``commit_key``. The key and order columns are not assignable.
+
+    Reference analog: criteria-driven metadata fix-up rewriting fields
+    in place (operator-tools/_migrate_catalog/runner.py:73-86).
+    """
+    from data_pipeline_spark.lake.merge import MergeStats, merge_into
+
+    snap = table.current()
+    if commit_key in snap.commits:
+        return MergeStats(commit_key, False, snap.version, 0)
+    key, order = snap.key, snap.order_col
+    fields = table.schema_fields(snap)
+    names = {n for n, _ in fields}
+    reserved = set(set_exprs) & {key, order}
+    if reserved:
+        raise KeyError(f"SET may not assign key/order columns {sorted(reserved)}")
+    unknown = set(set_exprs) - names
+    if unknown:
+        raise KeyError(f"SET names unknown columns {sorted(unknown)}")
+    fence = table.read(columns=[]).agg(F.max(order)).first()[0]
+    if fence is None:
+        return MergeStats(commit_key, False, snap.version, 0)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = table.read().filter(pred)
+    batch = hit.select(
+        F.col(key),
+        *[
+            (
+                F.lit(fence + 1).cast(d).alias(n)
+                if n == order
+                else F.expr(set_exprs[n]).cast(d).alias(n)
+                if n in set_exprs
+                else F.col(n)
+            )
+            for n, d in fields
+            if n != key
+        ],
+        F.lit("update").alias("op"),
+    )
+    return merge_into(table, batch, commit_key, precollapsed=True)
+
+
 def retention_sweep(
     table: LakeTable,
     commit_key: str,

@@ -1476,6 +1476,104 @@ def cdc_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_sql_update_delete",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        fu AS (SELECT max(lsn) AS m FROM live),
+        upd AS (
+          SELECT url,
+                 CASE WHEN substr(md5(url), 1, 1) < '6'
+                      THEN (SELECT m FROM fu) + 1 ELSE lsn END AS lsn,
+                 CASE WHEN substr(md5(url), 1, 1) < '6'
+                      THEN lang || '-x' ELSE lang END AS lang,
+                 html
+          FROM live)
+        SELECT url, lsn, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM upd WHERE substr(md5(url), 2, 1) >= '3'
+    """,
+    doc="SQL UPDATE + DELETE statement texts (sql_merge.dml_sql): "
+    "UPDATE compiles onto maintenance.update_where — matching live rows "
+    "re-enter with SET applied, fenced at high-watermark lsn + 1 — and "
+    "DELETE onto delete_where (tombstones at the next fence). Both are "
+    "O(matching rows) merge-on-read delta commits; the oracle replays "
+    "the same two statements arithmetically over the changelog final "
+    "state (update touches a deterministic ~37%% of urls, delete a "
+    "disjoint-keyed ~19%%)",
+)
+def cdc_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+    from data_pipeline_spark.sql_merge import dml_sql
+
+    log = cl.changelog(spark, sf_dir)
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_dml_"), 16)
+    apply_batch(table, log, "dml-replay", record_metrics=False)
+    dml_sql(
+        "UPDATE pages AS p SET lang = concat(p.lang, '-x') "
+        "WHERE substr(md5(p.url), 1, 1) < '6'",
+        "dml-upd",
+        tables={"pages": table},
+    )
+    dml_sql(
+        "DELETE FROM pages WHERE substr(md5(url), 2, 1) < '3'",
+        "dml-del",
+        tables={"pages": table},
+    )
+    return table.read().select(
+        "url", "lsn", "lang", F.sha2("text", 256).alias("text_sha")
+    )
+
+
+def _hll_oracle() -> str:
+    from data_pipeline_spark.operators.sketches import hll_sketch_duckdb_sql
+
+    body = hll_sketch_duckdb_sql(
+        "SELECT lang, url FROM changelog WHERE op <> 'delete'",
+        ["lang"],
+        "url",
+    ).lstrip()
+    assert body.upper().startswith("WITH")
+    return (
+        f"WITH changelog AS ({cl.changelog_duckdb_sql('events')}), "
+        + body[4:]
+    )
+
+
+@register(
+    "cdc_hll_sketch",
+    _hll_oracle(),
+    doc="Mergeable HyperLogLog distinct-url sketch per lang "
+    "(operators/sketches.py): md5-derived registers (m=256, rank from "
+    "48 probe bits) built as TWO half-corpus sketches (lsn parity) and "
+    "merged register-wise — the oracle computes the register table "
+    "single-shot in DuckDB, so parity proves BOTH the pure-codegen rank "
+    "arithmetic (no platform hash, no libm) AND sketch(A∪B) == "
+    "merge(sketch(A), sketch(B)). At 100 TB each partition leaves ≤256 "
+    "rows per group (map-side combine); shard sketches roll up without "
+    "re-reading data",
+)
+def cdc_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.sketches import hll_merge, hll_sketch
+
+    log = cl.changelog(spark, sf_dir).filter(F.col("op") != "delete")
+    ev = log.select("lang", "url", "lsn")
+    halves = [
+        hll_sketch(ev.filter(F.col("lsn") % 2 == i), ["lang"], "url")
+        for i in (0, 1)
+    ]
+    return hll_merge(*halves)
+
+
+@register(
     "cdc_widen_default",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

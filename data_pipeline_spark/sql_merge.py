@@ -241,3 +241,117 @@ def merge_sql(
                     "UPDATE clause or reorder the statement"
                 )
     return merge_when(table, source, commit_key, **kw, **merge_kw)
+
+
+# -- UPDATE / DELETE statements ----------------------------------------------
+
+_UPDATE_HEAD = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?P<t>(?!SET\b)\w+))?"
+    r"\s+SET\s+(?P<set>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_HEAD = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?P<t>(?!WHERE\b)\w+))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _strip_alias(expr: str, alias: str | None) -> str:
+    """Drop ``alias.`` prefixes outside quotes — UPDATE/DELETE expressions
+    evaluate over the table's own columns, no second side exists."""
+    if not alias:
+        return expr
+    out, q, i = [], None, 0
+    pat = re.compile(rf"\b{re.escape(alias)}\s*\.", re.IGNORECASE)
+    while i < len(expr):
+        ch = expr[i]
+        if q is None and ch in "'\"":
+            q = ch
+            out.append(ch)
+            i += 1
+        elif q is not None:
+            if ch == q:
+                q = None
+            out.append(ch)
+            i += 1
+        else:
+            m = pat.match(expr, i)
+            if m:
+                i = m.end()
+            else:
+                out.append(ch)
+                i += 1
+    return "".join(out)
+
+
+def dml_sql(
+    sql: str,
+    commit_key: str,
+    tables: dict[str, LakeTable],
+    sources: dict[str, DataFrame] | None = None,
+    **kw,
+) -> MergeStats:
+    """One DML statement — ``MERGE INTO`` / ``UPDATE`` / ``DELETE FROM`` —
+    parsed and compiled onto the engine's native operators. UPDATE maps to
+    :func:`maintenance.update_where` (matching live rows re-enter with SET
+    applied, fenced at high-watermark lsn + 1), DELETE to
+    :func:`maintenance.delete_where` (tombstones at the same fence); both
+    are O(matching rows) merge-on-read delta commits, idempotent on
+    ``commit_key``. Omitting WHERE touches the whole table, as in
+    Delta/Iceberg. SET/WHERE texts are ordinary Spark SQL over the table's
+    columns (an optional alias is stripped)."""
+    from data_pipeline_spark.maintenance import delete_where, update_where
+
+    head_kw = re.match(r"\s*(\w+)", sql)
+    verb = (head_kw.group(1) if head_kw else "").upper()
+    if verb == "MERGE":
+        return merge_sql(sql, commit_key, tables, sources, **kw)
+
+    def _target(m) -> LakeTable:
+        tname = m.group("target")
+        if tname not in tables:
+            raise KeyError(f"unknown target table {tname!r}")
+        return tables[tname]
+
+    if verb == "UPDATE":
+        m = _UPDATE_HEAD.match(sql)
+        if not m:
+            raise ValueError(
+                "unparseable UPDATE — expected: UPDATE <tbl> [AS t] "
+                "SET col = expr[, ...] [WHERE <pred>]"
+            )
+        table = _target(m)
+        alias = m.group("t")
+        upd: dict[str, str] = {}
+        for a in _split_top_level(m.group("set")):
+            col, _, expr = a.partition("=")
+            col = col.strip()
+            if not expr.strip():
+                raise ValueError(f"bad SET assignment {a!r}")
+            if "." in col:
+                al, _, bare = col.partition(".")
+                if alias is None or al.lower() != alias.lower():
+                    raise ValueError(f"SET target {col!r} is not the target alias")
+                col = bare.strip()
+            upd[col] = _strip_alias(expr.strip(), alias)
+        where = _strip_alias(m.group("where") or "true", alias)
+        return update_where(table, upd, where, commit_key)
+
+    if verb == "DELETE":
+        m = _DELETE_HEAD.match(sql)
+        if not m:
+            raise ValueError(
+                "unparseable DELETE — expected: DELETE FROM <tbl> [AS t] "
+                "[WHERE <pred>]"
+            )
+        table = _target(m)
+        where = _strip_alias(m.group("where") or "true", m.group("t"))
+        from pyspark.sql import functions as F
+
+        return delete_where(table, F.expr(where), commit_key)
+
+    raise ValueError(f"unsupported DML verb {verb!r} — MERGE/UPDATE/DELETE only")
