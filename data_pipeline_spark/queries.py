@@ -3886,6 +3886,49 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sql_pair(
+    "docs_chunk_windows",
+    spark_sql="""
+        SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+               CAST(least(24, n - ci * 16) AS BIGINT) AS chunk_tokens,
+               md5(concat_ws(' ', slice(arr, ci * 16 + 1, 24))) AS chunk_md5
+        FROM (
+          SELECT doc_id, arr, n,
+                 CASE WHEN n <= 24 THEN 1
+                      ELSE (n - 24 + 15) div 16 + 1 END AS n_chunks
+          FROM (SELECT doc_id, split(text, ' ') AS arr,
+                       size(split(text, ' ')) AS n
+                FROM documents)
+        ) LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS ci
+    """,
+    duck_sql="""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS arr,
+                 length(string_split(text, ' ')) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, arr, n,
+                 CASE WHEN n <= 24 THEN 1
+                      ELSE (n - 24 + 15) // 16 + 1 END AS n_chunks
+          FROM base),
+        e AS (SELECT doc_id, arr, n, unnest(range(n_chunks)) AS ci FROM c)
+        SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+               CAST(least(24, n - ci * 16) AS BIGINT) AS chunk_tokens,
+               md5(array_to_string(
+                   list_slice(arr, ci * 16 + 1, least(ci * 16 + 24, n)),
+                   ' ')) AS chunk_md5
+        FROM e
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Training-data chunking: fixed 24-token windows at stride 16 "
+    "(8-token overlap), short tail kept — split + sequence + explode + "
+    "slice, pure codegen, no UDF; per-doc work is O(tokens), the "
+    "explode multiplies rows but each chunk row carries only its own "
+    "bytes (the context-window packing precursor; chunk_md5 is the "
+    "byte-exact parity surface)",
+)
+
+sql_pair(
     "docs_fingerprint",
     spark_sql="""
         SELECT doc_id,
