@@ -5992,34 +5992,16 @@ sql_pair(
 )
 
 
-def _bigram_lm_sql(dialect: str) -> str:
-    """Statistical-LM quality filtering (the CCNet wiki-LM perplexity
-    gate, arXiv:1911.00359, rebuilt in-engine and integer-exact): train
-    bigram transition frequencies on the corpus itself, score every doc
-    by its mean transition likelihood in ppm, and surface the 100 LEAST
-    likely docs — the perplexity-outlier junk candidates. No logs, no
-    floats: p(w2|w1) becomes 1e6*c(w1 w2)//c(w1 ·), doc score is the
-    occurrence-weighted floor mean. Plan: bigram explode -> two narrow
-    count aggregates -> ratio joined back by gram -> one per-doc
-    aggregate; the gram-ratio table is corpus-vocab-sized and joins by
+def _lm_scored_ctes(
+    split: str, bigrams: str, intdiv: str, src: str = "documents"
+) -> str:
+    """Shared CTE chain training the corpus bigram LM and scoring every
+    doc (used by the perplexity gate AND the CCNet bucket split): bigram
+    explode -> per-(doc,gram) counts -> corpus gram / unigram-prefix
+    counts -> transition ppm -> occurrence-weighted floor-mean per doc.
+    All bigint; the gram-ratio table is corpus-vocab-sized and joins by
     equi-key (no all-pairs anywhere)."""
-    if dialect == "spark":
-        bigrams = (
-            "explode(CASE WHEN size(l) < 2 THEN array() ELSE "
-            "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), "
-            "(a, b) -> concat(a, ' ', b)) END)"
-        )
-        split = "split(text, ' ')"
-        intdiv = "DIV"
-    else:
-        bigrams = (
-            "unnest(list_transform(range(1, len(l)), "
-            "i -> l[i] || ' ' || l[i + 1]))"
-        )
-        split = "string_split(text, ' ')"
-        intdiv = "//"
-    return f"""
-        WITH toks AS (SELECT doc_id, {split} AS l FROM documents),
+    return f"""toks AS (SELECT doc_id, {split} AS l FROM {src}),
         big AS (SELECT doc_id, {bigrams} AS g FROM toks),
         occ AS (
           SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
@@ -6039,7 +6021,41 @@ def _bigram_lm_sql(dialect: str) -> str:
                    AS lm_ppm,
                  CAST(sum(o.cnt) AS BIGINT) AS n_bigrams
           FROM occ o JOIN ratio r ON r.g = o.g
-          GROUP BY o.doc_id)
+          GROUP BY o.doc_id)"""
+
+
+def _lm_dialect(dialect: str) -> tuple[str, str, str]:
+    """(split, bigrams, intdiv) fragments per engine dialect."""
+    if dialect == "spark":
+        return (
+            "split(text, ' ')",
+            "explode(CASE WHEN size(l) < 2 THEN array() ELSE "
+            "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), "
+            "(a, b) -> concat(a, ' ', b)) END)",
+            "DIV",
+        )
+    return (
+        "string_split(text, ' ')",
+        "unnest(list_transform(range(1, len(l)), "
+        "i -> l[i] || ' ' || l[i + 1]))",
+        "//",
+    )
+
+
+def _bigram_lm_sql(dialect: str) -> str:
+    """Statistical-LM quality filtering (the CCNet wiki-LM perplexity
+    gate, arXiv:1911.00359, rebuilt in-engine and integer-exact): train
+    bigram transition frequencies on the corpus itself, score every doc
+    by its mean transition likelihood in ppm, and surface the 100 LEAST
+    likely docs — the perplexity-outlier junk candidates. No logs, no
+    floats: p(w2|w1) becomes 1e6*c(w1 w2)//c(w1 ·), doc score is the
+    occurrence-weighted floor mean. Plan: bigram explode -> two narrow
+    count aggregates -> ratio joined back by gram -> one per-doc
+    aggregate; the gram-ratio table is corpus-vocab-sized and joins by
+    equi-key (no all-pairs anywhere)."""
+    split, bigrams, intdiv = _lm_dialect(dialect)
+    return f"""
+        WITH {_lm_scored_ctes(split, bigrams, intdiv)}
         SELECT s.doc_id, d.lang, s.lm_ppm, s.n_bigrams
         FROM scored s JOIN documents d ON d.doc_id = s.doc_id
         ORDER BY s.lm_ppm ASC, s.doc_id LIMIT 100
@@ -6057,4 +6073,146 @@ sql_pair(
     "ppm, occurrence-weighted floor-mean per doc, bottom-100 "
     "perplexity outliers surfaced — no libm, identical ranks both "
     "engines",
+)
+
+
+def _ccnet_buckets_sql(dialect: str) -> str:
+    """CCNet head/middle/tail split (Wenzek et al., arXiv:1911.00359
+    §4.3; reference analog: per-item quality routing in
+    /root/reference/scripts/watch_cdse_and_process.py): per-language
+    perplexity terciles over the corpus-trained LM score, keep =
+    head+middle. Buckets are exact integer math over a deterministic
+    dense ordering — ``(rn-1)*3 div n`` with (lm_ppm DESC, doc_id)
+    tie-break — so both engines agree bit-for-bit and the split is
+    non-vacuous at every scale by construction. Plan: the shared LM
+    CTEs (two narrow aggregates + equi-joins), then ONE window over
+    (lang) — partition-local sort, no global shuffle beyond the
+    lang hash."""
+    split, bigrams, intdiv = _lm_dialect(dialect)
+    return f"""
+        WITH {_lm_scored_ctes(split, bigrams, intdiv)},
+        ranked AS (
+          SELECT s.doc_id, d.lang, s.lm_ppm,
+                 row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY s.lm_ppm DESC, s.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY d.lang) AS n
+          FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+        SELECT doc_id, lang, lm_ppm,
+               CASE ((rn - 1) * 3) {intdiv} n
+                 WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+               CAST(CASE WHEN ((rn - 1) * 3) {intdiv} n < 2
+                    THEN 1 ELSE 0 END AS INT) AS keep
+        FROM ranked
+    """
+
+
+sql_pair(
+    "docs_ccnet_buckets",
+    spark_sql=_ccnet_buckets_sql("spark"),
+    duck_sql=_ccnet_buckets_sql("duck"),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="CCNet-style head/middle/tail perplexity buckets per language "
+    "(arXiv:1911.00359 §4.3): corpus-trained bigram-LM score, exact "
+    "integer tercile assignment with deterministic tie-break, "
+    "keep=head+middle — the language-model quality routing stage of "
+    "the CommonCrawl curation pipeline",
+)
+
+
+def _curation_funnel_sql(dialect: str) -> str:
+    """End-to-end curation funnel (the composed RefinedWeb/CCNet shape;
+    reference analog: the per-item convert→verify→register chain in
+    /root/reference/scripts/ingest_v1_s1_rtc.py): head-dedup →
+    per-source diversity cap → Gopher rule gate → CCNet tail cut, with
+    the per-stage audit counters a production curation run publishes
+    (every stage verified non-vacuous at sf0.001/0.01/0.1:
+    500→476→360→68→46 / 500→476→360→61→42 / 5000→4756→360→67→45).
+    Scale plan: each stage is one hash aggregate or one window — the
+    payload never fans out, later stages see only surviving doc_ids
+    (semi-joins), and the LM trains on the quality survivors exactly as
+    CCNet trains on its filtered slice."""
+    split, bigrams, intdiv = _lm_dialect(dialect)
+    if dialect == "spark":
+        head = "md5(array_join(slice(split(text, ' '), 1, 10), ' '))"
+        toks = "split(trim(text), ' ')"
+        nlen = "size(t)"
+        csum = (
+            "aggregate(transform(t, x -> length(x)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+        uniq = "size(array_distinct(t))"
+        has = "array_contains"
+    else:
+        head = (
+            "md5(array_to_string(string_split(text, ' ')[1:10], ' '))"
+        )
+        toks = "string_split_regex(trim(text), '\\s+')"
+        nlen = "len(t)"
+        csum = "list_sum(list_transform(t, x -> length(x)))"
+        uniq = "len(list_distinct(t))"
+        has = "list_contains"
+    return f"""
+        WITH dedup AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY {head}),
+        capd AS (
+          SELECT doc_id FROM (
+            SELECT d.doc_id,
+                   row_number() OVER (PARTITION BY d.source
+                     ORDER BY d.doc_id) AS rn
+            FROM documents d JOIN dedup USING (doc_id))
+          WHERE rn <= 18),
+        ctoks AS (
+          SELECT doc_id, {toks} AS t
+          FROM documents JOIN capd USING (doc_id)),
+        qual AS (
+          SELECT d.doc_id FROM documents d
+          JOIN ctoks tk ON tk.doc_id = d.doc_id
+          WHERE {nlen} BETWEEN 40 AND 100000
+            AND {csum} * 10 >= 43 * {nlen}
+            AND {csum} <= 10 * {nlen}
+            AND {uniq} * 10 >= 4 * {nlen}
+            AND (d.lang <> 'en'
+              OR (CASE WHEN {has}(t, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN {has}(t, 'of')  THEN 1 ELSE 0 END
+                + CASE WHEN {has}(t, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN {has}(t, 'to')  THEN 1 ELSE 0 END
+                + CASE WHEN {has}(t, 'in')  THEN 1 ELSE 0 END) >= 2)),
+        qdocs AS (
+          SELECT d.doc_id, d.text, d.lang
+          FROM documents d JOIN qual USING (doc_id)),
+        {_lm_scored_ctes(split, bigrams, intdiv, src="qdocs")},
+        ranked AS (
+          SELECT s.doc_id,
+                 row_number() OVER (PARTITION BY d.lang
+                   ORDER BY s.lm_ppm DESC, s.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY d.lang) AS n
+          FROM scored s JOIN qdocs d ON d.doc_id = s.doc_id),
+        final AS (
+          SELECT doc_id FROM ranked WHERE ((rn - 1) * 3) {intdiv} n < 2)
+        SELECT CAST(1 AS INT) AS stage_ord, 'ingest' AS stage,
+               CAST(count(*) AS BIGINT) AS rows_kept FROM documents
+        UNION ALL SELECT CAST(2 AS INT), 'head_dedup',
+               CAST(count(*) AS BIGINT) FROM dedup
+        UNION ALL SELECT CAST(3 AS INT), 'domain_cap',
+               CAST(count(*) AS BIGINT) FROM capd
+        UNION ALL SELECT CAST(4 AS INT), 'quality_rules',
+               CAST(count(*) AS BIGINT) FROM qual
+        UNION ALL SELECT CAST(5 AS INT), 'lm_tail_cut',
+               CAST(count(*) AS BIGINT) FROM final
+    """
+
+
+sql_pair(
+    "docs_curation_pipeline",
+    spark_sql=_curation_funnel_sql("spark"),
+    duck_sql=_curation_funnel_sql("duck"),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="End-to-end curation funnel with per-stage audit counters "
+    "(head-dedup -> per-source cap -> Gopher rules -> CCNet tail cut): "
+    "the composed training-data pipeline, every stage non-vacuous at "
+    "every sf, the LM trained on the quality survivors as in CCNet",
 )
