@@ -92,6 +92,78 @@ def partial_update_collapse(
     return live.select(*out_cols)
 
 
+def sequence_group_collapse(
+    df: DataFrame,
+    key: str,
+    order: str,
+    seq_groups: dict[str, list[str]],
+    op_col: str = "op",
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Partial update with per-group sequence columns (the Paimon
+    ``fields.<seq>.sequence-group`` merge engine): each column GROUP is
+    owned by its own sequence column — the multi-source stitching shape
+    where feed A versions (html, warc_ts) by its own offset while feed B
+    versions (lang) by another, and neither feed may regress the other's
+    columns no matter how their events interleave on the default order.
+
+    Semantics per key:
+      - liveness and the delete fence ride the DEFAULT ``order`` column
+        (a delete resets every group);
+      - among events newer than the fence, each group takes ALL its
+        columns atomically from the event with the greatest non-null
+        group sequence (ties broken by xxhash64 of the group's values,
+        same determinism stance as partial_update_collapse);
+      - a group with no post-fence non-null sequence reads NULL.
+
+    Plan: one narrow aggregate over delete events only (the fence frame
+    holds keys-with-deletes, usually a small fraction), joined back on
+    the key — Catalyst co-partitions it with the collapse groupBy that
+    follows, so the fence join adds no extra shuffle of the patch rows
+    beyond the one the collapse itself needs — then ONE hash aggregate
+    with a max_by per group. Two-dimensional ordering (group seq vs the
+    fence's order) is why this cannot reuse the single-aggregate
+    partial_update_collapse trick: a group winner chosen by seq may sit
+    below a fence that a lower-seq live patch clears, so the fence must
+    be applied BEFORE winner selection.
+    """
+    deleted = F.col(op_col) == delete_value
+    fences = df.filter(deleted).groupBy(key).agg(
+        F.max(order).alias("__tdel")
+    )
+    live = (
+        df.filter(~deleted)
+        .join(fences, key, "left")
+        .filter(
+            F.col(order)
+            > F.coalesce(F.col("__tdel"), F.lit(_NEG_INF).cast("bigint"))
+        )
+    )
+    aggs = [F.max(order).alias("__tlive")]
+    for seq, cols in seq_groups.items():
+        aggs.append(
+            F.max_by(
+                F.struct(
+                    F.col(seq).alias("s"),
+                    *[F.col(c).alias(c) for c in cols],
+                ),
+                F.when(
+                    F.col(seq).isNotNull(),
+                    F.struct(
+                        F.col(seq).alias("s"),
+                        F.xxhash64(*cols).alias("f"),
+                    ),
+                ),
+            ).alias(f"__g_{seq}")
+        )
+    g = live.groupBy(key).agg(*aggs)
+    out_cols = [F.col(key), F.col("__tlive").alias(order)]
+    for seq, cols in seq_groups.items():
+        out_cols.append(F.col(f"__g_{seq}.s").alias(seq))
+        out_cols.extend(F.col(f"__g_{seq}.{c}").alias(c) for c in cols)
+    return g.select(*out_cols)
+
+
 def fold_events(
     df: DataFrame,
     key: str,

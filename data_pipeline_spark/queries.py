@@ -427,6 +427,83 @@ def cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_sequence_groups",
+    f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        patch AS (
+          SELECT url, lsn, op,
+            CASE WHEN op <> 'delete' THEN lsn END AS seq_a,
+            CASE WHEN op <> 'delete' THEN html END AS html,
+            CASE WHEN op <> 'delete' THEN warc_ts END AS warc_ts,
+            CASE WHEN op <> 'delete' AND lsn % 2 = 0
+                 THEN (lsn * 2654435761) % 1000000007 END AS seq_b,
+            CASE WHEN op <> 'delete' AND lsn % 2 = 0
+                 THEN lang END AS lang
+          FROM changelog),
+        td AS (
+          SELECT url, max(lsn) AS tdel FROM changelog
+          WHERE op = 'delete' GROUP BY url),
+        live AS (
+          SELECT p.* FROM patch p LEFT JOIN td ON p.url = td.url
+          WHERE p.op <> 'delete'
+            AND p.lsn > coalesce(td.tdel, -4611686018427387904))
+        SELECT url, max(lsn) AS lsn,
+          max(seq_a) AS seq_a,
+          octet_length(arg_max(html, seq_a)
+            FILTER (WHERE seq_a IS NOT NULL)) AS html_len,
+          strftime(arg_max(warc_ts, seq_a)
+              FILTER (WHERE seq_a IS NOT NULL),
+            '%Y-%m-%d %H:%M:%S.%f') AS warc_ts_s,
+          max(seq_b) AS seq_b,
+          arg_max(lang, seq_b) FILTER (WHERE seq_b IS NOT NULL) AS lang
+        FROM live GROUP BY url""",
+    doc="Sequence-group partial update (Paimon fields.<seq>.sequence-"
+    "group): feed A versions (html, warc_ts) by its own sequence, feed "
+    "B versions lang by a permuted sequence and only reports on even "
+    "lsns — neither feed can regress the other's columns, groups update "
+    "atomically, deletes reset everything on the default order "
+    "(operators/partial_update.py sequence_group_collapse)",
+)
+def cdc_sequence_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.partial_update import (
+        sequence_group_collapse,
+    )
+
+    log = cl.changelog(spark, sf_dir)
+    feed_b = F.col("lsn") % 2 == 0
+    patch = log.select(
+        "url",
+        "lsn",
+        "op",
+        F.col("lsn").alias("seq_a"),
+        "html",
+        "warc_ts",
+        F.when(feed_b, (F.col("lsn") * 2654435761) % 1000000007)
+        .cast("bigint")
+        .alias("seq_b"),
+        F.when(feed_b, F.col("lang")).alias("lang"),
+    )
+    cur = sequence_group_collapse(
+        patch,
+        "url",
+        "lsn",
+        {"seq_a": ["html", "warc_ts"], "seq_b": ["lang"]},
+    )
+    return cur.select(
+        "url",
+        "lsn",
+        "seq_a",
+        F.octet_length("html").alias("html_len"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "warc_ts_s"
+        ),
+        "seq_b",
+        "lang",
+    )
+
+
+@register(
     "cdc_aggregate_merge",
     f"""WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
         ev AS (SELECT url, lsn, op, octet_length(html) AS nbytes, lang
