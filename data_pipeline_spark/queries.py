@@ -6293,3 +6293,165 @@ sql_pair(
     "the composed training-data pipeline, every stage non-vacuous at "
     "every sf, the LM trained on the quality survivors as in CCNet",
 )
+
+
+# -- mergeable frequency + set-intersection sketches (operators/sketches.py) --
+
+_CMS_DOM_SRC = (
+    "SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain "
+    "FROM changelog WHERE op <> 'delete'"
+)
+
+
+def _cms_oracle() -> str:
+    from data_pipeline_spark.operators.sketches import (
+        cms_estimate_duckdb_sql,
+        cms_sketch_duckdb_sql,
+    )
+
+    grid = cms_sketch_duckdb_sql(_CMS_DOM_SRC, [], "domain")
+    est = cms_estimate_duckdb_sql(
+        grid, f"SELECT DISTINCT domain FROM ({_CMS_DOM_SRC})", [], "domain"
+    ).lstrip()
+    assert est.upper().startswith("WITH")
+    return (
+        f"WITH changelog AS ({cl.changelog_duckdb_sql('events')}), "
+        + est[4:]
+        + " ORDER BY est DESC, domain LIMIT 15"
+    )
+
+
+@register(
+    "cdc_cms_heavy_domains",
+    _cms_oracle(),
+    doc="Count-min frequency sketch (operators/sketches.py cms_*): "
+    "event counts per domain folded into a 4x1024 counter grid built as "
+    "TWO half-corpus grids (lsn parity) and merged cell-wise (counts "
+    "are linear), then the heavy-domain top-15 point-estimated by "
+    "min-over-rows. Oracle computes the identical grid single-shot in "
+    "DuckDB (md5/strpos arithmetic only), so parity proves the cell "
+    "mapping AND merge(sketch(A), sketch(B)) == sketch(A+B). At 100 TB "
+    "each partition leaves <=4096 grid rows (map-side combine); the "
+    "estimate join is candidate-sized and broadcastable",
+)
+def cdc_cms_heavy_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    log = cl.changelog(spark, sf_dir).filter(F.col("op") != "delete")
+    ev = log.select(
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("domain"),
+        "lsn",
+    )
+    halves = [
+        cms_sketch(ev.filter(F.col("lsn") % 2 == i), [], "domain")
+        for i in (0, 1)
+    ]
+    grid = cms_merge(*halves)
+    keys = ev.select("domain").distinct()
+    est = cms_estimate(grid, keys, [], "domain")
+    return est.orderBy(F.desc("est"), "domain").limit(15)
+
+
+_KMV_LIVE = (
+    "SELECT url FROM (SELECT url, arg_max(op, lsn) AS lop "
+    "FROM changelog GROUP BY url) WHERE lop <> 'delete'"
+)
+_KMV_DELETED = "SELECT DISTINCT url FROM changelog WHERE op = 'delete'"
+
+
+def _kmv_oracle() -> str:
+    from data_pipeline_spark.operators.sketches import kmv_sketch_duckdb_sql
+
+    a = kmv_sketch_duckdb_sql(_KMV_LIVE, [], "url")
+    b = kmv_sketch_duckdb_sql(_KMV_DELETED, [], "url")
+    u = kmv_sketch_duckdb_sql(
+        f"{_KMV_LIVE} UNION {_KMV_DELETED}", [], "url"
+    )
+    return f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        ska AS ({a}), skb AS ({b}), sku AS ({u})
+        SELECT 'a' AS set_id, pos, hval,
+               CAST(1 AS BIGINT) AS in_a,
+               CAST(CASE WHEN hval IN (SELECT hval FROM skb)
+                    THEN 1 ELSE 0 END AS BIGINT) AS in_b
+        FROM ska
+        UNION ALL
+        SELECT 'b', pos, hval,
+               CAST(CASE WHEN hval IN (SELECT hval FROM ska)
+                    THEN 1 ELSE 0 END AS BIGINT), CAST(1 AS BIGINT)
+        FROM skb
+        UNION ALL
+        SELECT 'u', pos, hval,
+               CAST(CASE WHEN hval IN (SELECT hval FROM ska)
+                    THEN 1 ELSE 0 END AS BIGINT),
+               CAST(CASE WHEN hval IN (SELECT hval FROM skb)
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM sku
+    """
+
+
+@register(
+    "cdc_kmv_intersection",
+    _kmv_oracle(),
+    doc="KMV (k-minimum-values) set sketches (operators/sketches.py "
+    "kmv_*): k=64 smallest md5-derived 48-bit hashes of the CURRENTLY-"
+    "LIVE urls (latest op <> delete) vs the EVER-DELETED urls — their "
+    "intersection is the resurrected population — plus their UNION "
+    "sketch computed by MERGING the two (re-take k smallest) — parity "
+    "with a single-shot union sketch in the oracle proves the merge "
+    "law. in_a/in_b membership flags on the union's k-mins are the "
+    "Jaccard numerator that HLL cannot provide: |A intersect B| ~= "
+    "overlap/k * (k-1)*2^48/h_k. Scale shape: one DISTINCT hash agg + "
+    "salted two-stage top-k (<=64k candidate rows per group)",
+)
+def cdc_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    log = cl.changelog(spark, sf_dir)
+    live = (
+        log.groupBy("url")
+        .agg(F.expr("max_by(op, lsn)").alias("lop"))
+        .filter(F.col("lop") != "delete")
+        .select("url")
+    )
+    deleted = log.filter(F.col("op") == "delete").select("url").distinct()
+    ska = kmv_sketch(live, [], "url")
+    skb = kmv_sketch(deleted, [], "url")
+    sku = kmv_merge(ska, skb)
+    a_set = ska.select("hval").distinct()
+    b_set = skb.select("hval").distinct()
+
+    def flagged(sk: DataFrame, set_id: str) -> DataFrame:
+        out = sk.alias("s")
+        if set_id == "a":
+            ia = F.lit(1).cast("long")
+        else:
+            out = out.join(
+                F.broadcast(a_set.withColumnRenamed("hval", "ha")),
+                F.col("s.hval") == F.col("ha"), "left")
+            ia = F.when(F.col("ha").isNotNull(), 1).otherwise(0).cast("long")
+        if set_id == "b":
+            ib = F.lit(1).cast("long")
+        else:
+            out = out.join(
+                F.broadcast(b_set.withColumnRenamed("hval", "hb")),
+                F.col("s.hval") == F.col("hb"), "left")
+            ib = F.when(F.col("hb").isNotNull(), 1).otherwise(0).cast("long")
+        return out.select(
+            F.lit(set_id).alias("set_id"), F.col("s.pos").alias("pos"),
+            F.col("s.hval").alias("hval"), ia.alias("in_a"), ib.alias("in_b"),
+        )
+
+    return (
+        flagged(ska, "a")
+        .unionByName(flagged(skb, "b"))
+        .unionByName(flagged(sku, "u"))
+    )
