@@ -186,6 +186,40 @@ def apply_batch(
         if has_bad:
             quarantine(dlq, bad, commit_key)
         batch = flagged.filter(F.col("__reason").isNull()).drop("__reason")
+    # Declared CHECK constraints (constraints.py): evaluated on each
+    # incoming event AFTER the structural contract gate (a NULL-key row
+    # must not reach a user predicate) and BEFORE winner selection, so a
+    # url whose newest event violates falls back to its previous valid
+    # event under LWW. SQL three-valued semantics — only FALSE violates.
+    # With a DLQ the violators quarantine (reason check:<name>); without
+    # one the whole batch refuses BEFORE any commit (Delta-style write
+    # rejection — nothing is half-applied).
+    from data_pipeline_spark import constraints as _constraints
+
+    clean, check_bad = _constraints.enforce(batch, table, snap)
+    if check_bad is not None:
+        if dlq is not None:
+            if record_metrics:
+                n_check = check_bad.count()
+                has_check_bad = n_check > 0
+                n_quarantined += n_check
+            else:
+                has_check_bad = bool(check_bad.take(1))
+            if has_check_bad:
+                quarantine(dlq, check_bad, commit_key)
+        else:
+            counts = {
+                r["__reason"]: r["n"]
+                for r in check_bad.groupBy("__reason")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if counts:
+                raise _constraints.CheckViolation(
+                    f"batch {commit_key!r} violates declared constraints "
+                    f"{counts}; arm a DLQ to quarantine instead"
+                )
+        batch = clean
     n_late = 0
     if watermark_days is not None:
         hi = batch.agg(F.max("warc_ts")).first()[0]

@@ -6455,3 +6455,56 @@ def cdc_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(flagged(skb, "b"))
         .unionByName(flagged(sku, "u"))
     )
+
+
+_CHECK_PASS = "(lang <> 'de' AND octet_length(html) <= 280)"
+
+
+@register(
+    "cdc_check_constraints",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        admitted AS (
+          SELECT * FROM changelog
+          WHERE op = 'delete' OR {_CHECK_PASS}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM admitted) WHERE rn = 1)
+        SELECT url, lsn, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete'
+    """,
+    doc="Table-declared CHECK constraints (constraints.py): replay with "
+    "two constraints armed (lang <> 'de'; octet_length(html) <= 280 — "
+    "both non-vacuous at every sf) and a DLQ attached. Violating events "
+    "quarantine with reason check:<name> BEFORE winner selection, so a "
+    "url whose newest event violates falls back to its previous valid "
+    "event under LWW; the oracle is the LWW collapse over the admitted "
+    "events (deletes exempt — they store no payload). SQL three-valued "
+    "semantics: only FALSE violates. Enforcement is one codegen'd scan "
+    "predicate per batch — no shuffle, no Python",
+)
+def cdc_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark import constraints
+    from data_pipeline_spark.pipeline import (
+        ensure_dlq,
+        ensure_table,
+        replay_log,
+    )
+
+    root = tempfile.mkdtemp(prefix="lake_check_")
+    table = ensure_table(spark, root, 16)
+    constraints.add_check(table, "lang_allowed", "lang <> 'de'")
+    constraints.add_check(table, "html_budget", "octet_length(html) <= 280")
+    dlq = ensure_dlq(spark, tempfile.mkdtemp(prefix="lake_checkdlq_"))
+    log = cl.changelog(spark, sf_dir)
+    replay_log(
+        spark, log, root, n_batches=3, n_buckets=16,
+        record_metrics=False, dlq=dlq,
+    )
+    return table.read().select(
+        "url", "lsn", "lang", F.sha2("text", 256).alias("text_sha")
+    )
