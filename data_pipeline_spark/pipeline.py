@@ -94,6 +94,22 @@ def contract_reason(
     )
 
 
+def _dlq_id() -> F.Column:
+    """Content-hash DLQ key over the event's identifying fields — shared
+    by quarantine (insert side) and redrive (delete side) so a resolved
+    event's tombstone always finds its quarantine row."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("url"), F.lit("∅")),
+            F.coalesce(F.col("lsn").cast("string"), F.lit("∅")),
+            F.coalesce(F.col("op"), F.lit("∅")),
+            F.coalesce(F.col("warc_ts").cast("string"), F.lit("∅")),
+            F.coalesce(F.sha2(F.col("html"), 256), F.lit("∅")),
+        )
+    )
+
+
 def quarantine(
     dlq: LakeTable, bad: DataFrame, commit_key: str
 ) -> None:
@@ -103,16 +119,7 @@ def quarantine(
     crash, or replayed in a later epoch — collapses to one DLQ row
     (idempotent like every other commit in the engine)."""
     rows = bad.select(
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.coalesce(F.col("url"), F.lit("∅")),
-                F.coalesce(F.col("lsn").cast("string"), F.lit("∅")),
-                F.coalesce(F.col("op"), F.lit("∅")),
-                F.coalesce(F.col("warc_ts").cast("string"), F.lit("∅")),
-                F.coalesce(F.sha2(F.col("html"), 256), F.lit("∅")),
-            )
-        ).alias("dlq_id"),
+        _dlq_id().alias("dlq_id"),
         F.coalesce(F.col("lsn"), F.lit(-1).cast("bigint")).alias("lsn"),
         F.col("url"),
         F.col("op").alias("event_op"),
@@ -121,6 +128,83 @@ def quarantine(
         F.lit("update").alias("op"),
     )
     merge_into(dlq, rows, commit_key=f"dlq-{commit_key}")
+
+
+def redrive_dlq(
+    table: LakeTable,
+    dlq: LakeTable,
+    wal: DataFrame,
+    commit_key: str,
+    reasons: list[str] | None = None,
+) -> dict[str, int]:
+    """Re-process quarantined events from the ORIGINAL change log after
+    the cause is fixed (a CHECK constraint dropped, a feed bug patched) —
+    the Kafka-DLQ redrive shape, exactly-once like every other commit.
+
+    The DLQ stores forensic metadata, not payloads, so redrive
+    re-identifies each quarantined event in the WAL by (url, lsn) and
+    runs it through the SAME gates as a live batch: events that now pass
+    apply via :func:`apply_batch` (read-time LWW decides whether they
+    win — a redriven event older than the url's current winner loses
+    harmlessly, so the final state converges to the LWW collapse over
+    all admitted events regardless of redrive order); events that STILL
+    violate stay quarantined untouched. Resolved rows tombstone out of
+    the DLQ at ``stored lsn + 1`` — a future re-quarantine of the same
+    event content would write the old lsn again and lose the race, so a
+    resolved event can never flap back in.
+
+    ``reasons`` restricts the sweep (e.g. ``["check:lang_allowed"]``).
+    Structurally broken rows (NULL key / NULL lsn) cannot be
+    re-identified in the WAL and are never candidates.
+
+    Scale shape: one semi-join of the WAL against the (tiny) DLQ key
+    set — broadcastable — then the normal apply path; nothing driver-side.
+    Returns ``{"candidates": n, "resolved": n, "still_quarantined": n}``.
+    """
+    from data_pipeline_spark import constraints as _constraints
+
+    live = dlq.read().filter(
+        F.col("url").isNotNull() & (F.col("lsn") >= 0)
+    )
+    if reasons is not None:
+        live = live.filter(F.col("reason").isin(reasons))
+    keys = live.select("url", "lsn")
+    events = wal.join(F.broadcast(keys), ["url", "lsn"], "leftsemi")
+
+    # Same gates as a live batch: structural contract + declared checks.
+    reason = contract_reason(events)
+    declared = _constraints.checks(table)
+    if declared:
+        reason = F.coalesce(
+            reason, _constraints.violation_reason(events, declared)
+        )
+    flagged = events.withColumn("__reason", reason)
+    passing = flagged.filter(F.col("__reason").isNull()).drop("__reason")
+
+    n_candidates = events.count()
+    n_resolved = passing.count()
+    if n_resolved:
+        apply_batch(
+            table, passing, commit_key, record_metrics=False, dlq=None
+        )
+        # Tombstone the resolved rows out of the DLQ (content-hash key,
+        # lsn+1 so the delete wins against the stored row and against
+        # any future redelivery of the same event content).
+        dead = passing.select(
+            _dlq_id().alias("dlq_id"),
+            (F.col("lsn") + 1).alias("lsn"),
+            F.col("url"),
+            F.col("op").alias("event_op"),
+            F.lit(None).cast("string").alias("reason"),
+            F.col("warc_ts"),
+            F.lit("delete").alias("op"),
+        )
+        merge_into(dlq, dead, commit_key=f"redrive-{commit_key}")
+    return {
+        "candidates": n_candidates,
+        "resolved": n_resolved,
+        "still_quarantined": n_candidates - n_resolved,
+    }
 
 
 def apply_batch(
@@ -206,7 +290,11 @@ def apply_batch(
             else:
                 has_check_bad = bool(check_bad.take(1))
             if has_check_bad:
-                quarantine(dlq, check_bad, commit_key)
+                # distinct commit key: the structural-contract quarantine
+                # above may already have committed under dlq-<commit_key>
+                # in this same batch, and a colliding key would silently
+                # no-op this merge
+                quarantine(dlq, check_bad, f"check-{commit_key}")
         else:
             counts = {
                 r["__reason"]: r["n"]

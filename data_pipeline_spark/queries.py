@@ -6508,3 +6508,56 @@ def cdc_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "url", "lsn", "lang", F.sha2("text", 256).alias("text_sha")
     )
+
+
+@register(
+    "cdc_dlq_redrive",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete'
+    """,
+    doc="DLQ redrive (pipeline.redrive_dlq): replay with a CHECK "
+    "constraint armed (lang <> 'de' quarantines ~20% of events), DROP "
+    "the constraint, then redrive the quarantined events from the "
+    "original WAL — they re-identify by (url, lsn), pass the live "
+    "gates, apply through read-time LWW (older-than-current redrives "
+    "lose harmlessly), and tombstone out of the DLQ at lsn+1 so the "
+    "same event content can never flap back in. The oracle is the "
+    "PLAIN unconstrained LWW collapse: the entry only passes if "
+    "redrive actually restores every quarantined url's state "
+    "(constrained state is 448/1415/1409 rows vs this oracle's "
+    "567/1595/1611). Scale shape: one broadcastable semi-join of the "
+    "WAL against the DLQ key set, then the normal apply path",
+)
+def cdc_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark import constraints
+    from data_pipeline_spark.pipeline import (
+        ensure_dlq,
+        ensure_table,
+        redrive_dlq,
+        replay_log,
+    )
+
+    root = tempfile.mkdtemp(prefix="lake_rdrv_")
+    table = ensure_table(spark, root, 16)
+    constraints.add_check(table, "lang_allowed", "lang <> 'de'")
+    dlq = ensure_dlq(spark, tempfile.mkdtemp(prefix="lake_rdrvdlq_"))
+    log = cl.changelog(spark, sf_dir)
+    replay_log(
+        spark, log, root, n_batches=3, n_buckets=16,
+        record_metrics=False, dlq=dlq,
+    )
+    constraints.drop_check(table, "lang_allowed")
+    redrive_dlq(table, dlq, log, "redrive-1")
+    assert dlq.read().count() == 0, "resolved rows must leave the DLQ"
+    return table.read().select(
+        "url", "lsn", "lang", F.sha2("text", 256).alias("text_sha")
+    )
