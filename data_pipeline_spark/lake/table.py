@@ -738,7 +738,8 @@ class LakeTable:
             raise ValueError(f"base bucket out of range: {base}")
         old_ids = set(self.sub_buckets(snap, base))
         content = self.read(
-            buckets=old_ids, snap=snap, include_tombstones=True
+            buckets=old_ids, snap=snap, include_tombstones=True,
+            unmasked=True,  # rewrite path: masking must never reach disk
         )
         version = snap.version + 1
         new_depths = {**snap.depths, str(base): snap.depths.get(str(base), 0) + 1}
@@ -1164,8 +1165,16 @@ class LakeTable:
         columns: list[str] | None = None,
         stats_bounds: dict[str, tuple] | None = None,
         distributed: bool | None = None,
+        unmasked: bool = False,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
+
+        Columns carrying a masking policy (``mask.<col>`` table property,
+        see ``masking.py``) return the POLICY's value on every non-raw
+        read; ``unmasked=True`` opts out explicitly, ``raw=True`` bypasses
+        by design (compaction rewrites physical bytes). Column-pruned
+        reads auto-include a policy's referenced columns below the
+        collapse and drop them after masking.
 
         ``distributed`` forces the planning site (see
         :meth:`_select_files`); ``None`` auto-routes by manifest bytes.
@@ -1243,9 +1252,10 @@ class LakeTable:
                     "table's state needs ALL of a key's events — filter "
                     "the collapsed read instead"
                 )
-            return self._mode_collapse_read(
+            out = self._mode_collapse_read(
                 snap, mode, buckets, point_keys, columns, align_snap
             )
+            return out if unmasked else self._apply_masks(out, snap)
         sch = align_snap or snap
         norm_bounds = None
         if stats_bounds is not None:
@@ -1261,17 +1271,34 @@ class LakeTable:
             distributed=distributed,
         )
         cur_fields = self.schema_fields(sch)
+        mask_extra: set[str] = set()
         if columns is not None:
             keep = {snap.key, snap.order_col, *columns}
             if stats_bounds is not None:
                 keep |= set(stats_bounds)
+            if not raw and not unmasked:
+                # a projected masked column's policy may reference pruned
+                # columns — read them below the collapse, drop post-mask
+                from data_pipeline_spark import masking as _masking
+
+                mp = _masking.masks(self, snap)
+                names = {n for n, _ in cur_fields}
+                for c in set(keep) & set(mp):
+                    mask_extra |= (
+                        _masking.referenced_columns(mp[c], names) - keep
+                    )
+                keep |= mask_extra
             cur_fields = [f for f in cur_fields if f[0] in keep]
         phys_fields = cur_fields + [(TOMBSTONE_COL, "boolean")]
         if not groups:
             empty = self.spark.createDataFrame([], self._ddl_schema(phys_fields))
-            if raw or include_tombstones:
+            if raw:
                 return empty
-            return empty.drop(TOMBSTONE_COL)
+            if not include_tombstones:
+                empty = empty.drop(TOMBSTONE_COL)
+            if unmasked:
+                return empty
+            return self._apply_masks(empty, snap, drop_after=mask_extra)
         all_ids, _ = self._all_field_ids(sch)
         tgt_ids = all_ids[str(sch.schema_version)]
         dflts = self.field_defaults(sch)
@@ -1368,13 +1395,45 @@ class LakeTable:
                 out = out.filter(
                     (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
                 )
-        if include_tombstones:
+        if not include_tombstones:
+            out = out.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
+        if unmasked:
             return out
-        return out.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
+        return self._apply_masks(out, snap, drop_after=mask_extra)
 
     def _ddl_schema(self, fields: list[tuple[str, str]]) -> T.StructType:
         ddl = ", ".join(f"{n} {d}" for n, d in fields)
         return T.StructType.fromDDL(ddl)
+
+    def _apply_masks(
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        drop_after: set[str] | tuple = (),
+    ) -> DataFrame:
+        """Apply declared masking policies (``mask.<col>`` props) as ONE
+        projection: every policy sees the row's ORIGINAL values (masking
+        one column never feeds another's policy), and each masked value
+        casts back to its column's declared type. ``drop_after`` removes
+        columns that were auto-included only as policy inputs."""
+        mp = {
+            k[5:]: v
+            for k, v in snap.props.items()
+            if k.startswith("mask.")
+        }
+        present = [c for c in df.columns if c in mp]
+        if not present:
+            return df.drop(*drop_after) if drop_after else df
+        fields = dict(self.schema_fields(snap))
+        out = df.select(
+            *[
+                F.expr(mp[c]).cast(fields[c]).alias(c)
+                if c in mp
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        return out.drop(*drop_after) if drop_after else out
 
     def _mode_collapse_read(
         self,
@@ -2699,7 +2758,8 @@ class LakeTable:
         if not buckets:
             return None
         content = self.read(
-            buckets=buckets, snap=snap, include_tombstones=True
+            buckets=buckets, snap=snap, include_tombstones=True,
+            unmasked=True,  # rewrite path: masking must never reach disk
         )
         if purge_tombstones_where is not None:
             content = content.filter(

@@ -88,7 +88,8 @@ def delete_where(
     fence = table.read(columns=[]).agg(F.max(order)).first()[0]
     if fence is None:
         return MergeStats(commit_key, False, snap.version, 0)
-    hit = table.read().filter(predicate)
+    # maintenance predicates evaluate on physical truth, not masked reads
+    hit = table.read(unmasked=True).filter(predicate)
     batch = hit.select(
         F.col(snap.key),
         *[
@@ -145,7 +146,7 @@ def update_where(
     if fence is None:
         return MergeStats(commit_key, False, snap.version, 0)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    hit = table.read().filter(pred)
+    hit = table.read(unmasked=True).filter(pred)
     batch = hit.select(
         F.col(key),
         *[
@@ -373,7 +374,8 @@ def backfill(
         return False
     # Tombstone rows ride along untouched (their delete-lsn fence must
     # survive migrations).
-    df = table.read(snap=snap, include_tombstones=True)
+    # rewrite path: read PHYSICAL values (masking must never reach disk)
+    df = table.read(snap=snap, include_tombstones=True, unmasked=True)
     not_tomb = ~F.col(TOMBSTONE_COL)
     bucket = table.bucket_expr(snap)
     if where is None:

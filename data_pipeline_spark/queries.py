@@ -6561,3 +6561,50 @@ def cdc_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "url", "lsn", "lang", F.sha2("text", 256).alias("text_sha")
     )
+
+
+@register(
+    "cdc_column_mask",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (
+          SELECT url, lsn, lang,
+                 {extract_text_duckdb('html')} AS text
+          FROM latest WHERE op <> 'delete')
+        SELECT url, lsn, lang,
+               CASE WHEN lang = 'en' THEN text ELSE '[MASKED]' END AS text
+        FROM live
+    """,
+    doc="Column masking policy (masking.py + LakeTable.read "
+    "enforcement): replay, then declare mask.text = CASE WHEN lang = "
+    "'en' THEN text ELSE '[MASKED]' END — the Databricks/Snowflake "
+    "masking-policy shape as a table property. Every default read "
+    "returns the POLICY's value (one extra codegen projection, no "
+    "shuffle); policies see the ORIGINAL row; rewrite paths (compact, "
+    "split, backfill) read unmasked so masking never reaches disk — "
+    "the entry compacts AFTER declaring the mask, so parity also "
+    "proves the physical bytes survived. Oracle applies the same CASE "
+    "over the plain LWW collapse; non-vacuous on both branches at "
+    "every sf (en vs de/es/fr/pt)",
+)
+def cdc_column_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark import masking
+    from data_pipeline_spark.pipeline import replay_log
+
+    root = tempfile.mkdtemp(prefix="lake_mask_")
+    log = cl.changelog(spark, sf_dir)
+    table = replay_log(
+        spark, log, root, n_batches=3, n_buckets=16, record_metrics=False
+    )
+    masking.add_mask(
+        table, "text",
+        "CASE WHEN lang = 'en' THEN text ELSE '[MASKED]' END",
+    )
+    table.compact(commit_key="mask-compact")  # must not persist the mask
+    return table.read().select("url", "lsn", "lang", "text")
