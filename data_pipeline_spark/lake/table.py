@@ -1277,8 +1277,9 @@ class LakeTable:
             if stats_bounds is not None:
                 keep |= set(stats_bounds)
             if not raw and not unmasked:
-                # a projected masked column's policy may reference pruned
-                # columns — read them below the collapse, drop post-mask
+                # a projected masked column's policy — and every row
+                # filter — may reference pruned columns: read them below
+                # the collapse, drop post-policy
                 from data_pipeline_spark import masking as _masking
 
                 mp = _masking.masks(self, snap)
@@ -1286,6 +1287,10 @@ class LakeTable:
                 for c in set(keep) & set(mp):
                     mask_extra |= (
                         _masking.referenced_columns(mp[c], names) - keep
+                    )
+                for pred in _masking.row_filters(self, snap).values():
+                    mask_extra |= (
+                        _masking.referenced_columns(pred, names) - keep
                     )
                 keep |= mask_extra
             cur_fields = [f for f in cur_fields if f[0] in keep]
@@ -1411,11 +1416,20 @@ class LakeTable:
         snap: Snapshot,
         drop_after: set[str] | tuple = (),
     ) -> DataFrame:
-        """Apply declared masking policies (``mask.<col>`` props) as ONE
-        projection: every policy sees the row's ORIGINAL values (masking
-        one column never feeds another's policy), and each masked value
-        casts back to its column's declared type. ``drop_after`` removes
-        columns that were auto-included only as policy inputs."""
+        """Apply declared read policies (``masking.py``): row filters
+        (``rowfilter.<name>`` props — a row survives only when EVERY
+        predicate is TRUE, evaluated on ORIGINAL values) first, then
+        masking policies (``mask.<col>`` props) as ONE projection: every
+        policy sees the row's ORIGINAL values (masking one column never
+        feeds another's policy), and each masked value casts back to its
+        column's declared type. ``drop_after`` removes columns that were
+        auto-included only as policy inputs."""
+        rf = [
+            v for k, v in sorted(snap.props.items())
+            if k.startswith("rowfilter.")
+        ]
+        for pred in rf:
+            df = df.filter(F.expr(pred).cast("boolean"))
         mp = {
             k[5:]: v
             for k, v in snap.props.items()

@@ -115,3 +115,73 @@ def referenced_columns(expr: str, schema_names: set[str]) -> set[str]:
     conservative superset; quoted literals matching a column name only
     over-include, never under-include)."""
     return set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr)) & schema_names
+
+
+# ============================================================================
+# Row access filters — the row-level companion policy
+# ============================================================================
+#
+# ``rowfilter.<name>`` table properties hold SQL predicates; a default
+# read returns only rows where EVERY filter is TRUE (Snowflake row
+# access policy / Databricks row filter shape). Same trust model as
+# masks: ``unmasked=True`` / ``raw=True`` bypass (rewrite paths and
+# maintenance predicates must see physical truth — a filtered compaction
+# would DELETE the hidden rows), and the default read is what downstream
+# consumers get.
+
+ROWFILTER_PREFIX = "rowfilter."
+
+
+def row_filters(
+    table: LakeTable, snap: Snapshot | None = None
+) -> dict[str, str]:
+    props = (snap or table.current()).props
+    return {
+        k[len(ROWFILTER_PREFIX):]: v
+        for k, v in props.items()
+        if k.startswith(ROWFILTER_PREFIX)
+    }
+
+
+def add_row_filter(table: LakeTable, name: str, predicate: str) -> Snapshot:
+    """Declare a row filter. Refuses on name reuse or a predicate that
+    does not resolve against the table schema."""
+    if not _NAME_RE.match(name):
+        raise ValueError(f"invalid filter name: {name!r}")
+    snap = table.current()
+    existing = row_filters(table, snap)
+    if name in existing:
+        raise ValueError(
+            f"row filter {name!r} already declared: {existing[name]!r}"
+        )
+    from pyspark.sql import functions as F
+
+    probe = table.spark.createDataFrame([], table.spark_schema(snap))
+    try:
+        probe.filter(F.expr(predicate).cast("boolean"))
+    except Exception as e:
+        raise ValueError(
+            f"row-filter predicate {predicate!r} does not resolve against "
+            f"table schema {probe.columns}: {e}"
+        ) from e
+    return table.update_props({ROWFILTER_PREFIX + name: predicate})
+
+
+def drop_row_filter(table: LakeTable, name: str) -> Snapshot:
+    snap = table.current()
+    key = ROWFILTER_PREFIX + name
+    if key not in snap.props:
+        raise ValueError(f"no row filter named {name!r}")
+    props = {k: v for k, v in snap.props.items() if k != key}
+    new = Snapshot(
+        **{
+            **snap.__dict__,
+            "version": snap.version + 1,
+            "manifests": dict(snap.manifests),
+            "commits": dict(snap.commits),
+            "summary": {"op": "props", "drop_row_filter": name},
+            "props": props,
+        }
+    )
+    table._write_snapshot(new, expect_parent=snap.version)
+    return new

@@ -6608,3 +6608,48 @@ def cdc_column_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.compact(commit_key="mask-compact")  # must not persist the mask
     return table.read().select("url", "lsn", "lang", "text")
+
+
+@register(
+    "cdc_row_filter",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete' AND lang <> 'de'
+    """,
+    doc="Row access filter (masking.py add_row_filter + LakeTable.read "
+    "enforcement): replay, declare rowfilter.non_de = lang <> 'de', "
+    "compact — the Snowflake row-access-policy / Databricks row-filter "
+    "shape. The default read hides filtered rows (predicate evaluated "
+    "on ORIGINAL values, composing with masks); rewrite paths read "
+    "unmasked, so compaction must NOT delete hidden rows — the entry "
+    "asserts raw count > filtered count AFTER compacting. Oracle = the "
+    "LWW collapse WHERE the filter holds; non-vacuous at every sf "
+    "(~20% of live urls are de)",
+)
+def cdc_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark import masking
+    from data_pipeline_spark.pipeline import replay_log
+
+    root = tempfile.mkdtemp(prefix="lake_rf_")
+    log = cl.changelog(spark, sf_dir)
+    table = replay_log(
+        spark, log, root, n_batches=3, n_buckets=16, record_metrics=False
+    )
+    masking.add_row_filter(table, "non_de", "lang <> 'de'")
+    table.compact(commit_key="rf-compact")
+    n_raw = table.read(raw=True).count()
+    n_filtered = table.read().count()
+    assert n_raw > n_filtered > 0, (
+        "hidden rows must survive compaction physically"
+    )
+    return table.read().select(
+        "url", "lsn", "lang", F.sha2("text", 256).alias("text_sha")
+    )

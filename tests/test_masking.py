@@ -105,3 +105,42 @@ def test_add_mask_refusals_and_drop(spark):
     assert {r.text for r in table.read().collect()} == {"alpha", "beta"}
     with pytest.raises(ValueError, match="no masking policy"):
         masking.drop_mask(table, "text")
+
+
+def test_row_filter_hides_rows_on_default_read(spark):
+    table = _mk(spark)
+    masking.add_row_filter(table, "en_only", "lang = 'en'")
+    assert {r.url for r in table.read().collect()} == {"https://a/1"}
+    # bypasses see everything; physical rows intact
+    assert table.read(unmasked=True).count() == 2
+    assert table.read(raw=True).count() == 2
+    # compaction must NOT delete hidden rows
+    table.compact(commit_key="rf-compact")
+    assert table.read(raw=True).count() == 2
+    assert table.read().count() == 1
+
+
+def test_row_filter_composes_with_masks_on_original_values(spark):
+    table = _mk(spark)
+    # filter references lang; mask replaces lang — the filter must see
+    # the ORIGINAL value
+    masking.add_mask(table, "lang", "'**'")
+    masking.add_row_filter(table, "de_only", "lang = 'de'")
+    got = [(r.url, r.lang) for r in table.read().collect()]
+    assert got == [("https://b/2", "**")]
+
+
+def test_row_filter_pruned_read_and_refusals(spark):
+    table = _mk(spark)
+    masking.add_row_filter(table, "en_only", "lang = 'en'")
+    out = table.read(columns=["text"])
+    assert "lang" not in out.columns
+    assert {r.text for r in out.collect()} == {"alpha"}
+    with pytest.raises(ValueError, match="already declared"):
+        masking.add_row_filter(table, "en_only", "lang = 'de'")
+    with pytest.raises(ValueError, match="does not resolve"):
+        masking.add_row_filter(table, "bad", "missing > 1")
+    masking.drop_row_filter(table, "en_only")
+    assert table.read().count() == 2
+    with pytest.raises(ValueError, match="no row filter"):
+        masking.drop_row_filter(table, "en_only")
