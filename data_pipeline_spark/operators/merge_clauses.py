@@ -39,6 +39,8 @@ win its key's lsn race to take effect).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,6 +63,10 @@ def merge_when(
     matched_delete_cond: str | None = None,
     insert_not_matched: bool = True,
     not_matched_cond: str | None = None,
+    by_source_delete_cond: str | None = None,
+    by_source_update: dict[str, str] | None = None,
+    by_source_update_cond: str | None = None,
+    by_source_scope: str | None = None,
     max_point_keys: int = 65536,
 ) -> MergeStats:
     """Apply one conditional MERGE statement and commit the outcome.
@@ -77,6 +83,20 @@ def merge_when(
     ``matched_update`` is given); unmatched rows insert when
     ``insert_not_matched`` (gated by ``not_matched_cond``). SET touches
     only the named columns — every other column keeps the target value.
+
+    The ``WHEN NOT MATCHED BY SOURCE`` family (Delta's snapshot-sync
+    clauses) acts on LIVE target rows whose key is absent from the
+    source: ``by_source_delete_cond`` deletes them, ``by_source_update``
+    rewrites them (DELETE tried first, same precedence). These clauses
+    see only ``t.*`` — there is no source row — and the emitted event
+    takes order ``t.<order> + 1`` so it wins the read-time LWW race
+    against the row it supersedes (a later WAL event at a higher lsn
+    still beats it, as it should). Because ANY target row may be
+    unmatched, these clauses force a full-table scan; ``by_source_scope``
+    (a ``t.*`` predicate, e.g. a domain or bucket slice — the Delta
+    best-practice scoping condition) bounds which target rows are
+    ELIGIBLE: out-of-scope rows are left untouched, and the predicate
+    prunes the scan via file stats where possible.
     """
     snap = table.current()
     if commit_key in snap.commits:
@@ -88,6 +108,31 @@ def merge_when(
     bad = set(matched_update or {}) - set(data_cols)
     if bad:
         raise KeyError(f"matched_update: not updatable columns {sorted(bad)}")
+    by_source = (
+        by_source_delete_cond is not None or by_source_update is not None
+    )
+    if by_source:
+        bad = set(by_source_update or {}) - set(data_cols)
+        if bad:
+            raise KeyError(
+                f"by_source_update: not updatable columns {sorted(bad)}"
+            )
+        for what, e in [
+            ("by_source_delete_cond", by_source_delete_cond),
+            ("by_source_update_cond", by_source_update_cond),
+            ("by_source_scope", by_source_scope),
+            *[(f"by_source_update[{c}]", e) for c, e in (by_source_update or {}).items()],
+        ]:
+            if e is not None and re.search(r"\bs\s*\.", e):
+                raise ValueError(
+                    f"{what}: NOT MATCHED BY SOURCE clauses have no source "
+                    f"row — only t.* references are legal (got {e!r})"
+                )
+    elif by_source_update_cond is not None or by_source_scope is not None:
+        raise ValueError(
+            "by_source_update_cond / by_source_scope need a BY SOURCE "
+            "action clause (by_source_delete_cond or by_source_update)"
+        )
 
     have = set(source.columns)
     if key not in have or order not in have:
@@ -106,24 +151,30 @@ def merge_when(
     src = lww_collapse(src, key, order, data_cols + extra)
 
     # Pruned target fetch: point keys under the cap, else touched buckets,
-    # else (pathological full-table source) the plain scan.
-    keys = [
-        r[0]
-        for r in src.select(key).limit(max_point_keys + 1).collect()
-    ]
-    if len(keys) <= max_point_keys:
-        state = table.read(point_keys=keys, snap=snap)
+    # else (pathological full-table source) the plain scan. BY SOURCE
+    # clauses must see every live row (any key may be absent from the
+    # source), so they force the full scan and both joins share it —
+    # the bounded key collect is skipped entirely on that path.
+    if by_source:
+        state = table.read(snap=snap)
     else:
-        bucket_ids = {
-            r["b"]
-            for r in src.select(
-                table.bucket_expr(snap, key).alias("b")
-            ).distinct().collect()
-        }
-        state = table.read(
-            buckets=bucket_ids if len(bucket_ids) < snap.n_buckets else None,
-            snap=snap,
-        )
+        keys = [
+            r[0]
+            for r in src.select(key).limit(max_point_keys + 1).collect()
+        ]
+        if len(keys) <= max_point_keys:
+            state = table.read(point_keys=keys, snap=snap)
+        else:
+            bucket_ids = {
+                r["b"]
+                for r in src.select(
+                    table.bucket_expr(snap, key).alias("b")
+                ).distinct().collect()
+            }
+            state = table.read(
+                buckets=bucket_ids if len(bucket_ids) < snap.n_buckets else None,
+                snap=snap,
+            )
 
     j = src.alias("s").join(state.alias("t"), on=key, how="left")
     matched = F.col(f"t.{order}").isNotNull() & (
@@ -181,4 +232,56 @@ def merge_when(
             .alias(OP_COL),
         )
     )
+
+    if by_source:
+        # Target-only frame: live rows whose key the source lacks (anti
+        # join — AQE broadcasts the source key set when it is small).
+        # Key-disjoint from `events` by construction, so the union still
+        # satisfies merge_into's one-row-per-key precollapsed contract.
+        t_only = state.alias("t")
+        if by_source_scope is not None:
+            t_only = t_only.filter(F.expr(by_source_scope))
+        t_only = t_only.join(src.select(key), on=key, how="left_anti")
+        bs_del = (
+            F.expr(by_source_delete_cond)
+            if by_source_delete_cond is not None
+            else F.lit(False)
+        )
+        bs_upd = (
+            ~bs_del
+            & (
+                F.expr(by_source_update_cond)
+                if by_source_update_cond is not None
+                else F.lit(True)
+            )
+            if by_source_update is not None
+            else F.lit(False)
+        )
+        bs_sets = {c: F.expr(e) for c, e in (by_source_update or {}).items()}
+        # no source row to take the order from: advance past the row this
+        # event supersedes so it wins ITS key's read-time LWW race
+        # (overridable by an explicit SET, like the matched path)
+        bs_sets.setdefault(order, F.col(f"t.{order}") + F.lit(1))
+        bumped = F.col(f"t.{order}") + F.lit(1)
+
+        def _bs_out(c: str) -> F.Column:
+            # deletes carry the before-image (matched-path parity) with
+            # only the order bumped so the tombstone wins its race
+            return (
+                F.when(bs_del, bumped if c == order else F.col(f"t.{c}"))
+                .otherwise(bs_sets.get(c, F.col(f"t.{c}")))
+                .alias(c)
+            )
+
+        bs_events = (
+            t_only.filter(bs_del | bs_upd)
+            .select(
+                F.col(key),
+                *[_bs_out(c) for c in data_cols],
+                F.when(bs_del, F.lit(DELETE_OP))
+                .otherwise(F.lit("update"))
+                .alias(OP_COL),
+            )
+        )
+        events = events.unionByName(bs_events)
     return merge_into(table, events, commit_key, precollapsed=True)

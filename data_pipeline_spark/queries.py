@@ -1553,6 +1553,96 @@ def cdc_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_merge_by_source",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        hi AS (SELECT max(lsn) AS m FROM changelog),
+        src AS (SELECT url, warc_ts, html, lang FROM latest
+                WHERE substr(md5(url), 1, 1) < '4'),
+        matched AS (
+          SELECT l.url, (SELECT m FROM hi) + 1 AS lsn, l.warc_ts, l.html,
+                 l.lang || '+' || s.lang AS lang
+          FROM live l JOIN src s USING (url)),
+        inserted AS (
+          SELECT s.url, (SELECT m FROM hi) + 1 AS lsn, s.warc_ts, s.html,
+                 s.lang
+          FROM src s WHERE s.url NOT IN (SELECT url FROM live)),
+        t_only AS (
+          SELECT url, lsn, warc_ts, html, lang FROM live
+          WHERE url NOT IN (SELECT url FROM src)),
+        kept AS (
+          SELECT * FROM t_only WHERE substr(md5(url), 2, 1) >= 'c'),
+        stale AS (
+          SELECT url, lsn + 1 AS lsn, warc_ts, html,
+                 'stale-' || lang AS lang
+          FROM t_only
+          WHERE substr(md5(url), 2, 1) < 'c' AND lang <> 'en'),
+        final AS (
+          SELECT * FROM matched
+          UNION ALL SELECT * FROM inserted
+          UNION ALL SELECT * FROM kept
+          UNION ALL SELECT * FROM stale)
+        SELECT url, lsn, {TS_DUCK.format(c='warc_ts')} AS warc_ts_s, lang,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM final
+    """,
+    doc="WHEN NOT MATCHED BY SOURCE (Delta's snapshot-sync clauses): an "
+    "external snapshot (deterministic md5 slice of each url's latest "
+    "payload) merges with matched-update + unmatched-insert, and target "
+    "rows ABSENT from the snapshot are swept by the BY SOURCE family — "
+    "scoped to an md5 slice (out-of-scope rows untouched), DELETE for "
+    "lang='en', UPDATE SET lang='stale-'||t.lang otherwise. BY SOURCE "
+    "events see only t.* and advance the row's own lsn by 1, so they win "
+    "the superseded row's read-time LWW race but lose to later WAL "
+    "events (operators/merge_clauses.py merge_when). All five branches "
+    "non-vacuous at sf0.001/0.01/0.1 "
+    "(matched/ins/kept/del/stale = 370/96/291/206/728 at sf0.01)",
+)
+def cdc_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.merge_clauses import merge_when
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_mbs_"), 16)
+    apply_batch(table, log, "mbs-replay", record_metrics=False)
+    hi = log.agg(F.max("lsn").alias("m")).first()["m"]
+    latest = (
+        log.groupBy("url")
+        .agg(F.max_by(F.struct("warc_ts", "html", "lang"), "lsn").alias("w"))
+        .select("url", "w.*")
+    )
+    src = latest.filter(F.substring(F.md5(F.col("url")), 1, 1) < "4").select(
+        "url",
+        F.lit(hi + 1).cast("bigint").alias("lsn"),
+        "warc_ts",
+        "html",
+        extract_text_sql("html").alias("text"),
+        "lang",
+    )
+    merge_when(
+        table, src, "mbs-1",
+        matched_update={"lang": "concat(t.lang, '+', s.lang)"},
+        by_source_delete_cond="t.lang = 'en'",
+        by_source_update={"lang": "concat('stale-', t.lang)"},
+        by_source_scope="substr(md5(t.url), 2, 1) < 'c'",
+    )
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_sql_update_delete",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

@@ -27,6 +27,13 @@ DELETE-before-UPDATE precedence matches Delta's canonical CDC form):
     [WHEN MATCHED [AND <cond>] THEN DELETE]
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET <col> = <expr>[, ...] | SET *]
     [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET <col> = <expr>[, ...]]
+
+BY SOURCE clauses (Delta's snapshot-sync family) see only ``t.*`` —
+conditions or SETs referencing the source alias are refused, and the
+emitted event advances the row's own order column by 1 (no source row
+to take it from).
 
 Conditions / SET expressions are ordinary Spark SQL over the two
 aliases; they are rewritten to the canonical ``s.`` / ``t.`` before
@@ -53,7 +60,8 @@ _HEAD = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CLAUSE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?P<bysrc>BY\s+SOURCE\s*)?"
+    r"(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
     r"(?P<action>DELETE|UPDATE\s+SET\s+(?P<set>.+?)|INSERT\s*\*)\s*"
     r"(?=WHEN\s|$)",
     re.IGNORECASE | re.DOTALL,
@@ -170,14 +178,62 @@ def merge_sql(
     matched_count = 0
     for m in _CLAUSE.finditer(body):
         is_not = bool(m.group("not"))
+        by_src = bool(m.group("bysrc"))
         cond = m.group("cond")
         cond = (
             _rewrite_aliases(cond, t_alias, s_alias) if cond else None
         )
         action = m.group("action").upper()
+        if by_src:
+            if not is_not:
+                raise ValueError("BY SOURCE requires WHEN NOT MATCHED")
+            if action == "DELETE":
+                kind = "by_source_delete"
+            elif action.startswith("UPDATE"):
+                kind = "by_source_update"
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports only DELETE or "
+                    "UPDATE SET <col> = <expr> (there is no source row "
+                    "to INSERT)"
+                )
+            if kind in seen_clauses:
+                raise ValueError(f"duplicate WHEN clause kind: {kind}")
+            seen_clauses.add(kind)
+            if kind == "by_source_delete":
+                kw["by_source_delete_cond"] = cond or "true"
+            else:
+                set_txt = m.group("set").strip()
+                if set_txt == "*":
+                    raise ValueError(
+                        "SET * is meaningless for NOT MATCHED BY SOURCE "
+                        "(no source row) — name the columns"
+                    )
+                upd = {}
+                for a in _split_top_level(set_txt):
+                    col, _, expr = a.partition("=")
+                    col = col.strip()
+                    if not expr.strip():
+                        raise ValueError(f"bad SET assignment {a!r}")
+                    if "." in col:
+                        alias, _, bare = col.partition(".")
+                        if alias.lower() != t_alias.lower():
+                            raise ValueError(
+                                f"SET target {col!r} must be a target column"
+                            )
+                        col = bare.strip()
+                    upd[col] = _rewrite_aliases(
+                        expr.strip(), t_alias, s_alias
+                    )
+                kw["by_source_update"] = upd
+                kw["by_source_update_cond"] = cond
+            continue
         if is_not:
             if not action.startswith("INSERT"):
-                raise ValueError("WHEN NOT MATCHED supports only INSERT *")
+                raise ValueError(
+                    "WHEN NOT MATCHED supports only INSERT * "
+                    "(or add BY SOURCE for DELETE / UPDATE)"
+                )
             kind = "insert"
         elif action == "DELETE":
             kind = "delete"
@@ -230,7 +286,14 @@ def merge_sql(
     # canonical CDC ordering); statements relying on UPDATE being tried
     # first would silently change meaning, so refuse them at parse time.
     if matched_count == 2:
-        first = _CLAUSE.search(body)
+        first = next(
+            (
+                m
+                for m in _CLAUSE.finditer(body)
+                if not m.group("not") and not m.group("bysrc")
+            ),
+            None,
+        )
         if first and first.group("action").upper().startswith("UPDATE"):
             du = kw["matched_update_cond"]
             if du is None:
@@ -240,6 +303,20 @@ def merge_sql(
                     "evaluates DELETE first — add a condition to the "
                     "UPDATE clause or reorder the statement"
                 )
+    if "by_source_delete" in seen_clauses and "by_source_update" in seen_clauses:
+        first_bs = next(
+            m for m in _CLAUSE.finditer(body) if m.group("bysrc")
+        )
+        if (
+            first_bs.group("action").upper().startswith("UPDATE")
+            and kw.get("by_source_update_cond") is None
+        ):
+            raise ValueError(
+                "an unconditional BY SOURCE UPDATE written before BY "
+                "SOURCE DELETE would shadow it under in-order semantics, "
+                "but this engine evaluates DELETE first — add a condition "
+                "to the UPDATE clause or reorder the statement"
+            )
     return merge_when(table, source, commit_key, **kw, **merge_kw)
 
 

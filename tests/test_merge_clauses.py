@@ -126,3 +126,108 @@ def test_matches_unconditional_merge_semantics(spark):
     a = sorted(map(tuple, t1.read().collect()))
     b = sorted(map(tuple, t2.read().collect()))
     assert a == b
+
+
+def test_by_source_delete_makes_table_mirror_source(spark):
+    """The snapshot-sync shape: matched update + unmatched insert +
+    NOT MATCHED BY SOURCE DELETE leaves the table == the source."""
+    t = _seed(spark)
+    src = spark.createDataFrame(
+        [("a", 5, "a2", 11), ("d", 5, "d1", 44)],
+        "url string, lsn bigint, v string, score bigint",
+    )
+    merge_when(
+        t, src, "sync",
+        matched_update={"v": "s.v", "score": "s.score"},
+        by_source_delete_cond="true",
+    )
+    got = {r["url"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {"a": ("a2", 11), "d": ("d1", 44)}  # b, c deleted
+
+
+def test_by_source_update_scope_and_precedence(spark):
+    t = _seed(spark)
+    src = spark.createDataFrame(
+        [("a", 5, "a2", 11)], "url string, lsn bigint, v string, score bigint"
+    )
+    merge_when(
+        t, src, "m1",
+        matched_update={"v": "s.v"},
+        by_source_delete_cond="t.score >= 30",          # c deleted
+        by_source_update={"v": "concat(t.v, '!stale')"},  # b marked
+        by_source_scope="t.url <> 'zzz'",
+    )
+    got = {r["url"]: (r["lsn"], r["v"]) for r in t.read().collect()}
+    # b's event advanced its own lsn by 1 (no source row to take it from)
+    assert got == {"a": (5, "a2"), "b": (2, "b1!stale")}
+    assert "c" not in got  # delete tried first
+
+
+def test_by_source_scope_bounds_eligibility(spark):
+    t = _seed(spark)
+    src = spark.createDataFrame(
+        [("a", 5, "a2", 11)], "url string, lsn bigint, v string, score bigint"
+    )
+    merge_when(
+        t, src, "m1",
+        by_source_delete_cond="true",
+        by_source_scope="t.url = 'b'",
+        insert_not_matched=False,
+    )
+    got = {r["url"] for r in t.read().collect()}
+    assert got == {"a", "c"}  # only b was in scope for the sweep
+
+
+def test_by_source_event_loses_to_later_wal_event(spark):
+    """The +1 order bump wins against the superseded row but still loses
+    to a genuinely later WAL event for the same key."""
+    t = _seed(spark)
+    src = spark.createDataFrame(
+        [("a", 5, "a2", 11)], "url string, lsn bigint, v string, score bigint"
+    )
+    merge_when(t, src, "m1", by_source_update={"v": "'stale'"},
+               insert_not_matched=False)
+    assert {r["url"]: r["v"] for r in t.read().collect()} == {
+        "a": "a1", "b": "stale", "c": "stale"}
+    merge_into(t, _rows(spark, [("b", 9, "b9", 1, "update")]), "later")
+    assert t.read().filter("url='b'").first()["v"] == "b9"
+
+
+def test_by_source_delete_carries_before_image(spark):
+    """A BY SOURCE DELETE coexisting with an UPDATE clause must tombstone
+    with the target's before-image, not the UPDATE's SET values."""
+    t = _seed(spark)
+    v0 = t.current().version
+    src = spark.createDataFrame(
+        [("a", 5, "a2", 11)], "url string, lsn bigint, v string, score bigint"
+    )
+    merge_when(
+        t, src, "m1",
+        by_source_delete_cond="t.url = 'b'",
+        by_source_update={"v": "'stale'"},
+        insert_not_matched=False,
+    )
+    ch = {
+        r["url"]: (r["op"], r["v"])
+        for r in t.changes_between(v0, t.current().version).collect()
+        if r["url"] == "b"
+    }
+    assert ch == {"b": ("delete", "b1")}
+
+
+def test_by_source_guards(spark):
+    t = _seed(spark)
+    src = spark.createDataFrame(
+        [("a", 5, "a2", 11)], "url string, lsn bigint, v string, score bigint"
+    )
+    with pytest.raises(ValueError, match="only t..* references"):
+        merge_when(t, src, "g1", by_source_delete_cond="s.score > 1")
+    with pytest.raises(ValueError, match="need a BY SOURCE"):
+        merge_when(t, src, "g2", by_source_scope="t.url <> 'x'")
+    with pytest.raises(KeyError, match="not updatable"):
+        merge_when(t, src, "g3", by_source_update={"url": "'x'"})
+    # idempotent replay on the commit key
+    merge_when(t, src, "m1", by_source_delete_cond="true")
+    v = t.current().version
+    merge_when(t, src, "m1", by_source_delete_cond="true")
+    assert t.current().version == v

@@ -146,3 +146,56 @@ def test_alias_rewrite_leaves_string_literals_alone(spark):
     )
     got = {r["url"]: r["v"] for r in t.read().collect()}
     assert got["a"] == "a2 u. literal"
+
+
+def test_by_source_sql_snapshot_sync(spark):
+    t = _seed(spark)
+    src = spark.createDataFrame(
+        [("a", 5, "a2", 11), ("d", 5, "d1", 44)],
+        "url string, lsn bigint, v string, score bigint",
+    )
+    merge_sql(
+        """
+        MERGE INTO pages t USING snap s ON t.url = s.url
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.score >= 30 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '!stale')
+        """,
+        "sync",
+        tables={"pages": t},
+        sources={"snap": src},
+    )
+    got = {r["url"]: r["v"] for r in t.read().collect()}
+    # a updated, d inserted, c (score 30) deleted, b marked stale
+    assert got == {"a": "a2", "b": "b1!stale", "d": "d1"}
+
+
+def test_by_source_sql_guardrails(spark):
+    t = _seed(spark)
+    src = spark.createDataFrame(
+        [("a", 5, "a2", 11)], "url string, lsn bigint, v string, score bigint"
+    )
+
+    def run(body, key="g"):
+        merge_sql(
+            f"MERGE INTO p t USING s s ON t.url = s.url\n{body}",
+            key, tables={"p": t}, sources={"s": src},
+        )
+
+    with pytest.raises(ValueError, match="no source row to INSERT"):
+        run("WHEN NOT MATCHED BY SOURCE THEN INSERT *")
+    with pytest.raises(ValueError, match="SET \\* is meaningless"):
+        run("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="only t..* references"):
+        run("WHEN NOT MATCHED BY SOURCE AND s.score > 1 THEN DELETE")
+    with pytest.raises(ValueError, match="would shadow"):
+        run(
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'x'\n"
+            "WHEN NOT MATCHED BY SOURCE AND t.score > 1 THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="duplicate WHEN clause"):
+        run(
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE\n"
+            "WHEN NOT MATCHED BY SOURCE AND t.score > 1 THEN DELETE"
+        )
