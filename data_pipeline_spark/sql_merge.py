@@ -335,6 +335,123 @@ _DELETE_HEAD = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_HEAD = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<target>[\w.]+)\s*"
+    r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?"
+    r"(?P<body>(?:VALUES|SELECT)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _insert_rows(table: LakeTable, m, sources) -> tuple:
+    """Resolve an INSERT statement's row source and column list."""
+    spark = table.spark
+    for name, df in (sources or {}).items():
+        df.createOrReplaceTempView(name)
+    snap = table.current()
+    fields = table.schema_fields(snap)
+    all_cols = [n for n, _ in fields]
+    named = (
+        [c.strip() for c in m.group("cols").split(",")]
+        if m.group("cols")
+        else all_cols
+    )
+    unknown = set(named) - set(all_cols)
+    if unknown:
+        raise KeyError(f"INSERT names unknown columns {sorted(unknown)}")
+    if len(set(named)) != len(named):
+        raise ValueError("INSERT column list has duplicates")
+    if snap.key not in named:
+        raise ValueError(
+            f"INSERT must supply the key column ({snap.key}) — "
+            "this is a keyed table"
+        )
+    body = m.group("body")
+    if body.lstrip()[:6].upper() == "VALUES":
+        rows = spark.sql(f"SELECT * FROM {body} AS v({', '.join(named)})")
+    else:
+        rows = spark.sql(body)
+        if len(rows.columns) != len(named):
+            raise ValueError(
+                f"SELECT yields {len(rows.columns)} columns, INSERT "
+                f"expects {len(named)}"
+            )
+        rows = rows.toDF(*named)
+    return rows, named, snap, fields
+
+
+def insert_sql(
+    sql: str,
+    commit_key: str,
+    tables: dict[str, LakeTable],
+    sources: dict[str, DataFrame] | None = None,
+) -> MergeStats:
+    """``INSERT INTO`` / ``INSERT OVERWRITE`` compiled onto the engine.
+
+    The table is KEYED, so ``INSERT INTO`` rows are upsert events — an
+    existing key's row is superseded (LWW), never duplicated; omitted
+    columns land as NULL; an omitted order column is stamped at the
+    table's high-watermark + 1 (the same "as of this snapshot" fence as
+    UPDATE/DELETE), while an explicit one keeps replay ordering in the
+    user's hands. ``INSERT OVERWRITE`` is full-table replacement and
+    compiles onto the snapshot-sync MERGE (matched rows update, new rows
+    insert, rows ABSENT from the inserted set are swept by the
+    NOT MATCHED BY SOURCE delete) — O(live ∪ inserted) events through
+    the ordinary merge-on-read delta path, never a physical truncate, so
+    it composes with time travel and exactly-once commit keys. OVERWRITE
+    owns the fence: an explicit order column is refused.
+
+    Row sources: ``VALUES (...), (...)`` (Spark inline table) or a full
+    ``SELECT`` (provided ``sources`` DataFrames are registered as temp
+    views first, so the statement can name them)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.merge import MergeStats, merge_into
+    from data_pipeline_spark.operators.merge_clauses import merge_when
+
+    m = _INSERT_HEAD.match(sql)
+    if not m:
+        raise ValueError(
+            "unparseable INSERT — expected: INSERT INTO|OVERWRITE <tbl> "
+            "[(col, ...)] VALUES (...)[, ...] | SELECT ..."
+        )
+    tname = m.group("target")
+    if tname not in tables:
+        raise KeyError(f"unknown target table {tname!r}")
+    table = tables[tname]
+    rows, named, snap, fields = _insert_rows(table, m, sources)
+    if commit_key in snap.commits:
+        return MergeStats(commit_key, False, snap.version, 0)
+    key, order = snap.key, snap.order_col
+    overwrite = m.group("mode").upper() == "OVERWRITE"
+    if overwrite and order in named:
+        raise ValueError(
+            f"INSERT OVERWRITE owns the order column ({order}) — "
+            "remove it from the column list"
+        )
+    if order not in named:
+        fence = table.read(columns=[]).agg(F.max(order)).first()[0]
+        rows = rows.withColumn(order, F.lit((fence or 0) + 1))
+    aligned = rows.select(
+        *[
+            (
+                F.col(n).cast(d) if n in named or n == order
+                else F.lit(None).cast(d)
+            ).alias(n)
+            for n, d in fields
+        ]
+    )
+    if not overwrite:
+        events = aligned.withColumn("op", F.lit("insert"))
+        return merge_into(table, events, commit_key)
+    data_cols = [n for n, _ in fields if n not in (key, order)]
+    return merge_when(
+        table,
+        aligned,
+        commit_key,
+        matched_update={c: f"s.{c}" for c in data_cols},
+        by_source_delete_cond="true",
+    )
 
 
 def _strip_alias(expr: str, alias: str | None) -> str:
@@ -372,8 +489,9 @@ def dml_sql(
     sources: dict[str, DataFrame] | None = None,
     **kw,
 ) -> MergeStats:
-    """One DML statement — ``MERGE INTO`` / ``UPDATE`` / ``DELETE FROM`` —
-    parsed and compiled onto the engine's native operators. UPDATE maps to
+    """One DML statement — ``MERGE INTO`` / ``INSERT INTO|OVERWRITE`` /
+    ``UPDATE`` / ``DELETE FROM`` — parsed and compiled onto the engine's
+    native operators. INSERT maps to :func:`insert_sql`. UPDATE maps to
     :func:`maintenance.update_where` (matching live rows re-enter with SET
     applied, fenced at high-watermark lsn + 1), DELETE to
     :func:`maintenance.delete_where` (tombstones at the same fence); both
@@ -387,6 +505,8 @@ def dml_sql(
     verb = (head_kw.group(1) if head_kw else "").upper()
     if verb == "MERGE":
         return merge_sql(sql, commit_key, tables, sources, **kw)
+    if verb == "INSERT":
+        return insert_sql(sql, commit_key, tables, sources, **kw)
 
     def _target(m) -> LakeTable:
         tname = m.group("target")
@@ -431,4 +551,6 @@ def dml_sql(
 
         return delete_where(table, F.expr(where), commit_key)
 
-    raise ValueError(f"unsupported DML verb {verb!r} — MERGE/UPDATE/DELETE only")
+    raise ValueError(
+        f"unsupported DML verb {verb!r} — MERGE/INSERT/UPDATE/DELETE only"
+    )

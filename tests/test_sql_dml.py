@@ -135,3 +135,77 @@ def test_merge_dispatches_through_dml(spark):
     )
     st = _state(t)
     assert st["a"][1] == "a9" and "z" in st
+
+
+def test_insert_into_values_fence_and_upsert(spark):
+    t = _seed(spark)
+    dml_sql(
+        "INSERT INTO pages (url, v, score) VALUES "
+        "('d', 'd1', 40), ('a', 'a2', 11)",
+        "i1", tables={"pages": t},
+    )
+    # omitted lsn -> fence hi+1 = 4; existing key 'a' is superseded (LWW),
+    # never duplicated; omitted columns would land as NULL
+    assert _state(t) == {
+        "a": (4, "a2", 11), "b": (2, "b1", 20), "c": (3, "c1", 30),
+        "d": (4, "d1", 40),
+    }
+    # explicit lsn below the live row loses the race (user owns ordering)
+    dml_sql(
+        "INSERT INTO pages (url, lsn, v, score) VALUES ('b', 1, 'old', 0)",
+        "i2", tables={"pages": t},
+    )
+    assert _state(t)["b"] == (2, "b1", 20)
+
+
+def test_insert_into_select_from_source_view(spark):
+    t = _seed(spark)
+    src = spark.createDataFrame(
+        [("x", "vx", 7), ("y", "vy", 8)], "url string, v string, score bigint"
+    )
+    dml_sql(
+        "INSERT INTO pages (url, v, score) "
+        "SELECT url, v, score FROM staged WHERE score > 7",
+        "i1", tables={"pages": t}, sources={"staged": src},
+    )
+    got = _state(t)
+    assert got["y"] == (4, "vy", 8) and "x" not in got
+
+
+def test_insert_overwrite_is_snapshot_sync(spark):
+    t = _seed(spark)
+    v0 = t.current().version
+    dml_sql(
+        "INSERT OVERWRITE pages (url, v, score) VALUES "
+        "('a', 'A', 1), ('z', 'Z', 9)",
+        "o1", tables={"pages": t},
+    )
+    assert _state(t) == {"a": (4, "A", 1), "z": (4, "Z", 9)}  # b, c swept
+    # no physical truncate: time travel still reads the old state
+    assert {r.url for r in t.read_version(v0).collect()} == {"a", "b", "c"}
+    # idempotent replay on the commit key
+    v = t.current().version
+    dml_sql(
+        "INSERT OVERWRITE pages (url, v, score) VALUES ('q', 'Q', 1)",
+        "o1", tables={"pages": t},
+    )
+    assert t.current().version == v
+
+
+def test_insert_guardrails(spark):
+    t = _seed(spark)
+    with pytest.raises(ValueError, match="must supply the key"):
+        dml_sql("INSERT INTO pages (v, score) VALUES ('x', 1)",
+                "g1", tables={"pages": t})
+    with pytest.raises(KeyError, match="unknown columns"):
+        dml_sql("INSERT INTO pages (url, nope) VALUES ('x', 1)",
+                "g2", tables={"pages": t})
+    with pytest.raises(ValueError, match="owns the order column"):
+        dml_sql("INSERT OVERWRITE pages (url, lsn, v) VALUES ('x', 9, 'v')",
+                "g3", tables={"pages": t})
+    with pytest.raises(ValueError, match="yields 3 columns"):
+        dml_sql("INSERT INTO pages (url, v) SELECT 'x', 'v', 1",
+                "g4", tables={"pages": t})
+    with pytest.raises(ValueError, match="duplicates"):
+        dml_sql("INSERT INTO pages (url, url) VALUES ('x', 'x')",
+                "g5", tables={"pages": t})
