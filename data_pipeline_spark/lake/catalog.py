@@ -1,0 +1,382 @@
+"""Named-table catalog: one directory of lake tables plus a SQL front
+door (restricted DDL + the existing DML compiler + Spark SELECT).
+
+The reference registers every produced object in a central pgSTAC
+catalog and resolves readers through it (reference:
+scripts/register_v1.py:96-155, operator-tools/_migrate_catalog/
+runner.py:31-54). This engine's catalog is deliberately thinner — a
+directory of tables where each table's own snapshot head (``_CURRENT``,
+CAS-protected) is the source of truth:
+
+* **No central metadata file.** Listing is one ``listdir``; creating,
+  dropping, or committing to one table never contends with writers of
+  another (the pgSTAC analog serializes everything through one
+  Postgres). Table creation inherits the snapshot CAS's link(2)
+  exclusivity, so two racing ``CREATE TABLE``\\ s of the same name
+  produce one winner and one loud error, never a torn table.
+* **Reads stay JVM-side.** ``register_views`` / ``sql`` resolve each
+  table to its ordinary pruned-parquet read plan (``LakeTable.read``),
+  so a catalog SELECT is exactly as scan-efficient as a direct read —
+  the catalog adds name resolution, not a data path.
+* **DDL is metadata-only.** CREATE/ALTER map onto
+  :meth:`LakeTable.create` / :meth:`evolve_schema` /
+  :meth:`update_props` — O(1) snapshot commits, never a data rewrite,
+  idempotent on ``commit_key`` like every other commit in the engine.
+
+Grammar (the restricted intersection a Delta/Iceberg/Paimon user
+already writes; anything outside it refuses loudly):
+
+    CREATE TABLE t (c TYPE [PRIMARY KEY], ...)
+        [PARTITIONED BY (BUCKET(<n>, <keycol>))]
+        [TBLPROPERTIES ('k'='v', ...)]
+    ALTER TABLE t ADD COLUMN[S] c TYPE [DEFAULT <lit>][, ...]
+    ALTER TABLE t RENAME COLUMN a TO b
+    ALTER TABLE t DROP COLUMN c
+    ALTER TABLE t ALTER COLUMN c TYPE <newtype>
+    ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)
+    ALTER TABLE t RENAME TO u
+    DROP TABLE t [PURGE]
+
+The key column comes from the inline ``PRIMARY KEY`` marker (Paimon's
+shape); the LWW order column from TBLPROPERTIES ``'sequence.field'``
+(Paimon's name for it), defaulting to ``lsn`` when present. DML
+(MERGE/INSERT/UPDATE/DELETE) routes through :func:`sql_merge.dml_sql`;
+SELECT/WITH registers the referenced tables as snapshot-pinned temp
+views and runs through ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_spark.lake.table import CURRENT_FILE, LakeTable
+
+_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_TRASH = ".trash"
+
+_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s*\(\s*(?P<cols>.+?)\s*\)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(\s*BUCKET\s*\(\s*(?P<nb>\d+)\s*,\s*"
+    r"(?P<bcol>\w+)\s*\)\s*\)\s*)?"
+    r"(?:TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<name>\w+)\s*(?P<purge>PURGE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<rest>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD_COLS = re.compile(r"^ADD\s+COLUMNS?\s+(?P<cols>.+)$", re.IGNORECASE | re.DOTALL)
+_RENAME_COL = re.compile(
+    r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$", re.IGNORECASE
+)
+_DROP_COL = re.compile(r"^DROP\s+COLUMN\s+(?P<col>\w+)$", re.IGNORECASE)
+_ALTER_COL = re.compile(
+    r"^ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+(?P<type>[\w()<>, ]+)$",
+    re.IGNORECASE,
+)
+_SET_PROPS = re.compile(
+    r"^SET\s+TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RENAME_TBL = re.compile(r"^RENAME\s+TO\s+(?P<new>\w+)$", re.IGNORECASE)
+_PROP_PAIR = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/quotes (column and property lists)."""
+    out, depth, q, cur = [], 0, None, []
+    for ch in s:
+        if q is not None:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch in "(<":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")>":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def _parse_props(txt: str | None) -> dict[str, str]:
+    return (
+        {m.group("k"): m.group("v") for m in _PROP_PAIR.finditer(txt)}
+        if txt
+        else {}
+    )
+
+
+def _parse_default(lit: str) -> Any:
+    """A DDL DEFAULT literal: quoted string, number, or NULL/bool."""
+    lit = lit.strip()
+    if lit[:1] in "'\"" and lit[-1:] == lit[:1]:
+        return lit[1:-1]
+    low = lit.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(lit)
+    except ValueError:
+        return float(lit)
+
+
+class Catalog:
+    """A directory of named lake tables with a SQL front door."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- name resolution -----------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        if not _NAME.match(name or ""):
+            raise ValueError(f"bad table name {name!r}")
+        return os.path.join(self.root, name)
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), CURRENT_FILE))
+
+    def table_names(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if _NAME.match(n)
+            and os.path.exists(os.path.join(self.root, n, CURRENT_FILE))
+        )
+
+    def load(self, name: str) -> LakeTable:
+        if not self.table_exists(name):
+            raise KeyError(f"no such table {name!r}")
+        return LakeTable(self.spark, self._path(name))
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def create_table(
+        self,
+        name: str,
+        schema: list[tuple[str, str]],
+        key: str = "url",
+        n_buckets: int = 64,
+        order_col: str = "lsn",
+        props: dict[str, Any] | None = None,
+    ) -> LakeTable:
+        if self.table_exists(name):
+            raise FileExistsError(f"table {name!r} already exists")
+        # LakeTable.create's v0 commit inherits link(2) exclusivity, so a
+        # racing creator of the same name fails loudly there.
+        return LakeTable.create(
+            self.spark, self._path(name), schema, key, n_buckets,
+            order_col=order_col, props=props,
+        )
+
+    def drop_table(self, name: str, purge: bool = False) -> str | None:
+        """Without ``purge`` the table moves to the catalog's trash
+        (rename — O(1), undoable by hand); with it the files are gone."""
+        path = self._path(name)
+        if not self.table_exists(name):
+            raise KeyError(f"no such table {name!r}")
+        if purge:
+            shutil.rmtree(path)
+            return None
+        trash_dir = os.path.join(self.root, _TRASH)
+        os.makedirs(trash_dir, exist_ok=True)
+        dest = os.path.join(trash_dir, f"{name}-{uuid.uuid4().hex[:8]}")
+        os.rename(path, dest)
+        return dest
+
+    def rename_table(self, old: str, new: str) -> None:
+        if not self.table_exists(old):
+            raise KeyError(f"no such table {old!r}")
+        if self.table_exists(new) or os.path.exists(self._path(new)):
+            raise FileExistsError(f"table {new!r} already exists")
+        os.rename(self._path(old), self._path(new))
+
+    # -- reads -----------------------------------------------------------------
+
+    def register_views(self, names: list[str] | None = None) -> list[str]:
+        """Register each table's CURRENT state as a Spark temp view
+        (snapshot-pinned at call time — re-register to see later
+        commits). Returns the registered names."""
+        names = self.table_names() if names is None else names
+        for n in names:
+            self.load(n).read().createOrReplaceTempView(n)
+        return list(names)
+
+    def _referenced(self, statement: str) -> list[str]:
+        toks = set(re.findall(r"\b\w+\b", statement))
+        return [n for n in self.table_names() if n in toks]
+
+    # -- the SQL front door ------------------------------------------------------
+
+    def sql(
+        self,
+        statement: str,
+        commit_key: str | None = None,
+        sources: dict[str, DataFrame] | None = None,
+        **kw,
+    ):
+        """Execute one statement: restricted DDL (metadata commits), DML
+        (MERGE/INSERT/UPDATE/DELETE via :func:`sql_merge.dml_sql`,
+        ``commit_key`` required), or SELECT/WITH (referenced catalog
+        tables auto-register as snapshot-pinned views, then
+        ``spark.sql``; returns the DataFrame)."""
+        head = re.match(r"\s*(\w+)", statement)
+        verb = (head.group(1) if head else "").upper()
+        if verb in ("SELECT", "WITH"):
+            self.register_views(self._referenced(statement))
+            for name, df in (sources or {}).items():
+                df.createOrReplaceTempView(name)
+            return self.spark.sql(statement)
+        if verb in ("MERGE", "INSERT", "UPDATE", "DELETE"):
+            from data_pipeline_spark.sql_merge import dml_sql
+
+            if commit_key is None:
+                raise ValueError(f"{verb} needs a commit_key")
+            tables = {n: self.load(n) for n in self._referenced(statement)}
+            return dml_sql(statement, commit_key, tables, sources, **kw)
+        if verb == "CREATE":
+            return self._create_sql(statement)
+        if verb == "DROP":
+            m = _DROP.match(statement)
+            if not m:
+                raise ValueError("unparseable DROP — DROP TABLE <t> [PURGE]")
+            return self.drop_table(m.group("name"), purge=bool(m.group("purge")))
+        if verb == "ALTER":
+            return self._alter_sql(statement, commit_key)
+        raise ValueError(
+            f"unsupported statement verb {verb!r} — SELECT/WITH, "
+            "MERGE/INSERT/UPDATE/DELETE, CREATE/ALTER/DROP TABLE only"
+        )
+
+    # -- DDL ---------------------------------------------------------------------
+
+    def _create_sql(self, statement: str) -> LakeTable:
+        m = _CREATE.match(statement)
+        if not m:
+            raise ValueError(
+                "unparseable CREATE TABLE — expected: CREATE TABLE t "
+                "(c TYPE [PRIMARY KEY], ...) [PARTITIONED BY "
+                "(BUCKET(n, keycol))] [TBLPROPERTIES ('k'='v', ...)]"
+            )
+        schema: list[tuple[str, str]] = []
+        key = None
+        for coldef in _split_top_level(m.group("cols")):
+            cm = re.match(
+                r"^(?P<c>\w+)\s+(?P<t>[\w()<>, ]+?)"
+                r"(?:\s+(?P<pk>PRIMARY\s+KEY))?$",
+                coldef,
+                re.IGNORECASE,
+            )
+            if not cm:
+                raise ValueError(f"bad column definition {coldef!r}")
+            schema.append((cm.group("c"), cm.group("t").strip().lower()))
+            if cm.group("pk"):
+                if key is not None:
+                    raise ValueError("multiple PRIMARY KEY columns")
+                key = cm.group("c")
+        cols = {c for c, _ in schema}
+        if key is None:
+            raise ValueError(
+                "CREATE TABLE needs exactly one column marked PRIMARY KEY "
+                "(the LWW key)"
+            )
+        if m.group("bcol") is not None and m.group("bcol") != key:
+            raise ValueError(
+                f"BUCKET column {m.group('bcol')!r} must be the PRIMARY "
+                f"KEY ({key!r}) — the table is key-hash-bucketed"
+            )
+        n_buckets = int(m.group("nb")) if m.group("nb") else 64
+        props = _parse_props(m.group("props"))
+        order_col = props.pop("sequence.field", "lsn")
+        if order_col not in cols:
+            raise ValueError(
+                f"order column {order_col!r} not in the schema — declare "
+                "it, or name one via TBLPROPERTIES ('sequence.field'='...')"
+            )
+        return self.create_table(
+            m.group("name"), schema, key, n_buckets,
+            order_col=order_col, props=props,
+        )
+
+    def _alter_sql(self, statement: str, commit_key: str | None):
+        m = _ALTER.match(statement)
+        if not m:
+            raise ValueError("unparseable ALTER TABLE")
+        name, rest = m.group("name"), m.group("rest").strip()
+        rm = _RENAME_TBL.match(rest)
+        if rm:
+            return self.rename_table(name, rm.group("new"))
+        table = self.load(name)
+        am = _ADD_COLS.match(rest)
+        if am:
+            cols_txt = am.group("cols").strip()
+            if cols_txt[:1] == "(" and cols_txt[-1:] == ")":
+                cols_txt = cols_txt[1:-1]
+            add: dict[str, str] = {}
+            defaults: dict[str, Any] = {}
+            for coldef in _split_top_level(cols_txt):
+                cm = re.match(
+                    r"^(?P<c>\w+)\s+(?P<t>[\w()<>, ]+?)"
+                    r"(?:\s+DEFAULT\s+(?P<d>.+))?$",
+                    coldef,
+                    re.IGNORECASE,
+                )
+                if not cm:
+                    raise ValueError(f"bad column definition {coldef!r}")
+                add[cm.group("c")] = cm.group("t").strip().lower()
+                if cm.group("d") is not None:
+                    defaults[cm.group("c")] = _parse_default(cm.group("d"))
+            return table.evolve_schema(
+                add_columns=add, defaults=defaults or None,
+                commit_key=commit_key,
+            )
+        rm = _RENAME_COL.match(rest)
+        if rm:
+            return table.evolve_schema(
+                rename_columns={rm.group("old"): rm.group("new")},
+                commit_key=commit_key,
+            )
+        dm = _DROP_COL.match(rest)
+        if dm:
+            return table.evolve_schema(
+                drop_columns=[dm.group("col")], commit_key=commit_key
+            )
+        tm = _ALTER_COL.match(rest)
+        if tm:
+            return table.evolve_schema(
+                widen={tm.group("col"): tm.group("type").strip().lower()},
+                commit_key=commit_key,
+            )
+        pm = _SET_PROPS.match(rest)
+        if pm:
+            return table.update_props(_parse_props(pm.group("props")))
+        raise ValueError(
+            f"unsupported ALTER TABLE action {rest.split()[0]!r} — "
+            "ADD COLUMN[S] / RENAME COLUMN / DROP COLUMN / ALTER COLUMN "
+            "TYPE / SET TBLPROPERTIES / RENAME TO only"
+        )

@@ -1643,6 +1643,70 @@ def cdc_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_catalog_sql",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        langs(lang, family) AS (VALUES
+          ('en', 'germanic'), ('de', 'germanic'),
+          ('es', 'romance'), ('fr', 'romance'), ('pt', 'romance')),
+        j AS (
+          SELECT l.url, l.html, g.family
+          FROM live l JOIN langs g USING (lang))
+        SELECT family,
+               count(*) AS pages,
+               sum(length({extract_text_duckdb('html')})) AS text_chars
+        FROM j GROUP BY family ORDER BY family
+    """,
+    doc="Catalog SQL front door (lake/catalog.py): CREATE TABLE DDL "
+    "(PRIMARY KEY + BUCKET partition + sequence.field TBLPROPERTIES) "
+    "builds the pages table, the replay lands in it, a `langs` dim is "
+    "created and populated entirely through catalog.sql (DDL + INSERT "
+    "INTO VALUES), and the answer is one catalog SELECT joining both "
+    "tables (auto-registered snapshot-pinned views; the dim side "
+    "broadcasts under AQE). Oracle rebuilds the dim as inline VALUES",
+)
+def cdc_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.lake.catalog import Catalog
+    from data_pipeline_spark.pipeline import apply_batch
+
+    log = cl.changelog(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="catalog_q_"))
+    cat.sql(
+        """
+        CREATE TABLE pages (
+          url string PRIMARY KEY, lsn bigint, warc_ts timestamp,
+          html binary, text string, lang string
+        ) PARTITIONED BY (BUCKET(16, url))
+        """
+    )
+    apply_batch(cat.load("pages"), log, "cat-replay", record_metrics=False)
+    cat.sql(
+        "CREATE TABLE langs (lang string PRIMARY KEY, lsn bigint, "
+        "family string)"
+    )
+    cat.sql(
+        "INSERT INTO langs (lang, family) VALUES "
+        "('en', 'germanic'), ('de', 'germanic'), "
+        "('es', 'romance'), ('fr', 'romance'), ('pt', 'romance')",
+        commit_key="langs-1",
+    )
+    return cat.sql(
+        """
+        SELECT family,
+               count(*) AS pages,
+               sum(length(text)) AS text_chars
+        FROM pages JOIN langs USING (lang)
+        GROUP BY family ORDER BY family
+        """
+    )
+
+
+@register(
     "cdc_sql_insert",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

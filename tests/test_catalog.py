@@ -1,0 +1,124 @@
+"""Named-table catalog (lake/catalog.py): directory-of-tables lifecycle,
+restricted DDL, and the SQL front door routing to DML / SELECT."""
+
+import os
+import tempfile
+
+import pytest
+
+from data_pipeline_spark.lake.catalog import Catalog
+from data_pipeline_spark.lake.merge import merge_into
+
+
+def _cat(spark):
+    return Catalog(spark, tempfile.mkdtemp(prefix="catalog_"))
+
+
+DDL = """
+CREATE TABLE pages (
+  url string PRIMARY KEY,
+  lsn bigint,
+  v string,
+  score bigint
+) PARTITIONED BY (BUCKET(4, url))
+  TBLPROPERTIES ('owner'='test', 'sequence.field'='lsn')
+"""
+
+
+def _seed(spark, cat):
+    cat.sql(DDL)
+    t = cat.load("pages")
+    merge_into(t, spark.createDataFrame(
+        [("a", 1, "a1", 10, "insert"),
+         ("b", 2, "b1", 20, "insert"),
+         ("c", 3, "c1", 30, "insert")],
+        "url string, lsn bigint, v string, score bigint, op string",
+    ), "seed")
+    return t
+
+
+def test_create_list_load_and_duplicate_refused(spark):
+    cat = _cat(spark)
+    t = cat.sql(DDL)
+    snap = t.current()
+    assert snap.key == "url" and snap.order_col == "lsn"
+    assert snap.n_buckets == 4 and snap.props["owner"] == "test"
+    assert [n for n, _ in t.schema_fields(snap)] == ["url", "lsn", "v", "score"]
+    assert cat.table_names() == ["pages"]
+    assert cat.table_exists("pages") and not cat.table_exists("nope")
+    with pytest.raises(FileExistsError):
+        cat.sql(DDL)
+    with pytest.raises(KeyError):
+        cat.load("nope")
+
+
+def test_sql_select_and_dml_route_through_catalog(spark):
+    cat = _cat(spark)
+    _seed(spark, cat)
+    got = {
+        r["url"]: r["score"]
+        for r in cat.sql("SELECT url, score FROM pages WHERE score >= 20").collect()
+    }
+    assert got == {"b": 20, "c": 30}
+    with pytest.raises(ValueError, match="needs a commit_key"):
+        cat.sql("UPDATE pages SET v = 'x'")
+    cat.sql("DELETE FROM pages WHERE score = 20", commit_key="d1")
+    # views are snapshot-pinned at call time; a fresh sql() re-registers
+    assert {r["url"] for r in cat.sql("SELECT url FROM pages").collect()} == {
+        "a", "c",
+    }
+    cat.sql(
+        "INSERT INTO pages (url, v, score) VALUES ('z', 'z1', 99)",
+        commit_key="i1",
+    )
+    assert cat.sql("SELECT max(score) m FROM pages").first()["m"] == 99
+
+
+def test_alter_statements_map_to_schema_evolution(spark):
+    cat = _cat(spark)
+    t = _seed(spark, cat)
+    cat.sql("ALTER TABLE pages ADD COLUMNS (rank int DEFAULT 7, note string)")
+    row = cat.sql("SELECT rank, note FROM pages WHERE url='a'").first()
+    assert (row["rank"], row["note"]) == (7, None)  # initial default
+    cat.sql("ALTER TABLE pages ALTER COLUMN rank TYPE bigint")
+    cat.sql("ALTER TABLE pages RENAME COLUMN note TO remark")
+    cat.sql("ALTER TABLE pages DROP COLUMN remark")
+    names = [n for n, _ in t.schema_fields(t.current())]
+    assert names == ["url", "lsn", "v", "score", "rank"]
+    assert dict(t.schema_fields(t.current()))["rank"] == "bigint"
+    cat.sql("ALTER TABLE pages SET TBLPROPERTIES ('owner'='ops')")
+    assert t.current().props["owner"] == "ops"
+
+
+def test_drop_rename_and_trash(spark):
+    cat = _cat(spark)
+    _seed(spark, cat)
+    cat.sql("ALTER TABLE pages RENAME TO pages2")
+    assert cat.table_names() == ["pages2"]
+    assert cat.sql("SELECT count(*) c FROM pages2").first()["c"] == 3
+    dest = cat.sql("DROP TABLE pages2")
+    assert cat.table_names() == [] and os.path.exists(dest)  # trashed
+    cat.sql(DDL)
+    assert cat.sql("DROP TABLE pages PURGE") is None
+    assert cat.table_names() == []
+
+
+def test_ddl_guardrails(spark):
+    cat = _cat(spark)
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        cat.sql("CREATE TABLE t (url string, lsn bigint)")
+    with pytest.raises(ValueError, match="must be the PRIMARY KEY"):
+        cat.sql(
+            "CREATE TABLE t (url string PRIMARY KEY, lsn bigint) "
+            "PARTITIONED BY (BUCKET(4, lsn))"
+        )
+    with pytest.raises(ValueError, match="order column"):
+        cat.sql("CREATE TABLE t (url string PRIMARY KEY, v string)")
+    with pytest.raises(ValueError, match="bad table name"):
+        cat.load("../escape")
+    cat.sql(DDL)
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        cat.sql("ALTER TABLE pages CLUSTER BY (url)")
+    with pytest.raises(FileExistsError):
+        cat.sql("CREATE TABLE pages2 (url string PRIMARY KEY, lsn bigint)")
+        cat.rename_table("pages", "pages2")
