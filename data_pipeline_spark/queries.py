@@ -2381,6 +2381,43 @@ def cdc_warc_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_jsonl_stream_state",
+    _final_state_duck(),
+    doc="Same final state via the STREAMING engine tailing Debezium-"
+    "envelope JSONL segment drops (run_stream source_format='jsonl' — "
+    "the Kafka-Connect object-store sink shape): paths-only stream, "
+    "per-epoch one-projection from_json decode (operators/envelope.py, "
+    "field-pruned), the identical epoch-keyed exactly-once apply core. "
+    "Any encode/decode drift (base64 html, microsecond ts_us, op "
+    "mapping, before/after image routing) breaks parity",
+)
+def cdc_jsonl_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.streaming.pipeline import (
+        stream_to_completion,
+        write_jsonl_wal,
+    )
+
+    root = tempfile.mkdtemp(prefix="lake_jq_")
+    wal = os.path.join(root, "wal")
+    write_jsonl_wal(spark, sf_dir, wal, n_files=3)
+    table = stream_to_completion(
+        spark, wal, os.path.join(root, "table"), os.path.join(root, "ckpt"),
+        n_buckets=16, record_metrics=False, source_format="jsonl",
+    )
+    return table.read().select(
+        "url",
+        "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts_s"),
+        "lang",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
 # ISO 639-1 -> 639-2/T enrichment dim for the stream-side lookup join.
 _LANG3 = [
     ("en", "eng"), ("de", "deu"), ("fr", "fra"), ("es", "spa"), ("pt", "por")

@@ -84,6 +84,36 @@ def write_wal(
     return n
 
 
+def write_jsonl_wal(
+    spark: SparkSession, sf_dir: str, wal_dir: str, n_files: int = 8,
+    amplify: int = 1,
+) -> int:
+    """Land the change log as ``.jsonl`` segment directories of
+    Debezium-style JSON envelopes (operators/envelope.py) — the shape a
+    Kafka-Connect / DMS sink actually writes to an object-store landing
+    zone. Encoding is one pure ``to_json`` projection per segment (no
+    shuffle beyond the repartition that sets files-per-segment); Spark's
+    text writer commits each part file atomically (write-then-rename),
+    so a live tail never lists a torn segment. Returns segment count."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.envelope import encode_envelope
+
+    log = cl.changelog(spark, sf_dir, amplify=amplify)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    span = (hi - lo + 1 + n_files - 1) // n_files
+    os.makedirs(wal_dir, exist_ok=True)
+    fps = 1 if amplify <= 1 else spark.sparkContext.defaultParallelism
+    for i in range(n_files):
+        part = log.filter(
+            (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
+        )
+        encode_envelope(part).repartition(fps).write.mode("overwrite").text(
+            os.path.join(wal_dir, f"seg-{i:05d}")
+        )
+    return n_files
+
+
 # The WAL wire schema (fixed: table-side schema evolution never changes the
 # feed; see test_mid_stream_schema_evolution).
 WAL_SCHEMA = (
@@ -190,6 +220,10 @@ def reread_wal_paths(
         return sess.createDataFrame([], WAL_SCHEMA)
     if source_format == "warc":
         return _decode_warc_paths(sess, live)
+    if source_format == "jsonl":
+        from data_pipeline_spark.operators.envelope import decode_envelope
+
+        return decode_envelope(sess.read.schema("value string").text(*live))
     return sess.read.schema(WAL_SCHEMA).parquet(*live)
 
 
@@ -350,16 +384,24 @@ def run_stream(
     WARC walk (operators/warc.py) before the same apply core. Offsets,
     exactly-once epoch keys, kill/resume, DLQ, and compaction cadence
     are identical — the source format is orthogonal to the sink
-    machinery."""
+    machinery.
+
+    ``source_format="jsonl"`` tails ``.jsonl``/text segment drops of
+    Debezium-style JSON envelopes (operators/envelope.py — the
+    Kafka-Connect object-store sink shape): same paths-only stream, each
+    epoch decodes with ONE ``from_json`` projection (JVM-side, field-
+    pruned). Corrupt or key-less envelopes decode to NULL url/lsn and
+    fall to the same structural DLQ/contract rules as any other feed."""
     if merge_mode not in ("lww", "append"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}")
-    if source_format not in ("parquet", "warc"):
+    if source_format not in ("parquet", "warc", "jsonl"):
         raise ValueError(f"unknown source_format {source_format!r}")
-    if source_format == "warc" and not reread_files:
+    if source_format in ("warc", "jsonl") and not reread_files:
         raise ValueError(
-            "the warc source streams segment paths and decodes inside "
-            "each epoch (the binaryFile-scan shape); reread_files=False "
-            "would put whole segment blobs through the stream plan"
+            f"the {source_format} source streams segment paths and "
+            "decodes inside each epoch (the binaryFile-scan shape); "
+            "reread_files=False would put whole segment blobs through "
+            "the stream plan"
         )
     if merge_mode == "append" and watermark_days is not None:
         raise ValueError(
@@ -479,7 +521,7 @@ def run_stream(
         if crash and fail_mode == "after":
             raise RuntimeError("injected post-commit failure (before checkpoint)")
 
-    if source_format == "warc":
+    if source_format in ("warc", "jsonl"):
         from pyspark.sql import functions as F
 
         source = (
@@ -490,13 +532,16 @@ def run_stream(
                 "path string, modificationTime timestamp, "
                 "length bigint, content binary"
             )
-            .option("pathGlobFilter", "*.warc")
+            .option(
+                "pathGlobFilter",
+                "*.warc" if source_format == "warc" else "*.txt",
+            )
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .option("recursiveFileLookup", "true")
             .load(wal_dir)
             # paths only: binaryFile prunes the content column, so the
             # stream plan carries the epoch's FILE LIST and each epoch's
-            # decode runs as a batch binaryFile scan in _reread
+            # decode runs as a batch scan in _reread
             .select(F.col("path").alias("wal_path"))
         )
     else:
