@@ -527,7 +527,11 @@ class LakeTable:
         the old columns; widened types still hold every old value).
         Downstream mirrors consume the schema through the table feed
         (streaming/table_feed.py), so the policy is the feed's contract
-        guard. Pass ``compat="none"`` to override one call.
+        guard. ``"forward"`` guards the other direction — a reader
+        compiled against the NEW schema over pre-change files: added
+        columns must carry an initial DEFAULT (no surprise NULLs out of
+        history); drop/rename pass. ``"full"`` enforces both.
+        Pass ``compat="none"`` to override one call.
 
         ``defaults`` assigns INITIAL defaults to columns in
         ``add_columns`` (:meth:`field_defaults`): files written before
@@ -538,15 +542,28 @@ class LakeTable:
         policy = compat if compat is not None else str(
             snap.props.get("schema.compat", "none")
         )
-        if policy not in ("none", "backward"):
+        if policy not in ("none", "backward", "forward", "full"):
             raise ValueError(f"unknown compat policy {policy!r}")
-        if policy == "backward" and (drop_columns or rename_columns):
+        if policy in ("backward", "full") and (drop_columns or rename_columns):
             raise ValueError(
-                "schema.compat=backward refuses drop-column and "
+                f"schema.compat={policy} refuses drop-column and "
                 "rename-column (readers of the previous schema would "
                 "break); override with compat='none' if every consumer "
                 "is known-migrated"
             )
+        if policy in ("forward", "full"):
+            # the other direction: a reader compiled against the NEW
+            # schema over files written before the change — an added
+            # column without an initial default would read surprise
+            # NULLs out of pre-add history
+            missing = set(add_columns or {}) - set(defaults or {})
+            if missing:
+                raise ValueError(
+                    f"schema.compat={policy} requires an initial DEFAULT "
+                    f"for added columns {sorted(missing)} (pre-add files "
+                    "would otherwise read NULL under the new schema); "
+                    "pass defaults= or override with compat='none'"
+                )
         for n, v in (defaults or {}).items():
             if n not in (add_columns or {}):
                 raise KeyError(

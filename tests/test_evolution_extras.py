@@ -126,3 +126,34 @@ def test_backward_compat_policy_guards_drop(spark):
     # explicit per-call override wins
     t.evolve_schema(drop_columns=["score"], compat="none")
     assert "score" not in dict(t.schema_fields(t.current()))
+
+
+def test_forward_and_full_compat_policies(spark):
+    import tempfile as _tf
+
+    import pytest as _pt
+
+    from data_pipeline_spark.pipeline import ensure_table as _ensure
+
+    t = _ensure(spark, _tf.mkdtemp(prefix="compat_f_"), 2)
+    t.update_props({"schema.compat": "forward"})
+    # forward: adds need an initial default (new-schema readers over
+    # pre-add files would otherwise see surprise NULLs)
+    with _pt.raises(ValueError, match="forward requires an initial DEFAULT"):
+        t.evolve_schema(add_columns={"score": "bigint"})
+    t.evolve_schema(add_columns={"score": "bigint"}, defaults={"score": 0})
+    t.evolve_schema(widen={"score": "double"})        # widen: allowed
+    t.evolve_schema(rename_columns={"score": "pts"})  # forward allows rename
+    t.evolve_schema(drop_columns=["pts"])             # and drop
+
+    t.update_props({"schema.compat": "full"})
+    with _pt.raises(ValueError, match="full requires an initial DEFAULT"):
+        t.evolve_schema(add_columns={"n": "bigint"})
+    t.evolve_schema(add_columns={"n": "bigint"}, defaults={"n": 1})
+    with _pt.raises(ValueError, match="full refuses drop"):
+        t.evolve_schema(drop_columns=["n"])
+    with _pt.raises(ValueError, match="full refuses drop"):
+        t.evolve_schema(rename_columns={"n": "m"})
+    t.evolve_schema(drop_columns=["n"], compat="none")  # override wins
+    with _pt.raises(ValueError, match="unknown compat"):
+        t.evolve_schema(add_columns={"x": "int"}, compat="sideways")
