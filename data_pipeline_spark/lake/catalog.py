@@ -36,6 +36,12 @@ already writes; anything outside it refuses loudly):
     ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)
     ALTER TABLE t RENAME TO u
     DROP TABLE t [PURGE]
+    SHOW TABLES | SHOW TBLPROPERTIES t | DESCRIBE [TABLE] t
+
+Read-side sugar inside SELECT/WITH: ``t$files`` / ``t$partitions`` /
+``t$history`` expose the Iceberg-style metadata tables (manifest- and
+snapshot-derived, zero data IO), and ``t VERSION AS OF n`` is
+Delta-style time travel (a ``read_version(n)`` view).
 
 The key column comes from the inline ``PRIMARY KEY`` marker (Paimon's
 shape); the LWW order column from TBLPROPERTIES ``'sequence.field'``
@@ -231,6 +237,61 @@ class Catalog:
         toks = set(re.findall(r"\b\w+\b", statement))
         return [n for n in self.table_names() if n in toks]
 
+    _META = re.compile(r"`?(\w+)\$(files|partitions|history)`?")
+    _ASOF = re.compile(
+        r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
+    )
+
+    def _history_df(self, table: LakeTable) -> DataFrame:
+        rows = [
+            (
+                s.version,
+                str(s.summary.get("op", "")),
+                s.schema_version,
+                len(s.commits),
+            )
+            for s in table.snapshot_log()
+        ]
+        return self.spark.createDataFrame(
+            rows, "version bigint, op string, schema_version bigint, "
+            "commits bigint",
+        )
+
+    def _rewrite_reads(self, statement: str) -> str:
+        """Expand the two read-side sugars before ``spark.sql``:
+
+        * ``t$files`` / ``t$partitions`` / ``t$history`` — Iceberg-style
+          metadata tables (manifest/snapshot-derived, no data IO) —
+          register as views and substitute a legal identifier.
+        * ``t VERSION AS OF n`` — Delta-style time travel — registers a
+          ``read_version(n)`` view (snapshot-pinned by construction).
+        """
+        names = set(self.table_names())
+
+        def _meta(m: re.Match) -> str:
+            name, kind = m.group(1), m.group(2)
+            if name not in names:
+                return m.group(0)
+            t = self.load(name)
+            df = (
+                t.files() if kind == "files"
+                else t.partitions() if kind == "partitions"
+                else self._history_df(t)
+            )
+            view = f"{name}__{kind}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        def _asof(m: re.Match) -> str:
+            name, v = m.group(1), int(m.group(2))
+            if name not in names:
+                return m.group(0)
+            view = f"{name}__v{v}"
+            self.load(name).read_version(v).createOrReplaceTempView(view)
+            return view
+
+        return self._ASOF.sub(_asof, self._META.sub(_meta, statement))
+
     # -- the SQL front door ------------------------------------------------------
 
     def sql(
@@ -248,10 +309,63 @@ class Catalog:
         head = re.match(r"\s*(\w+)", statement)
         verb = (head.group(1) if head else "").upper()
         if verb in ("SELECT", "WITH"):
+            statement = self._rewrite_reads(statement)
             self.register_views(self._referenced(statement))
             for name, df in (sources or {}).items():
                 df.createOrReplaceTempView(name)
             return self.spark.sql(statement)
+        if verb == "SHOW":
+            m = re.match(
+                r"\s*SHOW\s+(?:TABLES|(?:TBLPROPERTIES\s+(?P<t>\w+)))\s*;?\s*$",
+                statement,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    "unparseable SHOW — SHOW TABLES | SHOW TBLPROPERTIES <t>"
+                )
+            if m.group("t"):
+                props = self.load(m.group("t")).current().props
+                return self.spark.createDataFrame(
+                    [(k, str(v)) for k, v in sorted(props.items())],
+                    "key string, value string",
+                )
+            return self.spark.createDataFrame(
+                [(n,) for n in self.table_names()], "table_name string"
+            )
+        if verb == "DESCRIBE":
+            m = re.match(
+                r"\s*DESCRIBE\s+(?:TABLE\s+)?(?P<t>\w+)\s*;?\s*$",
+                statement,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError("unparseable DESCRIBE — DESCRIBE [TABLE] <t>")
+            t = self.load(m.group("t"))
+            snap = t.current()
+            ids = t._all_field_ids(snap)[0][str(snap.schema_version)]
+            defaults = {
+                e[0]: e[3]
+                for e in snap.schemas[str(snap.schema_version)]
+                if len(e) > 3 and e[3] is not None
+            }
+            rows = [
+                (
+                    n,
+                    d,
+                    int(ids[n]),
+                    "primary key" if n == snap.key
+                    else "order" if n == snap.order_col
+                    else "",
+                    None if n not in defaults else str(defaults[n]),
+                )
+                for n, d in t.schema_fields(snap)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "col_name string, data_type string, field_id int, "
+                "role string, initial_default string",
+            )
         if verb in ("MERGE", "INSERT", "UPDATE", "DELETE"):
             from data_pipeline_spark.sql_merge import dml_sql
 
@@ -270,7 +384,8 @@ class Catalog:
             return self._alter_sql(statement, commit_key)
         raise ValueError(
             f"unsupported statement verb {verb!r} — SELECT/WITH, "
-            "MERGE/INSERT/UPDATE/DELETE, CREATE/ALTER/DROP TABLE only"
+            "MERGE/INSERT/UPDATE/DELETE, CREATE/ALTER/DROP TABLE, "
+            "SHOW TABLES/TBLPROPERTIES, DESCRIBE only"
         )
 
     # -- DDL ---------------------------------------------------------------------

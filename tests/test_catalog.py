@@ -122,3 +122,49 @@ def test_ddl_guardrails(spark):
     with pytest.raises(FileExistsError):
         cat.sql("CREATE TABLE pages2 (url string PRIMARY KEY, lsn bigint)")
         cat.rename_table("pages", "pages2")
+
+
+def test_metadata_tables_and_time_travel_sugar(spark):
+    cat = _cat(spark)
+    t = _seed(spark, cat)
+    v1 = t.current().version
+    cat.sql("DELETE FROM pages WHERE url = 'c'", commit_key="d1")
+    # $files / $partitions: manifest-derived, no data IO
+    files = cat.sql(
+        "SELECT kind, count(*) n FROM pages$files GROUP BY kind"
+    ).collect()
+    assert {r["kind"] for r in files} <= {"base", "delta"}
+    parts = cat.sql(
+        "SELECT sum(n_files) s FROM `pages$partitions`"
+    ).first()["s"]
+    assert parts == sum(r["n"] for r in files)
+    # $history: one row per snapshot
+    hist = cat.sql("SELECT count(*) c FROM pages$history").first()["c"]
+    assert hist == len(t.snapshot_log())
+    # VERSION AS OF: pre-delete state still has c
+    got = cat.sql(
+        f"SELECT url FROM pages VERSION AS OF {v1} ORDER BY url"
+    ).collect()
+    assert [r["url"] for r in got] == ["a", "b", "c"]
+    assert {r["url"] for r in cat.sql("SELECT url FROM pages").collect()} == {
+        "a", "b",
+    }
+
+
+def test_show_and_describe(spark):
+    cat = _cat(spark)
+    _seed(spark, cat)
+    assert [r["table_name"] for r in cat.sql("SHOW TABLES").collect()] == [
+        "pages",
+    ]
+    props = {r["key"]: r["value"]
+             for r in cat.sql("SHOW TBLPROPERTIES pages").collect()}
+    assert props["owner"] == "test"
+    cat.sql("ALTER TABLE pages ADD COLUMNS (rank int DEFAULT 7)")
+    d = {r["col_name"]: r for r in cat.sql("DESCRIBE pages").collect()}
+    assert d["url"]["role"] == "primary key"
+    assert d["lsn"]["role"] == "order"
+    assert d["rank"]["initial_default"] == "7"
+    assert d["rank"]["field_id"] == 4  # fresh id after the 4 v0 columns
+    with pytest.raises(ValueError, match="unparseable SHOW"):
+        cat.sql("SHOW PARTITIONS pages")
