@@ -2241,6 +2241,16 @@ class LakeTable:
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
         writer = df.write.partitionBy(BUCKET_COL).mode("overwrite")
+        # Iceberg-named codec property; per-write option, so two tables
+        # with different codecs never fight over a session conf. zstd is
+        # the at-scale default choice (≈30% smaller than snappy on html
+        # payloads); snappy stays the default here for write-CPU parity.
+        codec = str(
+            self.current().props.get(
+                "write.parquet.compression-codec", "snappy"
+            )
+        )
+        writer = writer.option("compression", codec)
         if max_records_per_file is not None:
             # Per-write option (not session conf): the sorted stream is
             # split into consecutive files, each covering a contiguous

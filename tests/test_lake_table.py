@@ -228,3 +228,27 @@ def test_tied_lsn_events_collapse_to_one_deterministic_row(spark):
         outcomes.append(after)
     assert outcomes[0] == outcomes[1]  # deterministic across replays
     assert [o[2] for o in outcomes[0] if o[0] == "u3"] == [b"<body>new</body>"]
+
+
+def test_write_compression_codec_property(spark):
+    import glob as _glob
+    import os as _os
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from data_pipeline_spark.lake.merge import merge_into as _mi
+    from data_pipeline_spark.pipeline import ensure_table as _ensure
+
+    t = _ensure(spark, _tf.mkdtemp(prefix="codec_"), 2)
+    t.update_props({"write.parquet.compression-codec": "zstd"})
+    _mi(t, spark.createDataFrame(
+        [("u1", 1, None, b"<p>x</p>", "x", "en", "insert")],
+        "url string, lsn bigint, warc_ts timestamp, html binary, "
+        "text string, lang string, op string",
+    ), "c1")
+    f = _glob.glob(_os.path.join(t.root, "data", "**", "*.parquet"),
+                   recursive=True)[0]
+    md = _pq.read_metadata(f)
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
+    assert t.read().count() == 1  # reads back fine
