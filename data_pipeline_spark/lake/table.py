@@ -348,6 +348,23 @@ class LakeTable:
         # unconditional: spread-constructed snapshots (rollback, props,
         # rewrite_manifests) inherit the parent's stamp and must not keep it
         snap.committed_at = time.time()
+        # Commit-key retention: without a bound, every epoch key ever
+        # committed is re-serialized into every later snapshot — O(total
+        # epochs) bytes per commit, quadratic over a long stream's life
+        # (the same disease class as the round-1 snapshot-O(files) JSON,
+        # one field over). `commit.retention.keys = K` keeps the K
+        # NEWEST keys by recorded version; idempotent replay stays exact
+        # for anything inside the window (a streaming checkpoint only
+        # ever redelivers each writer's last epoch), while replaying a
+        # key older than the window re-applies — the caller owns the
+        # horizon, exactly like fold-compaction's. Unset = keep all
+        # (the default: nothing changes unless a table opts in).
+        k = snap.props.get("commit.retention.keys")
+        if k is not None and len(snap.commits) > int(k):
+            newest = sorted(
+                snap.commits.items(), key=lambda kv: (-kv[1], kv[0])
+            )[: int(k)]
+            snap.commits = dict(newest)
         final = os.path.join(self.root, SNAPSHOT_DIR, name)
         tmp = f"{final}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -680,6 +697,42 @@ class LakeTable:
                 "summary": {
                     "op": "rewrite_manifests",
                     "merged_buckets": sorted(merged),
+                },
+                "props": dict(snap.props),
+            }
+        )
+        self._write_snapshot(new, expect_parent=snap.version)
+        return new
+
+    def expire_commit_keys(
+        self, older_than_version: int, commit_key: str
+    ) -> Snapshot | None:
+        """Metadata-only commit-key expiry: drop idempotency keys whose
+        recorded version is below ``older_than_version``. The snapshot's
+        commit map is the exactly-once ledger — but an unbounded ledger
+        re-serializes every epoch key ever committed into every later
+        snapshot (quadratic metadata over a long stream's life). Expiry
+        is the explicit maintenance form of the ``commit.retention.keys``
+        property: replay of a commit at or above the horizon stays a
+        recorded no-op; replaying one below it would RE-APPLY — the
+        caller promises no redelivery reaches below the horizon (the
+        same contract as fold-compaction's event horizon). Returns None
+        when nothing is below the horizon."""
+        snap = self.current()
+        if commit_key in snap.commits:
+            return snap
+        keep = {k: v for k, v in snap.commits.items() if v >= older_than_version}
+        if len(keep) == len(snap.commits):
+            return None
+        new = Snapshot(
+            **{
+                **snap.__dict__,
+                "version": snap.version + 1,
+                "commits": {**keep, commit_key: snap.version + 1},
+                "summary": {
+                    "op": "expire_commit_keys",
+                    "expired": len(snap.commits) - len(keep),
+                    "horizon": older_than_version,
                 },
                 "props": dict(snap.props),
             }
