@@ -739,6 +739,11 @@ class MaintenancePolicy:
     keep_snapshots: int | None = None
     # Reclaim unreferenced files older than this (None = never vacuum).
     vacuum_min_age_s: float | None = None
+    # Keep at most N idempotency commit keys (None = never expire). The
+    # caller owns the redelivery horizon: a key expired here would
+    # RE-APPLY on replay, so set this above the deepest checkpoint
+    # rewind any writer can perform (see LakeTable.expire_commit_keys).
+    keep_commit_keys: int | None = None
 
 
 def plan_maintenance(
@@ -791,6 +796,13 @@ def plan_maintenance(
         policy.keep_snapshots is not None
         and n_snapshots > policy.keep_snapshots
     )
+    commit_key_horizon = None
+    if (
+        policy.keep_commit_keys is not None
+        and len(snap.commits) > policy.keep_commit_keys
+    ):
+        versions = sorted(snap.commits.values(), reverse=True)
+        commit_key_horizon = versions[policy.keep_commit_keys - 1]
     mode = snap.props.get("merge.mode", "lww")
     return {
         "mode": mode,
@@ -799,6 +811,7 @@ def plan_maintenance(
         "compact_kind": "compact" if mode == "lww" else "compact_append",
         "rewrite_manifest_buckets": long_chains,
         "expire_snapshots": policy.keep_snapshots if expire else None,
+        "expire_commit_keys_below": commit_key_horizon,
         "vacuum": policy.vacuum_min_age_s is not None,
     }
 
@@ -899,6 +912,14 @@ def run_maintenance(
         )
         report["rewrite_done"] = out is not None
 
+    if plan["expire_commit_keys_below"] is not None:
+        out = attempt(
+            "expire_commit_keys",
+            lambda: table.expire_commit_keys(
+                plan["expire_commit_keys_below"], f"{commit_key}/commit-keys"
+            ),
+        )
+        report["commit_keys_expired"] = out is not None
     if plan["expire_snapshots"] is not None:
         report["expired_versions"] = table.expire_snapshots(
             keep_last=policy.keep_snapshots

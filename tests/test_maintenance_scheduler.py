@@ -189,3 +189,28 @@ def test_exhausted_conflicts_reported_not_raised(spark):
     # The table itself is untouched by the failed service round: every
     # racer commit landed, nothing lost.
     assert t.read().filter(F.col("url") == "u0").first()["lsn"] == 1002
+
+
+def test_commit_key_expiry_via_policy(spark):
+    t = _fill(spark, _mk(spark), batches=8)
+    assert len(t.current().commits) == 8
+    pol = MaintenancePolicy(keep_commit_keys=3)
+    plan = plan_maintenance(t, pol)
+    assert plan["expire_commit_keys_below"] == t.current().commits["c5"]
+    rep = run_maintenance(t, "round-ck", pol)
+    assert rep["commit_keys_expired"]
+    kept = set(t.current().commits)
+    # 3 newest writer keys survive, plus the round's own expiry key
+    assert {"c5", "c6", "c7", "round-ck/commit-keys"} <= kept
+    assert not {"c0", "c1", "c2", "c3", "c4"} & kept
+    # keys inside the window still no-op on replay
+    v = t.current().version
+    merge_into(t, _batch(spark, [("u0", 999, TS, "zz", "upsert")]), "c7")
+    assert t.current().version == v
+    # re-running the same round is a no-op (key recorded)
+    rep2 = run_maintenance(t, "round-ck", pol)
+    assert t.current().version == v
+    # under the bound: nothing planned
+    assert plan_maintenance(t, MaintenancePolicy(keep_commit_keys=50))[
+        "expire_commit_keys_below"
+    ] is None
