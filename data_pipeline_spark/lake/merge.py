@@ -77,6 +77,80 @@ def lww_collapse(df: DataFrame, key: str, order: str, cols: list[str]) -> DataFr
     return packed.select(key, *[F.col(f"__w.{c}").alias(c) for c in cols])
 
 
+# Safe in-place type promotions (the Iceberg v2 promotion rules): every
+# value of the old type is exactly representable in the new one, so old
+# files read under the widened schema without a rewrite.
+SAFE_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+# Pairs that are the same value domain under this engine's pinned-UTC
+# sessions (session.get_spark; re-pinned in queries._views): a feed may
+# legitimately flip between them per spark.sql.timestampType without any
+# schema intent, so neither direction is drift.
+_EQUIVALENT = {("timestamp", "timestamp_ntz"), ("timestamp_ntz", "timestamp")}
+
+
+def schema_drift(
+    table: LakeTable, source: DataFrame, snap: Snapshot | None = None
+) -> tuple[dict[str, str], dict[str, str]]:
+    """What schema evolution would absorb ``source``'s schema into the
+    table: ``(add_columns, widen)``. A source column the table lacks is
+    an add; a source type STRICTLY WIDER than the table's (per
+    :data:`SAFE_WIDENINGS`) is a widen; equal or narrower source types
+    need nothing (alignment casts up). Anything else — a string where
+    the table holds bigint, a narrowing — raises: silent coercion at a
+    CDC boundary corrupts data, so incompatible drift must be resolved
+    by an explicit ``evolve_schema`` decision, not a write."""
+    snap = snap or table.current()
+    fields = dict(table.schema_fields(snap))
+    adds: dict[str, str] = {}
+    widens: dict[str, str] = {}
+    for f in source.schema.fields:
+        n = f.name
+        if n == OP_COL or n.startswith("__"):
+            continue
+        d = f.dataType.simpleString()
+        if n not in fields:
+            adds[n] = d
+            continue
+        cur = fields[n]
+        if d == cur or (d, cur) in SAFE_WIDENINGS or (cur, d) in _EQUIVALENT:
+            continue
+        if (cur, d) in SAFE_WIDENINGS:
+            widens[n] = d
+        else:
+            raise ValueError(
+                f"incompatible schema drift on {n!r}: table has {cur}, "
+                f"batch has {d} (neither equal nor a safe widening) — "
+                "resolve with an explicit evolve_schema"
+            )
+    return adds, widens
+
+
+def absorb_schema_drift(
+    table: LakeTable, source: DataFrame, commit_key: str
+) -> Snapshot | None:
+    """Absorb ``source``'s schema drift as a metadata-only evolution
+    commit (the Delta ``mergeSchema`` / Debezium auto-evolution shape).
+    Returns the new snapshot, or None when there is no drift. The
+    table's declared ``schema.compat`` policy governs: FORWARD/FULL
+    tables refuse adds without initial defaults — auto-evolution cannot
+    invent a default, so the refusal surfaces loudly to the feed owner.
+    Drift-based and therefore replay-safe: after a crash between the
+    evolution commit and the data commit, the redelivered batch sees no
+    remaining drift and proceeds straight to the merge."""
+    adds, widens = schema_drift(table, source)
+    if not adds and not widens:
+        return None
+    return table.evolve_schema(
+        add_columns=adds or None, widen=widens or None, commit_key=commit_key
+    )
+
+
 def merge_into(
     table: LakeTable,
     source: DataFrame,
@@ -85,6 +159,7 @@ def merge_into(
     precollapsed: bool = False,
     props_update: dict[str, Any] | None = None,
     stage_id: str | None = None,
+    auto_evolve: bool = False,
 ) -> MergeStats:
     """Apply one batch of change events (current-schema cols + ``op``).
 
@@ -116,6 +191,12 @@ def merge_into(
         )
     if commit_key in snap.commits:
         return MergeStats(commit_key, False, snap.version, 0)
+    if auto_evolve:
+        # Unknown source columns otherwise DROP silently at the
+        # alignment below; auto_evolve turns them into a schema
+        # evolution commit first (idempotent: replay sees no drift).
+        if absorb_schema_drift(table, source, f"{commit_key}~evolve"):
+            snap = table.current()
 
     key = snap.key
     fields = table.schema_fields(snap)

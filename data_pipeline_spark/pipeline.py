@@ -216,6 +216,7 @@ def apply_batch(
     watermark_days: int | None = None,
     stage_id: str | None = None,
     dlq: LakeTable | None = None,
+    auto_evolve: bool = False,
 ) -> MergeStats:
     """One micro-batch: [late-drop] → LWW winner selection → extraction →
     MERGE (delta commit). ``stage_id`` stages the commit for
@@ -253,6 +254,16 @@ def apply_batch(
     """
     t0 = time.monotonic()
     snap = table.current()
+    if auto_evolve and commit_key not in snap.commits:
+        # Absorb batch schema drift (new columns / safe widenings) as a
+        # metadata-only evolution commit BEFORE the gates, so the rest of
+        # the pipeline — and the alignment inside merge_into — sees the
+        # evolved schema. The Delta mergeSchema / Debezium auto-evolve
+        # shape; incompatible drift raises (lake/merge.schema_drift).
+        from data_pipeline_spark.lake.merge import absorb_schema_drift
+
+        if absorb_schema_drift(table, batch, f"{commit_key}~evolve"):
+            snap = table.current()
     n_quarantined = 0
     if dlq is not None:
         # Quarantine BEFORE anything else: contract violations (NULL key,

@@ -1919,6 +1919,72 @@ def cdc_widen_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_auto_evolve",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        b AS (SELECT min(lsn) + (max(lsn) - min(lsn)) // 2 AS cut
+              FROM changelog)
+        SELECT url, lsn,
+               CASE WHEN lsn > (SELECT cut FROM b) THEN
+                 CASE WHEN octet_length(html) % 2 = 0
+                      THEN 'text/html' ELSE 'text/plain' END
+               END AS content_type,
+               CAST(CASE WHEN lsn > (SELECT cut FROM b)
+                         THEN lsn * 2147483648 ELSE lsn % 1000 END
+                    AS BIGINT) AS fetch_ms,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM live
+    """,
+    doc="Automatic schema-drift absorption (Delta mergeSchema / Debezium "
+    "auto-evolution shape): the first half of the feed carries an "
+    "unknown fetch_ms int column (auto-ADDED), the second half carries "
+    "fetch_ms bigint plus a content_type column (auto-WIDEN int->bigint "
+    "+ auto-ADD) — both absorbed as metadata-only evolution commits by "
+    "apply_batch(auto_evolve=True) instead of the default silent drop "
+    "at alignment; incompatible drift would raise "
+    "(lake/merge.schema_drift/absorb_schema_drift). A url's winning row "
+    "decides which side populated its columns, so the oracle is the "
+    "lsn cut",
+)
+def cdc_auto_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    b = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_ae_"), 16)
+    first = log.filter(F.col("lsn") <= cut).withColumn(
+        "fetch_ms", (F.col("lsn") % 1000).cast("int")
+    )
+    apply_batch(table, first, "ae-1", record_metrics=False, auto_evolve=True)
+    second = (
+        log.filter(F.col("lsn") > cut)
+        .withColumn(
+            "content_type",
+            F.when(F.length("html") % 2 == 0, "text/html").otherwise(
+                "text/plain"
+            ),
+        )
+        .withColumn("fetch_ms", F.col("lsn") * F.lit(2147483648).cast("bigint"))
+    )
+    apply_batch(table, second, "ae-2", record_metrics=False, auto_evolve=True)
+    fields = dict(table.schema_fields(table.current()))
+    assert fields.get("fetch_ms") == "bigint", fields
+    assert fields.get("content_type") == "string", fields
+    return table.read().select(
+        "url", "lsn", "content_type", "fetch_ms",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_predicate_delete",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),

@@ -201,7 +201,8 @@ def _decode_warc_paths(sess: SparkSession, paths: list[str]) -> DataFrame:
 
 
 def reread_wal_paths(
-    batch: DataFrame, source_format: str = "parquet"
+    batch: DataFrame, source_format: str = "parquet",
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Turn a paths-only epoch frame (one ``wal_path`` per WAL file the
     file source assigned to this epoch) back into the epoch's event rows
@@ -224,6 +225,12 @@ def reread_wal_paths(
         from data_pipeline_spark.operators.envelope import decode_envelope
 
         return decode_envelope(sess.read.schema("value string").text(*live))
+    if merge_schema:
+        # auto-evolve path: segments may carry columns the pinned WAL
+        # schema predates — union footers across the epoch's files so a
+        # drift column surfaces (NULL for pre-drift segments) instead of
+        # being silently projected away.
+        return sess.read.option("mergeSchema", "true").parquet(*live)
     return sess.read.schema(WAL_SCHEMA).parquet(*live)
 
 
@@ -281,6 +288,7 @@ def run_stream(
     source_format: str = "parquet",
     transform=None,
     matview_spec: dict | None = None,
+    auto_evolve: bool = False,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -391,9 +399,35 @@ def run_stream(
     Kafka-Connect object-store sink shape): same paths-only stream, each
     epoch decodes with ONE ``from_json`` projection (JVM-side, field-
     pruned). Corrupt or key-less envelopes decode to NULL url/lsn and
-    fall to the same structural DLQ/contract rules as any other feed."""
+    fall to the same structural DLQ/contract rules as any other feed.
+
+    ``auto_evolve=True`` absorbs WAL schema drift mid-stream (the Delta
+    mergeSchema / Debezium auto-evolution shape): the per-epoch re-read
+    unions segment footers (``mergeSchema``), and a new column or safe
+    type widening becomes a metadata-only evolution commit before the
+    epoch applies (lake/merge.absorb_schema_drift — drift-based, so
+    redelivery and the crash-between-evolve-and-apply window replay as
+    no-ops). Incompatible drift stops the stream loudly; the table's
+    ``schema.compat`` policy still governs (FORWARD refuses adds with
+    no default). Parquet + lww + reread_files only."""
     if merge_mode not in ("lww", "append"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}")
+    if auto_evolve and merge_mode != "lww":
+        raise ValueError(
+            "auto_evolve absorbs drift into the COLLAPSED-row table "
+            "schema; append merge-mode tables store raw events — evolve "
+            "the event schema explicitly"
+        )
+    if auto_evolve and source_format != "parquet":
+        raise ValueError(
+            f"auto_evolve needs self-describing segments; the "
+            f"{source_format} decode projects a fixed envelope schema"
+        )
+    if auto_evolve and not reread_files:
+        raise ValueError(
+            "auto_evolve detects drift on the per-epoch file re-read; "
+            "the in-stream plan is pinned to the stream's start schema"
+        )
     if source_format not in ("parquet", "warc", "jsonl"):
         raise ValueError(f"unknown source_format {source_format!r}")
     if source_format in ("warc", "jsonl") and not reread_files:
@@ -458,7 +492,7 @@ def run_stream(
         return mv["view"]
 
     def _reread(batch: DataFrame) -> DataFrame:
-        return reread_wal_paths(batch, source_format)
+        return reread_wal_paths(batch, source_format, merge_schema=auto_evolve)
 
     def apply_epoch(batch: DataFrame, batch_id: int) -> None:
         crash = fail_after_batches is not None and seen["n"] >= fail_after_batches
@@ -498,6 +532,7 @@ def run_stream(
                 record_metrics=record_metrics,
                 watermark_days=watermark_days,
                 dlq=dlq,
+                auto_evolve=auto_evolve,
             )
         seen["n"] += 1
         if compact_every is not None and seen["n"] % compact_every == 0:
