@@ -77,6 +77,18 @@ BUCKET_COL = "__bucket"
 # the key. Never part of the logical schema; filtered on read.
 TOMBSTONE_COL = "__deleted"
 
+# Row-lineage column (Iceberg v3 row-id shape, opt-in via the
+# ``lineage=true`` table property): the order-column value at which the
+# key's CURRENT incarnation first became VISIBLE in the table — stable
+# across updates, reset by an applied delete (a visible tombstone is an
+# incarnation boundary in canonical lsn order even when it loses the
+# final-state LWW race; events superseded within their own batch were
+# never visible, exactly as an Iceberg MERGE assigns row ids at first
+# write). Stamped at the write funnel, persisted through every rewrite,
+# surfaced by ``read(with_lineage=True)``; the companion "last updated"
+# lineage field is the row's own order column.
+LINEAGE_COL = "_first_lsn"
+
 def _epoch_us(dt: Any) -> int:
     """Datetime (naive or aware, as pyarrow footer stats yield) → epoch
     micros, without float rounding (``.timestamp()`` goes through a
@@ -810,6 +822,7 @@ class LakeTable:
         content = self.read(
             buckets=old_ids, snap=snap, include_tombstones=True,
             unmasked=True,  # rewrite path: masking must never reach disk
+            with_lineage=self.lineage_enabled(snap),
         )
         version = snap.version + 1
         new_depths = {**snap.depths, str(base): snap.depths.get(str(base), 0) + 1}
@@ -1236,8 +1249,24 @@ class LakeTable:
         stats_bounds: dict[str, tuple] | None = None,
         distributed: bool | None = None,
         unmasked: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a set of buckets).
+
+        ``with_lineage=True`` (requires the ``lineage=true`` table
+        property — :meth:`lineage_enabled`) adds a ``_first_lsn`` column:
+        the order value at which the key's current live incarnation first
+        appeared — stable across updates, reset by delete-then-reinsert
+        (Iceberg v3 row-id semantics; "last updated" is the row's own
+        order column). Delta-bearing buckets derive it with one extra
+        NARROW aggregate pair (max tombstone fence per key, then min
+        first-lsn above the fence — key/lsn bytes only, never payload);
+        compacted buckets answer from the value the rewrite persisted.
+        Rows written before the property was enabled adopt their current
+        order value (documented adoption, same as Iceberg's). Tombstone
+        purging keeps lineage exact under the same watermark contract
+        that makes the purge itself sound (no admissible event below the
+        fence).
 
         Columns carrying a masking policy (``mask.<col>`` table property,
         see ``masking.py``) return the POLICY's value on every non-raw
@@ -1313,6 +1342,12 @@ class LakeTable:
         """
         snap = snap or self.current()
         mode = snap.props.get("merge.mode", "lww")
+        if with_lineage and not self.lineage_enabled(snap):
+            raise ValueError(
+                "row lineage needs write-time stamps: set the "
+                "lineage=true table property (LWW tables only) before "
+                "reading with_lineage"
+            )
         if not raw and mode != "lww":
             if min_order is not None or stats_bounds is not None:
                 raise ValueError(
@@ -1365,6 +1400,8 @@ class LakeTable:
                 keep |= mask_extra
             cur_fields = [f for f in cur_fields if f[0] in keep]
         phys_fields = cur_fields + [(TOMBSTONE_COL, "boolean")]
+        if with_lineage:
+            phys_fields = phys_fields + [(LINEAGE_COL, "bigint")]
         if not groups:
             empty = self.spark.createDataFrame([], self._ddl_schema(phys_fields))
             if raw:
@@ -1379,8 +1416,13 @@ class LakeTable:
         dflts = self.field_defaults(sch)
 
         def _aligned(files: list[str], sv: int) -> DataFrame:
+            extra_phys = (
+                [(LINEAGE_COL, "bigint")] if with_lineage else []
+            )
             read_schema = self._ddl_schema(
-                self.schema_fields(sch, sv) + [(TOMBSTONE_COL, "boolean")]
+                self.schema_fields(sch, sv)
+                + [(TOMBSTONE_COL, "boolean")]
+                + extra_phys
             )
             df = self.spark.read.schema(read_schema).parquet(*files)
             if point_keys is not None:
@@ -1409,6 +1451,16 @@ class LakeTable:
                 ],
                 F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(
                     TOMBSTONE_COL
+                ),
+                # pre-lineage files: each row adopts its own order value
+                *(
+                    [
+                        F.coalesce(
+                            F.col(LINEAGE_COL), F.col(snap.order_col)
+                        ).alias(LINEAGE_COL)
+                    ]
+                    if with_lineage
+                    else []
                 ),
             )
 
@@ -1456,6 +1508,32 @@ class LakeTable:
             collapsed = packed.select(
                 key, *[F.col(f"__w.{c}").alias(c) for c in others]
             )
+            if with_lineage:
+                # The winner's own stamp is only the first sighting of
+                # its incarnation when no older sighting survives — fold
+                # min(first_lsn) over live rows ABOVE the newest
+                # tombstone fence (delete-then-reinsert starts a new
+                # incarnation). Not a single-pass monoid (the min's
+                # domain depends on the fence), so: one narrow fence
+                # aggregate + one narrow min — key/lsn bytes only.
+                fences = dpart.groupBy(key).agg(
+                    F.max(
+                        F.when(F.col(TOMBSTONE_COL), F.col(order))
+                    ).alias("__t")
+                )
+                lin = (
+                    dpart.filter(~F.col(TOMBSTONE_COL))
+                    .select(key, order, LINEAGE_COL)
+                    .join(fences, key, "left")
+                    .filter(
+                        F.col("__t").isNull() | (F.col(order) > F.col("__t"))
+                    )
+                    .groupBy(key)
+                    .agg(F.min(LINEAGE_COL).alias(LINEAGE_COL))
+                )
+                collapsed = collapsed.drop(LINEAGE_COL).join(
+                    lin, key, "left"
+                )
             out = (
                 _union(base_parts + [collapsed])
                 if base_parts
@@ -2327,6 +2405,16 @@ class LakeTable:
                 written[b] = files
         return rel_dir, written
 
+    def lineage_enabled(self, snap: Snapshot | None = None) -> bool:
+        """Row lineage is on when the ``lineage=true`` table property is
+        set on an LWW table (merge-mode tables store raw events — every
+        event IS its own lineage — so the property is inert there)."""
+        snap = snap or self.current()
+        return (
+            str(snap.props.get("lineage", "")).lower() == "true"
+            and snap.props.get("merge.mode", "lww") == "lww"
+        )
+
     def _prep_write(
         self,
         df: DataFrame,
@@ -2358,9 +2446,28 @@ class LakeTable:
             if TOMBSTONE_COL in df.columns
             else F.lit(False)
         )
-        out = df.select(*cur_cols, tomb.alias(TOMBSTONE_COL)).withColumn(
-            BUCKET_COL, self.bucket_expr(snap)
-        )
+        extra: list = []
+        if self.lineage_enabled(snap):
+            if LINEAGE_COL in df.columns:
+                # rewrite paths carry the computed lineage through; a
+                # writer that stamped NULL (tombstones) adopts its own
+                # order value — meaningless for a dead key, harmless.
+                lin = F.coalesce(F.col(LINEAGE_COL), F.col(snap.order_col))
+            elif fanout:
+                # fresh delta rows: this event is (so far) the first
+                # sighting of its key's incarnation — read-time lineage
+                # folds it with older sightings (min above the fence).
+                lin = F.col(snap.order_col)
+            else:
+                raise RuntimeError(
+                    "rewrite on a lineage-enabled table must read with "
+                    "with_lineage=True, else stored row lineage would "
+                    "reset to the current order value"
+                )
+            extra = [lin.cast("bigint").alias(LINEAGE_COL)]
+        out = df.select(
+            *cur_cols, tomb.alias(TOMBSTONE_COL), *extra
+        ).withColumn(BUCKET_COL, self.bucket_expr(snap))
         if fanout:
             return out
         if cluster_by:
@@ -2854,6 +2961,7 @@ class LakeTable:
         content = self.read(
             buckets=buckets, snap=snap, include_tombstones=True,
             unmasked=True,  # rewrite path: masking must never reach disk
+            with_lineage=self.lineage_enabled(snap),
         )
         if purge_tombstones_where is not None:
             content = content.filter(

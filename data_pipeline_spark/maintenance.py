@@ -198,10 +198,11 @@ def retention_sweep(
     snap = table.current()
     if commit_key in snap.commits:
         return SweepStats(commit_key, False, {})
-    live = table.read(snap=snap)
-    tombs = table.read(snap=snap, include_tombstones=True).filter(
-        F.col(TOMBSTONE_COL)
-    )
+    lin = table.lineage_enabled(snap)
+    live = table.read(snap=snap, with_lineage=lin)
+    tombs = table.read(
+        snap=snap, include_tombstones=True, with_lineage=lin
+    ).filter(F.col(TOMBSTONE_COL))
     if now is None:
         # Deterministic "now": the max event time in the table — tests and
         # replays must not depend on wall-clock (reference lesson: cache
@@ -249,7 +250,9 @@ def retention_sweep(
             .unionByName(keep_tombs.filter(in_affected))
         )
     else:
-        content = table.read(snap=snap, include_tombstones=True).limit(0)
+        content = table.read(
+            snap=snap, include_tombstones=True, with_lineage=lin
+        ).limit(0)
     table.commit_buckets(
         content,
         touched=affected,
@@ -375,7 +378,10 @@ def backfill(
     # Tombstone rows ride along untouched (their delete-lsn fence must
     # survive migrations).
     # rewrite path: read PHYSICAL values (masking must never reach disk)
-    df = table.read(snap=snap, include_tombstones=True, unmasked=True)
+    df = table.read(
+        snap=snap, include_tombstones=True, unmasked=True,
+        with_lineage=table.lineage_enabled(snap),
+    )
     not_tomb = ~F.col(TOMBSTONE_COL)
     bucket = table.bucket_expr(snap)
     if where is None:

@@ -1985,6 +1985,72 @@ def cdc_auto_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_row_lineage",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        b AS (SELECT min(lsn) AS lo, max(lsn) AS hi FROM changelog),
+        cb AS (
+          SELECT *, (lsn - (SELECT lo FROM b))
+                    // (((SELECT hi - lo + 1 FROM b) + 3) // 4) AS batch
+          FROM changelog),
+        applied AS (
+          SELECT url, lsn, op FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY url, batch ORDER BY lsn DESC) rn
+            FROM cb) WHERE rn = 1),
+        fence AS (
+          SELECT url, max(CASE WHEN op = 'delete' THEN lsn END) AS f
+          FROM applied GROUP BY url),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        first AS (
+          SELECT a.url, min(a.lsn) AS first_lsn
+          FROM applied a JOIN fence USING (url)
+          WHERE a.op <> 'delete' AND (f IS NULL OR a.lsn > f)
+          GROUP BY a.url)
+        SELECT l.url, l.lsn, fi.first_lsn,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM live l JOIN first fi USING (url)
+    """,
+    doc="Row lineage (Iceberg v3 row-id shape): replay with the "
+    "lineage=true property, compact (persists lineage into base rows), "
+    "then read(with_lineage=True) — _first_lsn is the order value at "
+    "which each url's current incarnation first became VISIBLE (stable "
+    "across updates, reset by applied deletes; in-batch superseded "
+    "events were never visible). The oracle reconstructs visibility "
+    "exactly: per-(url, lsn-range-batch) winners, the applied-delete "
+    "fence, then min applied non-delete lsn above it "
+    "(lake/table.py LINEAGE_COL; fold is two NARROW key/lsn aggregates, "
+    "never payload bytes)",
+)
+def cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, ensure_table
+
+    log = cl.changelog(spark, sf_dir)
+    b = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    span = (b["hi"] - b["lo"] + 1 + 3) // 4
+    table = ensure_table(spark, tempfile.mkdtemp(prefix="lake_rl_"), 16)
+    table.update_props({"lineage": "true"})
+    for i in range(4):
+        batch = log.filter(
+            (F.col("lsn") >= b["lo"] + i * span)
+            & (F.col("lsn") < b["lo"] + (i + 1) * span)
+        )
+        apply_batch(table, batch, f"rl-{i}", record_metrics=False)
+    # lineage must survive the rewrite AND the post-rewrite mixed fold
+    table.compact(commit_key="rl-compact")
+    return table.read(with_lineage=True).select(
+        "url", "lsn", F.col("_first_lsn").alias("first_lsn"),
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
     "cdc_predicate_delete",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
