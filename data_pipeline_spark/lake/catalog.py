@@ -382,10 +382,130 @@ class Catalog:
             return self.drop_table(m.group("name"), purge=bool(m.group("purge")))
         if verb == "ALTER":
             return self._alter_sql(statement, commit_key)
+        if verb == "OPTIMIZE":
+            return self._optimize_sql(statement, commit_key)
+        if verb == "VACUUM":
+            m = re.match(
+                r"\s*VACUUM\s+(?P<t>\w+)"
+                r"(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?"
+                r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+                statement, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    "unparseable VACUUM — VACUUM <t> [RETAIN n HOURS] "
+                    "[DRY RUN]"
+                )
+            return self.load(m.group("t")).vacuum(
+                min_age_s=float(m.group("h") or 0) * 3600.0,
+                dry_run=bool(m.group("dry")),
+            )
+        if verb == "CALL":
+            return self._call_sql(statement, commit_key)
         raise ValueError(
             f"unsupported statement verb {verb!r} — SELECT/WITH, "
             "MERGE/INSERT/UPDATE/DELETE, CREATE/ALTER/DROP TABLE, "
-            "SHOW TABLES/TBLPROPERTIES, DESCRIBE only"
+            "SHOW TABLES/TBLPROPERTIES, DESCRIBE, OPTIMIZE, VACUUM, "
+            "CALL only"
+        )
+
+    def _optimize_sql(self, statement: str, commit_key: str | None):
+        """``OPTIMIZE <t> [ZORDER BY (c1, c2, ...)]`` — the Delta
+        maintenance verb compiled onto the engine's mode-aware rewrite:
+        LWW tables run the whole-row compaction (optionally z-order
+        clustered); append merge-mode tables run the FILES-ONLY rewrite
+        (their events must survive verbatim — maintenance.compact_append),
+        and ZORDER on them refuses because a clustering rewrite is a
+        whole-row operation. Idempotent on ``commit_key``."""
+        m = re.match(
+            r"\s*OPTIMIZE\s+(?P<t>\w+)"
+            r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]+)\))?\s*;?\s*$",
+            statement, re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "unparseable OPTIMIZE — OPTIMIZE <t> [ZORDER BY (cols)]"
+            )
+        if commit_key is None:
+            raise ValueError("OPTIMIZE needs a commit_key")
+        t = self.load(m.group("t"))
+        cols = (
+            [c.strip() for c in m.group("z").split(",")]
+            if m.group("z") else None
+        )
+        if t.current().props.get("merge.mode", "lww") != "lww":
+            if cols:
+                raise ValueError(
+                    "ZORDER is a whole-row clustering rewrite; append "
+                    "merge-mode tables compact files-only"
+                )
+            from data_pipeline_spark.maintenance import compact_append
+
+            return compact_append(t, commit_key)
+        return t.compact(
+            commit_key, cluster_by=cols, zorder=bool(cols), min_files=1
+        )
+
+    _CALL = re.compile(
+        r"\s*CALL\s+(?P<proc>\w+)\s*\(\s*(?P<t>\w+)\s*"
+        r"(?:,\s*(?P<args>[^)]*))?\)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _call_sql(self, statement: str, commit_key: str | None):
+        """Iceberg-style stored procedures over catalog tables:
+
+        * ``CALL expire_snapshots(t [, keep_last => k])``
+        * ``CALL rewrite_manifests(t [, max_chain => n])`` (commit_key)
+        * ``CALL run_maintenance(t)`` — one policy-default bounded round
+          (commit_key)
+
+        Named args are ``name => integer`` pairs (the Iceberg CALL
+        convention); anything else refuses."""
+        m = self._CALL.match(statement)
+        if not m:
+            raise ValueError(
+                "unparseable CALL — CALL <proc>(<table> [, k => v, ...])"
+            )
+        args: dict[str, int] = {}
+        for part in (m.group("args") or "").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            am = re.match(r"(\w+)\s*=>\s*(\d+)$", part)
+            if not am:
+                raise ValueError(f"unparseable CALL argument {part!r}")
+            args[am.group(1)] = int(am.group(2))
+        t = self.load(m.group("t"))
+        proc = m.group("proc").lower()
+        if proc == "expire_snapshots":
+            known = set(args) - {"keep_last"}
+            if known:
+                raise ValueError(f"expire_snapshots: unknown args {known}")
+            return t.expire_snapshots(keep_last=args.get("keep_last", 1))
+        if proc == "rewrite_manifests":
+            known = set(args) - {"max_chain"}
+            if known:
+                raise ValueError(f"rewrite_manifests: unknown args {known}")
+            if commit_key is None:
+                raise ValueError("rewrite_manifests needs a commit_key")
+            return t.rewrite_manifests(
+                commit_key, max_chain=args.get("max_chain", 1)
+            )
+        if proc == "run_maintenance":
+            if args:
+                raise ValueError(
+                    "run_maintenance takes no CALL args — configure via "
+                    "MaintenancePolicy in code"
+                )
+            if commit_key is None:
+                raise ValueError("run_maintenance needs a commit_key")
+            from data_pipeline_spark.maintenance import run_maintenance
+
+            return run_maintenance(t, commit_key)
+        raise ValueError(
+            f"unknown procedure {proc!r} — expire_snapshots, "
+            "rewrite_manifests, run_maintenance"
         )
 
     # -- DDL ---------------------------------------------------------------------

@@ -168,3 +168,63 @@ def test_show_and_describe(spark):
     assert d["rank"]["field_id"] == 4  # fresh id after the 4 v0 columns
     with pytest.raises(ValueError, match="unparseable SHOW"):
         cat.sql("SHOW PARTITIONS pages")
+
+
+def test_maintenance_verbs(spark):
+    cat = _cat(spark)
+    t = _seed(spark, cat)
+    merge_into(t, spark.createDataFrame(
+        [("a", 5, "a2", 11, "upsert")],
+        "url string, lsn bigint, v string, score bigint, op string",
+    ), "more")
+    # OPTIMIZE folds the delta tail; idempotent on the commit key
+    snap = cat.sql("OPTIMIZE pages", commit_key="opt-1")
+    assert snap.summary["op"] == "compact"
+    v = t.current().version
+    cat.sql("OPTIMIZE pages", commit_key="opt-1")
+    assert t.current().version == v
+    # ZORDER variant clusters
+    snap = cat.sql("OPTIMIZE pages ZORDER BY (score, lsn)", commit_key="opt-2")
+    assert snap.summary.get("zorder") is True
+    # CALL expire_snapshots then VACUUM (dry run first: no deletion)
+    expired = cat.sql("CALL expire_snapshots(pages, keep_last => 1)")
+    assert expired, "older versions should expire"
+    n_dry = cat.sql("VACUUM pages RETAIN 0 HOURS DRY RUN")
+    n = cat.sql("VACUUM pages")
+    assert n == n_dry > 0
+    got = {r["url"]: r["v"] for r in cat.sql("SELECT url, v FROM pages").collect()}
+    assert got == {"a": "a2", "b": "b1", "c": "c1"}
+    # CALL run_maintenance executes a policy round
+    rep = cat.sql("CALL run_maintenance(pages)", commit_key="mx-1")
+    assert "compact_buckets" in rep
+    # guards
+    with pytest.raises(ValueError, match="commit_key"):
+        cat.sql("OPTIMIZE pages")
+    with pytest.raises(ValueError, match="unknown procedure"):
+        cat.sql("CALL frobnicate(pages)")
+    with pytest.raises(ValueError, match="unparseable CALL argument"):
+        cat.sql("CALL expire_snapshots(pages, keep_last => x)")
+
+
+def test_optimize_append_mode_routes_files_only(spark):
+    cat = _cat(spark)
+    cat.sql("""
+    CREATE TABLE patches (
+      url string PRIMARY KEY,
+      lsn bigint,
+      v string,
+      op string
+    ) PARTITIONED BY (BUCKET(2, url))
+      TBLPROPERTIES ('merge.mode'='patch', 'merge.patch.cols'='v')
+    """)
+    t = cat.load("patches")
+    for i in range(3):
+        t.commit_delta(spark.createDataFrame(
+            [(f"u{i}", i, f"v{i}", "insert")],
+            "url string, lsn bigint, v string, op string",
+        ), f"c{i}")
+    n_rows = t.read(raw=True).count()
+    cat.sql("OPTIMIZE patches", commit_key="opt-a")
+    assert t.read(raw=True).count() == n_rows  # events preserved verbatim
+    with pytest.raises(ValueError, match="files-only"):
+        cat.sql("OPTIMIZE patches ZORDER BY (lsn)", commit_key="opt-b")
