@@ -5193,6 +5193,95 @@ sql_pair(
 )
 
 
+sql_pair(
+    "docs_ccnet_buckets",
+    spark_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, split(trim(text), '\\s+') AS t FROM documents),
+        big AS (
+          SELECT doc_id,
+                 transform(sequence(1, size(t) - 2),
+                           i -> concat(element_at(t, i), ' ',
+                                       element_at(t, i + 1), ' ',
+                                       element_at(t, i + 2))) AS bg
+          FROM toks WHERE size(t) >= 3),
+        ref AS (
+          SELECT DISTINCT gram FROM (
+            SELECT explode(bg) AS gram FROM big WHERE doc_id % 7 = 0)),
+        ex AS (SELECT doc_id, explode(bg) AS gram FROM big),
+        scored AS (
+          SELECT e.doc_id,
+                 CAST(1000000 * count(CASE WHEN r.gram IS NULL THEN 1 END)
+                      DIV count(*) AS BIGINT) AS surprise_ppm
+          FROM ex e LEFT JOIN ref r USING (gram) GROUP BY e.doc_id),
+        hist AS (
+          SELECT surprise_ppm, count(*) AS c FROM scored
+          GROUP BY surprise_ppm),
+        cum AS (
+          SELECT surprise_ppm, sum(c) OVER (ORDER BY surprise_ppm) AS cc,
+                 (SELECT sum(c) FROM hist) AS n
+          FROM hist),
+        cuts AS (
+          SELECT min(CASE WHEN cc * 3 >= n THEN surprise_ppm END) AS t1,
+                 min(CASE WHEN cc * 3 >= 2 * n THEN surprise_ppm END) AS t2
+          FROM cum)
+        SELECT s.doc_id, s.surprise_ppm,
+               CASE WHEN s.surprise_ppm <= (SELECT t1 FROM cuts) THEN 'head'
+                    WHEN s.surprise_ppm <= (SELECT t2 FROM cuts)
+                    THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s
+    """,
+    duck_sql=r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        big AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i + 1] || ' '
+                                     || t[i + 2]) AS bg
+          FROM toks WHERE len(t) >= 3),
+        ref AS (
+          SELECT DISTINCT unnest(bg) AS gram FROM big WHERE doc_id % 7 = 0),
+        ex AS (SELECT doc_id, unnest(bg) AS gram FROM big),
+        scored AS (
+          SELECT e.doc_id,
+                 CAST(1000000 * count(CASE WHEN r.gram IS NULL THEN 1 END)
+                      // count(*) AS BIGINT) AS surprise_ppm
+          FROM ex e LEFT JOIN ref r USING (gram) GROUP BY e.doc_id),
+        hist AS (
+          SELECT surprise_ppm, count(*) AS c FROM scored
+          GROUP BY surprise_ppm),
+        cum AS (
+          SELECT surprise_ppm, sum(c) OVER (ORDER BY surprise_ppm) AS cc,
+                 (SELECT sum(c) FROM hist) AS n
+          FROM hist),
+        cuts AS (
+          SELECT min(CASE WHEN cc * 3 >= n THEN surprise_ppm END) AS t1,
+                 min(CASE WHEN cc * 3 >= 2 * n THEN surprise_ppm END) AS t2
+          FROM cum)
+        SELECT s.doc_id, s.surprise_ppm,
+               CASE WHEN s.surprise_ppm <= (SELECT t1 FROM cuts) THEN 'head'
+                    WHEN s.surprise_ppm <= (SELECT t2 FROM cuts)
+                    THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s
+    """,
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="CCNet-style LM-surprise terciles (head/middle/tail corpus "
+    "bucketing) without floats or a KenLM binary: per-doc surprise = "
+    "ppm of word-TRIGRAMS unseen in a deterministic in-corpus reference "
+    "slice (doc_id %% 7 == 0 — the Wikipedia-LM stand-in), tercile cuts "
+    "derived from the SCORE HISTOGRAM (<= 1e6+1 rows), never a global "
+    "sort of the corpus — the cumulative window runs over the tiny "
+    "histogram, so the plan survives 100 TB where ntile(3) over all "
+    "docs would not; all three buckets populated at every sf "
+    "(~1/3 each, score ranges 0..1e6)",
+)
+
+
 @register(
     "docs_quality",
     f"SELECT doc_id, CAST(floor(({quality_score_sql('text', 'duck')}) "
