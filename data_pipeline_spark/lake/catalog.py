@@ -457,6 +457,7 @@ class Catalog:
 
         * ``CALL expire_snapshots(t [, keep_last => k])``
         * ``CALL rewrite_manifests(t [, max_chain => n])`` (commit_key)
+        * ``CALL rollback_to_version(t, version => v)`` (commit_key)
         * ``CALL run_maintenance(t)`` — one policy-default bounded round
           (commit_key)
 
@@ -492,6 +493,15 @@ class Catalog:
             return t.rewrite_manifests(
                 commit_key, max_chain=args.get("max_chain", 1)
             )
+        if proc == "rollback_to_version":
+            known = set(args) - {"version"}
+            if known:
+                raise ValueError(f"rollback_to_version: unknown args {known}")
+            if "version" not in args:
+                raise ValueError("rollback_to_version needs version => n")
+            if commit_key is None:
+                raise ValueError("rollback_to_version needs a commit_key")
+            return t.rollback_to(args["version"], commit_key)
         if proc == "run_maintenance":
             if args:
                 raise ValueError(
@@ -505,7 +515,7 @@ class Catalog:
             return run_maintenance(t, commit_key)
         raise ValueError(
             f"unknown procedure {proc!r} — expire_snapshots, "
-            "rewrite_manifests, run_maintenance"
+            "rewrite_manifests, rollback_to_version, run_maintenance"
         )
 
     # -- DDL ---------------------------------------------------------------------

@@ -228,3 +228,24 @@ def test_optimize_append_mode_routes_files_only(spark):
     assert t.read(raw=True).count() == n_rows  # events preserved verbatim
     with pytest.raises(ValueError, match="files-only"):
         cat.sql("OPTIMIZE patches ZORDER BY (lsn)", commit_key="opt-b")
+
+
+def test_call_rollback_to_version(spark):
+    cat = _cat(spark)
+    t = _seed(spark, cat)
+    v0 = t.current().version
+    merge_into(t, spark.createDataFrame(
+        [("a", 9, "a9", 99, "upsert")],
+        "url string, lsn bigint, v string, score bigint, op string",
+    ), "later")
+    assert {r["v"] for r in cat.sql("SELECT v FROM pages WHERE url='a'").collect()} == {"a9"}
+    cat.sql(f"CALL rollback_to_version(pages, version => {v0})",
+            commit_key="rb-1")
+    assert {r["v"] for r in cat.sql("SELECT v FROM pages WHERE url='a'").collect()} == {"a1"}
+    # idempotent; history intact
+    head = t.current().version
+    cat.sql(f"CALL rollback_to_version(pages, version => {v0})",
+            commit_key="rb-1")
+    assert t.current().version == head
+    with pytest.raises(ValueError, match="version => n"):
+        cat.sql("CALL rollback_to_version(pages)", commit_key="rb-2")
