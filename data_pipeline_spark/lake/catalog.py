@@ -241,6 +241,13 @@ class Catalog:
     _ASOF = re.compile(
         r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
     )
+    _ASOF_TAG = re.compile(
+        r"\b(\w+)\s+VERSION\s+AS\s+OF\s+'(\w+)'", re.IGNORECASE
+    )
+    _CHANGES = re.compile(
+        r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+        re.IGNORECASE,
+    )
 
     def _history_df(self, table: LakeTable) -> DataFrame:
         rows = [
@@ -290,7 +297,33 @@ class Catalog:
             self.load(name).read_version(v).createOrReplaceTempView(view)
             return view
 
-        return self._ASOF.sub(_asof, self._META.sub(_meta, statement))
+        def _asof_tag(m: re.Match) -> str:
+            name, tag = m.group(1), m.group(2)
+            if name not in names:
+                return m.group(0)
+            view = f"{name}__tag_{tag}"
+            self.load(name).read_tag(tag).createOrReplaceTempView(view)
+            return view
+
+        def _changes(m: re.Match) -> str:
+            # Delta's table_changes('t', v1, v2) CDF sugar — the net
+            # change feed between two versions as a readable relation.
+            name, v1, v2 = m.group(1), int(m.group(2)), int(m.group(3))
+            if name not in names:
+                return m.group(0)
+            view = f"{name}__ch_{v1}_{v2}"
+            self.load(name).changes_between(v1, v2).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        return self._CHANGES.sub(
+            _changes,
+            self._ASOF.sub(
+                _asof,
+                self._ASOF_TAG.sub(_asof_tag, self._META.sub(_meta, statement)),
+            ),
+        )
 
     # -- the SQL front door ------------------------------------------------------
 
@@ -458,25 +491,29 @@ class Catalog:
         * ``CALL expire_snapshots(t [, keep_last => k])``
         * ``CALL rewrite_manifests(t [, max_chain => n])`` (commit_key)
         * ``CALL rollback_to_version(t, version => v)`` (commit_key)
+        * ``CALL create_tag(t, name => 'x' [, version => v])`` /
+          ``CALL remove_tag(t, name => 'x')``
         * ``CALL run_maintenance(t)`` — one policy-default bounded round
           (commit_key)
 
-        Named args are ``name => integer`` pairs (the Iceberg CALL
-        convention); anything else refuses."""
+        Named args are ``name => integer`` or ``name => 'string'`` pairs
+        (the Iceberg CALL convention); anything else refuses."""
         m = self._CALL.match(statement)
         if not m:
             raise ValueError(
                 "unparseable CALL — CALL <proc>(<table> [, k => v, ...])"
             )
-        args: dict[str, int] = {}
+        args: dict[str, int | str] = {}
         for part in (m.group("args") or "").split(","):
             part = part.strip()
             if not part:
                 continue
-            am = re.match(r"(\w+)\s*=>\s*(\d+)$", part)
+            am = re.match(r"(\w+)\s*=>\s*(?:(\d+)|'([^']*)')$", part)
             if not am:
                 raise ValueError(f"unparseable CALL argument {part!r}")
-            args[am.group(1)] = int(am.group(2))
+            args[am.group(1)] = (
+                int(am.group(2)) if am.group(2) is not None else am.group(3)
+            )
         t = self.load(m.group("t"))
         proc = m.group("proc").lower()
         if proc == "expire_snapshots":
@@ -493,6 +530,22 @@ class Catalog:
             return t.rewrite_manifests(
                 commit_key, max_chain=args.get("max_chain", 1)
             )
+        if proc in ("create_tag", "remove_tag"):
+            known = set(args) - (
+                {"name", "version"} if proc == "create_tag" else {"name"}
+            )
+            if known:
+                raise ValueError(f"{proc}: unknown args {known}")
+            name = args.get("name")
+            if not isinstance(name, str):
+                raise ValueError(f"{proc} needs name => 'tag'")
+            if proc == "remove_tag":
+                t.untag(name)
+                return None
+            version = args.get("version")
+            if version is not None and not isinstance(version, int):
+                raise ValueError("create_tag: version must be an integer")
+            return t.tag(name, version)
         if proc == "rollback_to_version":
             known = set(args) - {"version"}
             if known:

@@ -249,3 +249,31 @@ def test_call_rollback_to_version(spark):
     assert t.current().version == head
     with pytest.raises(ValueError, match="version => n"):
         cat.sql("CALL rollback_to_version(pages)", commit_key="rb-2")
+
+
+def test_tags_cdf_and_tag_time_travel(spark):
+    cat = _cat(spark)
+    t = _seed(spark, cat)
+    v0 = t.current().version
+    cat.sql("CALL create_tag(pages, name => 'seeded')")
+    merge_into(t, spark.createDataFrame(
+        [("a", 9, "a9", 99, "upsert"), ("d", 10, "d1", 40, "insert")],
+        "url string, lsn bigint, v string, score bigint, op string",
+    ), "later")
+    v1 = t.current().version
+    # tag time travel in SELECT
+    got = {r["url"]: r["v"] for r in cat.sql(
+        "SELECT url, v FROM pages VERSION AS OF 'seeded'").collect()}
+    assert got == {"a": "a1", "b": "b1", "c": "c1"}
+    # CDF sugar: net changes between the tagged version and head
+    ch = {(r["url"], r["op"]) for r in cat.sql(
+        f"SELECT * FROM table_changes('pages', {v0}, {v1})").collect()}
+    assert ch == {("a", "update"), ("d", "insert")}
+    # tags survive expire; remove_tag releases
+    cat.sql("CALL expire_snapshots(pages, keep_last => 1)")
+    assert cat.sql("SELECT count(*) FROM pages VERSION AS OF 'seeded'"
+                   ).first()[0] == 3
+    cat.sql("CALL remove_tag(pages, name => 'seeded')")
+    assert t.tags() == {}
+    with pytest.raises(ValueError, match="needs name"):
+        cat.sql("CALL create_tag(pages)")
