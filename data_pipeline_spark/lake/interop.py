@@ -34,7 +34,12 @@ from __future__ import annotations
 import json
 import os
 
-from data_pipeline_spark.lake.table import TOMBSTONE_COL, LakeTable, Snapshot
+from data_pipeline_spark.lake.table import (
+    LINEAGE_COL,
+    TOMBSTONE_COL,
+    LakeTable,
+    Snapshot,
+)
 
 # Spark DDL type → ANSI/DuckDB type. Extend as the engine's schema
 # vocabulary grows; unknown types fail loudly rather than mis-cast.
@@ -82,6 +87,7 @@ def _read_block(
     files: list[str],
     sv: int,
     cur_fields: list[tuple[str, str]],
+    with_lineage: bool = False,
 ) -> str:
     """One SELECT over files written at schema version ``sv``, aligned to
     the current field list (absent-then columns → typed NULL; widened
@@ -117,9 +123,20 @@ def _read_block(
     casts.append(
         f"COALESCE({_q(TOMBSTONE_COL)}, FALSE) AS {_q(TOMBSTONE_COL)}"
     )
+    opts = ""
+    if with_lineage:
+        # lineage-enabled tables stamp the hidden column on every write;
+        # union_by_name tolerates any pre-enablement stragglers (their
+        # rows adopt their own order value, same as LakeTable.read)
+        casts.append(
+            f"COALESCE({_q(LINEAGE_COL)}, "
+            f"CAST({_q(snap.order_col)} AS BIGINT)) AS {_q(LINEAGE_COL)}"
+        )
+        opts = ", union_by_name=true"
     file_list = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
     return (
-        "SELECT " + ", ".join(casts) + f" FROM read_parquet([{file_list}])"
+        "SELECT " + ", ".join(casts)
+        + f" FROM read_parquet([{file_list}]{opts})"
     )
 
 
@@ -128,6 +145,7 @@ def reader_sql(
     snap: Snapshot | None = None,
     include_tombstones: bool = False,
     buckets: set[int] | None = None,
+    with_lineage: bool = False,
 ) -> str:
     """SQL text reproducing ``table.read(buckets=..., snap=...)`` for an
     external engine, against the snapshot's parquet files directly.
@@ -144,8 +162,21 @@ def reader_sql(
     The row_number subquery form (rather than QUALIFY) keeps the text
     runnable on DuckDB, Trino, BigQuery, and Snowflake alike; only the
     ``read_parquet([...])`` table function is dialect-specific.
+
+    ``with_lineage=True`` (requires the ``lineage=true`` table property)
+    appends the ``_first_lsn`` row-lineage column, reproducing
+    ``read(with_lineage=True)``: compacted buckets read the persisted
+    value; delta-bearing buckets derive it with the same fence-and-min
+    fold the engine runs (CTEs over the delta union). Exact for tables
+    that enabled lineage at creation; a mid-life-enabled table is exact
+    after its first full compaction (pre-enablement files lack the
+    physical column).
     """
     snap = snap or table.current()
+    if with_lineage and not table.lineage_enabled(snap):
+        raise ValueError(
+            "row lineage needs the lineage=true table property"
+        )
     groups, delta_paths = table._select_files(
         snap, buckets=buckets, distributed=False
     )
@@ -153,6 +184,8 @@ def reader_sql(
     out_cols = [_q(n) for n, _ in cur_fields]
     if include_tombstones:
         out_cols.append(_q(TOMBSTONE_COL))
+    if with_lineage:
+        out_cols.append(_q(LINEAGE_COL))
 
     base_blocks: list[str] = []
     delta_blocks: list[str] = []
@@ -161,11 +194,13 @@ def reader_sql(
         d_files = sorted(f for f in groups[sv] if f in delta_paths)
         if b_files:
             base_blocks.append(
-                _read_block(table, snap, b_files, sv, cur_fields)
+                _read_block(table, snap, b_files, sv, cur_fields,
+                            with_lineage)
             )
         if d_files:
             delta_blocks.append(
-                _read_block(table, snap, d_files, sv, cur_fields)
+                _read_block(table, snap, d_files, sv, cur_fields,
+                            with_lineage)
             )
 
     live = (
@@ -173,6 +208,7 @@ def reader_sql(
         if include_tombstones
         else f" WHERE NOT {_q(TOMBSTONE_COL)}"
     )
+    ctes: list[str] = []
     parts: list[str] = []
     if base_blocks:
         base_union = "\nUNION ALL\n".join(base_blocks)
@@ -183,25 +219,67 @@ def reader_sql(
     if delta_blocks:
         delta_union = "\nUNION ALL\n".join(delta_blocks)
         key, order = _q(snap.key), _q(snap.order_col)
-        collapse = (
-            f"SELECT * FROM (\n"
-            f"SELECT lake_delta.*, row_number() OVER "
-            f"(PARTITION BY {key} ORDER BY {order} DESC) AS __rn\n"
-            f"FROM (\n{delta_union}\n) lake_delta\n) lake_ranked "
-            f"WHERE __rn = 1"
-        )
-        parts.append(
-            f"SELECT {', '.join(out_cols)} FROM (\n{collapse}\n) lake_winners"
-            + live
-        )
+        if with_lineage:
+            # the engine's read-side lineage fold, verbatim in SQL: max
+            # tombstone fence per key, min stamped first-lsn above it;
+            # the winner's own stamp is overridden by the fold exactly
+            # as LakeTable.read does
+            ctes.append(f"lake_delta AS (\n{delta_union}\n)")
+            ctes.append(
+                f"lake_fence AS (SELECT {key}, max(CASE WHEN "
+                f"{_q(TOMBSTONE_COL)} THEN {order} END) AS __t "
+                f"FROM lake_delta GROUP BY {key})"
+            )
+            ctes.append(
+                f"lake_lin AS (SELECT d.{key}, min(d.{_q(LINEAGE_COL)}) "
+                f"AS {_q(LINEAGE_COL)} FROM lake_delta d "
+                f"JOIN lake_fence f USING ({key}) "
+                f"WHERE NOT d.{_q(TOMBSTONE_COL)} "
+                f"AND (f.__t IS NULL OR d.{order} > f.__t) "
+                f"GROUP BY d.{key})"
+            )
+            inner = [c for c in out_cols if c != _q(LINEAGE_COL)]
+            if _q(TOMBSTONE_COL) not in inner:
+                # the outer live-filter needs the flag even when the
+                # caller's projection drops it
+                inner.append(_q(TOMBSTONE_COL))
+            win_cols = ", ".join(f"w.{c}" for c in inner)
+            collapse = (
+                f"SELECT {win_cols}, lake_lin.{_q(LINEAGE_COL)} FROM (\n"
+                f"SELECT * FROM (SELECT lake_delta.*, row_number() OVER "
+                f"(PARTITION BY {key} ORDER BY {order} DESC) AS __rn "
+                f"FROM lake_delta) lake_ranked WHERE __rn = 1\n"
+                f") w LEFT JOIN lake_lin USING ({key})"
+            )
+            parts.append(
+                f"SELECT {', '.join(out_cols)} FROM (\n{collapse}\n) "
+                f"lake_winners" + live
+            )
+        else:
+            collapse = (
+                f"SELECT * FROM (\n"
+                f"SELECT lake_delta.*, row_number() OVER "
+                f"(PARTITION BY {key} ORDER BY {order} DESC) AS __rn\n"
+                f"FROM (\n{delta_union}\n) lake_delta\n) lake_ranked "
+                f"WHERE __rn = 1"
+            )
+            parts.append(
+                f"SELECT {', '.join(out_cols)} FROM (\n{collapse}\n) "
+                f"lake_winners" + live
+            )
     if not parts:
         null_row = ", ".join(
             f"CAST(NULL AS {_sql_type(d)}) AS {_q(n)}" for n, d in cur_fields
         )
         if include_tombstones:
             null_row += f", CAST(NULL AS BOOLEAN) AS {_q(TOMBSTONE_COL)}"
+        if with_lineage:
+            null_row += f", CAST(NULL AS BIGINT) AS {_q(LINEAGE_COL)}"
         return f"SELECT {null_row} WHERE 1 = 0"
-    return "\nUNION ALL\n".join(parts)
+    body = "\nUNION ALL\n".join(parts)
+    if ctes:
+        return "WITH " + ",\n".join(ctes) + "\n" + body
+    return body
 
 
 def write_symlink_manifest(

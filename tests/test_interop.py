@@ -163,3 +163,55 @@ def test_scan_spec_shape(spark):
     import json
 
     json.dumps(spec)  # engine-neutral = JSON-serializable end to end
+
+
+def test_reader_sql_with_lineage(spark):
+    import duckdb
+
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.interop import reader_sql
+    from data_pipeline_spark.lake.merge import merge_into
+    from data_pipeline_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, _tf.mkdtemp(prefix="lake_il_"),
+        [("url", "string"), ("lsn", "bigint"), ("v", "string")],
+        "url", 2, props={"lineage": "true"},
+    )
+
+    def _b(rows):
+        return spark.createDataFrame(
+            rows, "url string, lsn bigint, v string, op string")
+
+    merge_into(t, _b([("u", 1, "a", "insert"), ("w", 2, "x", "insert")]), "c1")
+    merge_into(t, _b([("u", 5, "b", "upsert")]), "c2")
+    merge_into(t, _b([("w", 6, None, "delete")]), "c3")
+    merge_into(t, _b([("w", 8, "y", "insert")]), "c4")
+
+    def _check():
+        want = sorted(
+            (r.url, r.lsn, r.v, r._first_lsn)
+            for r in t.read(with_lineage=True).collect()
+        )
+        got = sorted(
+            tuple(r) for r in duckdb.connect().execute(
+                reader_sql(t, with_lineage=True)).fetchall()
+        )
+        assert got == want, (got, want)
+
+    _check()  # delta path: the exported fence-and-min fold
+    t.compact(commit_key="k1")
+    _check()  # compacted path: persisted lineage read straight off disk
+    merge_into(t, _b([("u", 11, "c", "upsert")]), "c5")
+    _check()  # mixed: base + fresh delta
+
+    # guard: lineage export needs the property
+    t2 = LakeTable.create(
+        spark, _tf.mkdtemp(prefix="lake_il2_"),
+        [("url", "string"), ("lsn", "bigint"), ("v", "string")], "url", 2)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lineage=true"):
+        reader_sql(t2, with_lineage=True)
