@@ -102,12 +102,11 @@ def test_mid_life_enable_adopts_current_lsn(spark):
     merge_into(t, _batch(spark, [("u", 1, TS, "a", "insert")]), "c1")
     merge_into(t, _batch(spark, [("u", 4, TS, "b", "upsert")]), "c2")
     t.update_props({"lineage": "true"})
-    # pre-enable rows adopt their own lsn as first sighting
+    # each pre-enable physical row adopts its OWN lsn; the fold takes the
+    # min over the surviving history — 1, the true first sighting while
+    # that history is still on disk
     assert _lineage(t) == {"u": (4, 1)}
-    # wait: both pre-enable physical rows coalesce to their own lsn, the
-    # fold takes the min — 1 — which is in fact the true first sighting
-    # while the history survives; compaction freezes whatever the fold
-    # sees at that moment
+    # compaction freezes whatever the fold sees at that moment
     t.compact(commit_key="k1")
     assert _lineage(t) == {"u": (4, 1)}
 
@@ -146,3 +145,16 @@ def test_merge_mode_table_refuses(spark):
     assert not t.lineage_enabled()
     with pytest.raises(ValueError, match="lineage=true"):
         t.read(with_lineage=True)
+
+
+def test_compacted_lineage_read_adds_no_exchange(spark):
+    from data_pipeline_spark.lake.cojoin import assert_no_shuffle
+
+    t = _mk(spark)
+    merge_into(t, _batch(spark, [("u", 1, TS, "a", "insert"),
+                                 ("w", 2, TS, "x", "insert")]), "c1")
+    merge_into(t, _batch(spark, [("u", 5, TS, "b", "upsert")]), "c2")
+    t.compact(commit_key="k1")
+    # fully compacted: lineage is read straight from the persisted
+    # column — no fence/min fold, no exchange anywhere in the plan
+    assert_no_shuffle(t.read(with_lineage=True))
