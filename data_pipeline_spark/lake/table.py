@@ -369,8 +369,13 @@ class LakeTable:
         # for anything inside the window (a streaming checkpoint only
         # ever redelivers each writer's last epoch), while replaying a
         # key older than the window re-applies — the caller owns the
-        # horizon, exactly like fold-compaction's. Unset = keep all
-        # (the default: nothing changes unless a table opts in).
+        # horizon, exactly like fold-compaction's. With SEVERAL writers
+        # the K newest keys are GLOBAL: a slow writer's last epoch can
+        # be evicted by a fast writer's churn — size K to at least
+        # writers × deepest-possible-redelivery, or leave unset and run
+        # expire_commit_keys from the single maintenance role instead.
+        # Unset = keep all (the default: nothing changes unless a table
+        # opts in).
         k = snap.props.get("commit.retention.keys")
         if k is not None and len(snap.commits) > int(k):
             newest = sorted(
