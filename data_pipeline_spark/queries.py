@@ -1985,6 +1985,71 @@ def cdc_auto_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_stream_auto_evolve",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        b AS (SELECT min(lsn) + (max(lsn) - min(lsn)) * 3 // 4 AS cut
+              FROM changelog)
+        SELECT url, lsn,
+               CASE WHEN lsn > (SELECT cut FROM b) THEN
+                 CASE WHEN octet_length(html) % 2 = 0
+                      THEN 'text/html' ELSE 'text/plain' END
+               END AS content_type,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM live
+    """,
+    doc="Mid-STREAM schema-drift absorption: the WAL's last quarter of "
+    "segments carry a content_type column the stream's start schema "
+    "predates — run_stream(auto_evolve=True) unions segment footers per "
+    "epoch (mergeSchema re-read) and commits the add as metadata-only "
+    "evolution before that epoch applies; earlier urls read NULL. "
+    "Offsets/exactly-once/DLQ machinery identical "
+    "(streaming/pipeline.py; lake/merge.absorb_schema_drift)",
+)
+def cdc_stream_auto_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.streaming.pipeline import run_stream
+
+    log = cl.changelog(spark, sf_dir)
+    b = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    cut = b["lo"] + (b["hi"] - b["lo"]) * 3 // 4
+    base = tempfile.mkdtemp(prefix="lake_sae_")
+    wal = _os.path.join(base, "wal")
+    span = (cut - b["lo"] + 1 + 2) // 3
+    for i in range(3):
+        log.filter(
+            (F.col("lsn") >= b["lo"] + i * span)
+            & (F.col("lsn") < b["lo"] + (i + 1) * span)
+            & (F.col("lsn") <= cut)
+        ).coalesce(1).write.parquet(_os.path.join(wal, f"seg-{i:05d}"))
+    log.filter(F.col("lsn") > cut).withColumn(
+        "content_type",
+        F.when(F.length("html") % 2 == 0, "text/html").otherwise(
+            "text/plain"
+        ),
+    ).coalesce(1).write.parquet(_os.path.join(wal, "seg-00003"))
+    q = run_stream(
+        spark, wal, _os.path.join(base, "tbl"), _os.path.join(base, "ckpt"),
+        n_buckets=16, record_metrics=False, auto_evolve=True,
+    )
+    q.awaitTermination()
+    table = LakeTable(spark, _os.path.join(base, "tbl"))
+    assert "content_type" in dict(table.schema_fields(table.current()))
+    return table.read().select(
+        "url", "lsn", "content_type", F.sha2("text", 256).alias("text_sha")
+    )
+
+
+@register(
     "cdc_row_lineage",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
