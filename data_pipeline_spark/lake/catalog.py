@@ -673,8 +673,24 @@ class Catalog:
         pm = _SET_PROPS.match(rest)
         if pm:
             return table.update_props(_parse_props(pm.group("props")))
+        cm = re.match(
+            r"ADD\s+CONSTRAINT\s+(?P<n>\w+)\s+CHECK\s*\((?P<p>.+)\)\s*;?\s*$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            from data_pipeline_spark import constraints
+
+            return constraints.add_check(table, cm.group("n"), cm.group("p"))
+        cm = re.match(
+            r"DROP\s+CONSTRAINT\s+(?P<n>\w+)\s*;?\s*$", rest, re.IGNORECASE
+        )
+        if cm:
+            from data_pipeline_spark import constraints
+
+            return constraints.drop_check(table, cm.group("n"))
         raise ValueError(
             f"unsupported ALTER TABLE action {rest.split()[0]!r} — "
             "ADD COLUMN[S] / RENAME COLUMN / DROP COLUMN / ALTER COLUMN "
-            "TYPE / SET TBLPROPERTIES / RENAME TO only"
+            "TYPE / ADD/DROP CONSTRAINT / SET TBLPROPERTIES / RENAME TO "
+            "only"
         )

@@ -160,6 +160,7 @@ def merge_into(
     props_update: dict[str, Any] | None = None,
     stage_id: str | None = None,
     auto_evolve: bool = False,
+    enforce_checks: bool = True,
 ) -> MergeStats:
     """Apply one batch of change events (current-schema cols + ``op``).
 
@@ -197,6 +198,30 @@ def merge_into(
         # evolution commit first (idempotent: replay sees no drift).
         if absorb_schema_drift(table, source, f"{commit_key}~evolve"):
             snap = table.current()
+    if enforce_checks:
+        # Declared CHECK constraints hold on EVERY write path (Delta
+        # semantics), not just the streaming apply boundary — a SQL
+        # INSERT or a direct merge refuses whole before any commit.
+        # apply_batch passes enforce_checks=False: it already enforced
+        # (with DLQ quarantine) and must not pay the predicate twice.
+        # No-check tables pay nothing (constraints.enforce fast path).
+        from data_pipeline_spark import constraints as _constraints
+
+        clean, bad = _constraints.enforce(source, table, snap)
+        if bad is not None:
+            counts = {
+                r["__reason"]: r["n"]
+                for r in bad.groupBy("__reason")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if counts:
+                raise _constraints.CheckViolation(
+                    f"batch {commit_key!r} violates declared constraints "
+                    f"{counts}; route through pipeline.apply_batch with a "
+                    "DLQ to quarantine instead"
+                )
+            source = clean  # no violators: identical rows, filter pruned
 
     key = snap.key
     fields = table.schema_fields(snap)

@@ -346,6 +346,7 @@ def apply_batch(
     stats = merge_into(
         table, enriched, commit_key, with_stats=with_stats, precollapsed=True,
         stage_id=stage_id,
+        enforce_checks=False,  # enforced above (with DLQ quarantine)
         # The purge fence in maintenance derives from this recorded horizon
         # (tombstones may only age out once the watermark guarantees no
         # admissible event could still lose to them).

@@ -277,3 +277,22 @@ def test_tags_cdf_and_tag_time_travel(spark):
     assert t.tags() == {}
     with pytest.raises(ValueError, match="needs name"):
         cat.sql("CALL create_tag(pages)")
+
+
+def test_alter_add_drop_constraint(spark):
+    cat = _cat(spark)
+    t = _seed(spark, cat)
+    cat.sql("ALTER TABLE pages ADD CONSTRAINT pos_score CHECK (score > 0)")
+    from data_pipeline_spark import constraints
+    assert constraints.checks(t) == {"pos_score": "score > 0"}
+    # apply-boundary enforcement: a violating batch refuses pre-commit
+    with pytest.raises(constraints.CheckViolation):
+        cat.sql("INSERT INTO pages VALUES ('z', 9, 'zz', -5)",
+                commit_key="bad")
+    # existing-data validation refuses a retroactively-violated add
+    with pytest.raises(ValueError):
+        cat.sql("ALTER TABLE pages ADD CONSTRAINT impossible CHECK (score > 1000)")
+    cat.sql("ALTER TABLE pages DROP CONSTRAINT pos_score")
+    assert constraints.checks(t) == {}
+    cat.sql("INSERT INTO pages VALUES ('z', 9, 'zz', -5)", commit_key="ok")
+    assert cat.sql("SELECT score FROM pages WHERE url='z'").first()[0] == -5
