@@ -76,6 +76,18 @@ def delete_where(
     physically reclaim space; run compaction to fold these tombstones
     down later). Idempotent on ``commit_key``.
 
+    The committed tombstones are NARROW — merge_into's tombstone select
+    nulls every payload column, keeping only (key, lsn fence, warc_ts
+    age-out fence) — so a delete matching 10^8 rows of a wide (html
+    binary) table commits O(matching × ~tens of bytes), not O(matching ×
+    row width); parquet RLE collapses the NULL pages to near zero. This
+    is the Iceberg-equality-delete cost shape, and the privacy-correct
+    one (``forget()`` relies on the tombstone never re-serializing the
+    content it removes). Change-feed before-images are unaffected:
+    :meth:`LakeTable.changes_between` reconstructs them from the PRIOR
+    snapshot, never from tombstone payload. Pinned by
+    tests/test_delete_where.py::test_tombstones_are_narrow.
+
     Reference analog: criteria-driven cleanup deletes items matching a
     filter rather than an id list (scripts/s3_item_cleanup.py:196-238).
     """
