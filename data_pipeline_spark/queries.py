@@ -7197,3 +7197,111 @@ def cdc_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "url", "lsn", "lang", F.sha2("text", 256).alias("text_sha")
     )
+
+
+# Web-graph centrality: fixed-iteration integer PageRank over a
+# deterministic doc->doc link graph (Common Crawl publishes exactly this
+# kind of host-rank signal for crawl prioritization and training-data
+# weighting). The Spark side is the iterative operator
+# (operators/pagerank.py: two exchanges per tick, all codegen, rank table
+# is 16 bytes/row); the oracle unrolls the SAME integer iterations as
+# chained DuckDB CTEs — ppm BIGINT ranks, floor division (`div` == `//`
+# on non-negative ints), no doubles anywhere, so the value hash matches
+# bit-for-bit. The graph: every doc links to 4 others at
+# md5(doc_id||'|'||k) mod N (self-loops bumped by 1) — an irregular
+# hash graph with real in-degree variance (an affine src*a+k*b mod N rule
+# was tried first and produced a symmetric graph where the top-20 held
+# only 3 distinct ranks) — both engines construct the identical
+# multigraph from the corpus alone via the repo's shared md5-hex-to-int
+# idiom (operators/dedup.py:43).
+_PR_ITERS = 3
+
+# 15 hex chars = 60 bits, non-negative in a BIGINT
+_PR_H_SPARK = (
+    "CAST(conv(substr(md5(concat(cast(node as string), '|', "
+    "cast(k as string))), 1, 15), 16, 10) AS BIGINT)"
+)
+_PR_H_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' || "
+    "CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _pagerank_duck(iters: int = _PR_ITERS) -> str:
+    ctes = [
+        "nn AS (SELECT count(*) AS cnt FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"""e0 AS (
+          SELECT node AS src,
+                 {_PR_H_DUCK} % (SELECT cnt FROM nn) AS dr
+          FROM nodes, (VALUES (0),(1),(2),(3)) ks(k))""",
+        """edges AS (
+          SELECT src,
+                 CASE WHEN dr = src THEN (dr + 1) % (SELECT cnt FROM nn)
+                      ELSE dr END AS dst
+          FROM e0)""",
+        "deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+          SELECT e.dst AS node, SUM(p.pr // g.od) AS inflow
+          FROM edges e
+          JOIN pr{i - 1} p ON p.node = e.src
+          JOIN deg g ON g.src = e.src
+          GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""pr{i} AS (
+          SELECT n.node,
+                 CAST(150000 + (85 * COALESCE(c.inflow, 0)) // 100
+                      AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node AS doc_id, pr FROM pr{iters}
+        ORDER BY pr DESC, node LIMIT 20"""
+    )
+
+
+@register(
+    "docs_pagerank_topk",
+    _pagerank_duck(),
+    doc="Fixed-iteration integer PageRank (operators/pagerank.py) over a "
+    "deterministic 4-out-degree doc link graph: ppm BIGINT ranks, "
+    "pr' = 150000 + (85*inflow) div 100, 3 power-iteration ticks, "
+    "top-20 by (pr, doc_id). Plan: two exchanges per tick (join on src, "
+    "agg on dst), degree-annotated edges persisted once, rank table "
+    "narrow — the iterative-algorithm pattern at 10^10-node scale. "
+    "Oracle = the same iterations unrolled as DuckDB CTEs; floor "
+    "division keeps both engines bit-identical",
+)
+def docs_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.pagerank import pagerank
+
+    _views(spark, sf_dir, ("documents",))
+    nodes = spark.table("documents").select(F.col("doc_id").alias("node"))
+    n = nodes.count()  # one driver scalar (graph size), bounded
+    ks = spark.range(4).select(F.col("id").alias("k"))
+    e0 = nodes.crossJoin(F.broadcast(ks)).select(
+        F.col("node").alias("src"),
+        (F.expr(_PR_H_SPARK) % n).alias("dr"),
+    )
+    edges = e0.select(
+        "src",
+        F.when(F.col("dr") == F.col("src"), (F.col("dr") + 1) % n)
+        .otherwise(F.col("dr"))
+        .alias("dst"),
+    )
+    ranks = pagerank(nodes, edges, iters=_PR_ITERS)
+    return (
+        ranks.orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "pr")
+    )
