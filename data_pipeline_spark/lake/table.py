@@ -1241,6 +1241,142 @@ class LakeTable:
             }
         return total
 
+    def agg_bounds(
+        self,
+        col: str,
+        snap: Snapshot | None = None,
+        buckets: set[int] | None = None,
+        raw: bool = False,
+        with_plan: bool = False,
+    ):
+        """MIN/MAX of one column with metadata pushdown — the
+        count_rows sibling (Iceberg's min/max aggregate pushdown from
+        manifest lower_bounds/upper_bounds). Returns ``(min, max)`` in
+        the NORMALIZED units manifest stats use (timestamps as epoch
+        micros — the same convention ``read(stats_bounds=)`` takes), or
+        ``(None, None)`` on an empty selection.
+
+        Soundness rules, each falling back to ONE bucket-pruned scan
+        rather than ever answering wrong:
+
+        * only BIGINT and TIMESTAMP columns use metadata — string footer
+          stats are truncated to 64 chars (the max is then an upper
+          BOUND, not a value the column contains);
+        * ``raw=False`` (live rows) needs every file in the bucket to be
+          BASE kind (base files hold unique keys — no superseded
+          incarnations). Fenced tombstones may persist in base files,
+          but they carry values ONLY in the fence columns (key, lsn,
+          warc_ts — merge_into nulls the rest, and parquet stats skip
+          NULLs), so payload-column bounds stay sound with tombstones
+          present; for the fence columns themselves the bucket must also
+          have ``live_rows == rows``. ``raw=True`` (physical rows) uses
+          stats on base AND delta files alike;
+        * files without recorded stats for ``col`` (legacy, all-NULL, or
+          empty) force the scan for their bucket;
+        * NULLs never participate (parquet stats skip them) — matching
+          SQL MIN/MAX semantics;
+        * tables with row filters, a mask on ``col``, or a non-LWW merge
+          mode refuse at ``raw=False``: their logical values differ from
+          physical bytes, so metadata cannot answer for ``read()``.
+
+        ``with_plan=True`` returns ``{"min", "max", "metadata_buckets",
+        "scanned_buckets"}`` for tests and access-path benches.
+        """
+        snap = snap or self.current()
+        props = snap.props
+        if not raw:
+            mode = props.get("merge.mode", "lww")
+            if mode != "lww":
+                raise ValueError(
+                    f"agg_bounds on a merge.mode={mode!r} table needs "
+                    "raw=True: logical values come from the read-time "
+                    "merge engine — aggregate the collapsed read instead"
+                )
+            if any(k.startswith("rowfilter.") for k in props):
+                raise ValueError(
+                    "agg_bounds refuses under row filters: hidden rows "
+                    "are inside the file stats — aggregate read() instead"
+                )
+            if f"mask.{col}" in props:
+                raise ValueError(
+                    f"agg_bounds refuses on masked column {col!r}: stats "
+                    "describe pre-mask bytes — aggregate read() instead"
+                )
+        fields = dict(self.schema_fields(snap))
+        if col not in fields:
+            raise KeyError(col)
+        ddl = fields[col].lower()
+        is_ts = ddl == "timestamp"
+        exact_stats = ddl == "bigint" or is_ts
+        sel = (
+            set(snap.manifests)
+            if buckets is None
+            else {str(b) for b in buckets}
+        )
+        lo = hi = None
+        meta_b: list[int] = []
+        scan_b: set[int] = set()
+        fence_cols = {snap.key, snap.order_col, "warc_ts"}
+        for b in sorted(sel, key=int):
+            entries = self.bucket_entries(snap, b)
+            meta_ok = (
+                exact_stats
+                and len(entries) > 0
+                and all(
+                    col in (e.get("stats") or {})
+                    and (
+                        raw
+                        or (
+                            e["kind"] == "base"
+                            and (
+                                col not in fence_cols
+                                or (
+                                    "live_rows" in e
+                                    and e.get("live_rows") == e.get("rows")
+                                )
+                            )
+                        )
+                    )
+                    for e in entries
+                )
+            )
+            if meta_ok:
+                for e in entries:
+                    s = e["stats"][col]
+                    lo = s[0] if lo is None else min(lo, s[0])
+                    hi = s[1] if hi is None else max(hi, s[1])
+                meta_b.append(int(b))
+            else:
+                scan_b.add(int(b))
+        if scan_b:
+            from pyspark.sql import functions as F
+
+            row = (
+                self.read(
+                    buckets=scan_b,
+                    snap=snap,
+                    raw=raw,
+                    include_tombstones=raw,
+                    columns=[col],
+                )
+                .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+                .first()
+            )
+            if row["mn"] is not None:
+                smn, smx = row["mn"], row["mx"]
+                if is_ts:
+                    smn, smx = _epoch_us(smn), _epoch_us(smx)
+                lo = smn if lo is None else min(lo, smn)
+                hi = smx if hi is None else max(hi, smx)
+        if with_plan:
+            return {
+                "min": lo,
+                "max": hi,
+                "metadata_buckets": meta_b,
+                "scanned_buckets": sorted(scan_b),
+            }
+        return (lo, hi)
+
     def read(
         self,
         buckets: set[int] | None = None,

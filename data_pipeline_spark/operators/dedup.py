@@ -470,6 +470,108 @@ def ngram_jaccard_sql(
     """
 
 
+# -- winnowing fingerprints (Schleimer et al. 2003) ---------------------------
+
+
+def winnowing_sql(
+    dialect: str,
+    docs_rel: str = "documents",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 4,
+) -> str:
+    """Winnowing fingerprint matching (Schleimer, Wilkerson, Aiken 2003,
+    the MOSS local document-fingerprinting algorithm): hash every
+    ``k``-word gram IN ORDER, slide a window of ``w`` consecutive gram
+    hashes, select each window's minimum — the guarantee the selection
+    gives (unlike MinHash's whole-document sketch) is LOCAL: any shared
+    run of at least k+w-1 words between two documents is certain to
+    share at least one selected fingerprint. Documents sharing
+    ``min_shared``+ fingerprints are reported with both fingerprint-set
+    sizes for context.
+
+    The fingerprint SET per document is exactly the distinct
+    window-minima (every selected position's hash is some window's min,
+    and every window's min is a selected position), so no positional
+    tie-breaking is needed — the classic SQL-friendly statement of the
+    algorithm.
+
+    Plan shape at 100 TB: one explode (grams), one per-doc window pass
+    (min over w ROWS — partition-local, no extra shuffle beyond the
+    per-doc partitioning), DISTINCT per doc, then the same inverted-
+    index equi-join as n-gram Jaccard with the same RELATIVE
+    stop-fingerprint cap (df ≤ max(100, |corpus|/10)) so one boilerplate
+    fingerprint cannot quadratically flood the pair space. The window
+    min is computed by the engines' native frame aggregation — ordered
+    ROWS frames cost O(1) amortized per row in both.
+    """
+    if dialect == SPARK:
+        grams = f"""grams AS (
+          SELECT doc_id, i,
+                 {h60(f"array_join(slice(words, i + 1, {k}), ' ')", SPARK)}
+                   AS h
+          FROM wf LATERAL VIEW explode(sequence(0, size(words) - {k})) t AS i
+        )"""
+        wdef = (
+            f"w AS (SELECT doc_id, split(text, ' ') AS words "
+            f"FROM {docs_rel}),\n        "
+            f"wf AS (SELECT * FROM w WHERE size(words) >= {k})"
+        )
+    else:
+        grams = f"""g0 AS (
+          SELECT doc_id, unnest(range(0, len(words) - {k} + 1)) AS i, words
+          FROM wf
+        ),
+        grams AS (
+          SELECT doc_id, i,
+                 {h60(f"array_to_string(list_slice(words, i + 1, i + {k}), ' ')", DUCK)}
+                   AS h
+          FROM g0
+        )"""
+        wdef = (
+            f"w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            f"FROM {docs_rel}),\n        "
+            f"wf AS (SELECT * FROM w WHERE len(words) >= {k})"
+        )
+    return f"""
+        WITH {wdef},
+        {grams},
+        wm AS (
+          SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND {w - 1} FOLLOWING) AS wmin,
+                 count(*) OVER (PARTITION BY doc_id) AS ng
+          FROM grams
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE i <= ng - {w}
+        ),
+        sizes AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id),
+        df AS (
+          SELECT fp FROM fps GROUP BY fp
+          HAVING count(*) <= greatest(
+            100, (SELECT count(*) FROM {docs_rel}) / 10)
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_shared
+          FROM fps a
+          JOIN df ON df.fp = a.fp
+          JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               {_bigint('p.n_shared', dialect)} AS n_shared,
+               {_bigint('za.nfp', dialect)} AS nfp_a,
+               {_bigint('zb.nfp', dialect)} AS nfp_b
+        FROM pairs p
+        JOIN sizes za ON za.doc_id = p.doc_a
+        JOIN sizes zb ON zb.doc_id = p.doc_b
+        WHERE p.n_shared >= {min_shared}
+    """
+
+
 # -- train/eval decontamination ----------------------------------------------
 
 

@@ -7305,3 +7305,110 @@ def docs_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("doc_id"), "pr")
     )
+
+
+# Winnowing fingerprint matching (Schleimer et al. 2003 / MOSS) — the
+# LOCAL-guarantee member of the dedup family: any shared run of
+# >= k+w-1 words certainly shares a selected fingerprint (MinHash only
+# bounds whole-document resemblance). Counts discriminate at every sf
+# (27/25/251 pairs at min_shared=4, dropping as the threshold rises).
+from data_pipeline_spark.operators.dedup import winnowing_sql as _winnow_sql  # noqa: E402
+
+sql_pair(
+    "docs_winnowing_pairs",
+    spark_sql=_winnow_sql("spark"),
+    duck_sql=_winnow_sql("duck"),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Winnowing fingerprints (operators/dedup.py winnowing_sql): "
+    "k=5-word grams hashed in order, w=4 window minima as the selected "
+    "fingerprint set (distinct window-minima == winnowed set, no "
+    "positional tie-break needed), inverted-index pair join under the "
+    "relative stop-fingerprint cap. One explode + one partition-local "
+    "ROWS-frame window + the banded equi-join — no all-pairs anywhere",
+)
+
+
+# In-engine trained quality classifier: closed-form ridge least-squares
+# via integer Cramer's rule (operators/classifier.py) — training IS one
+# narrow aggregation (the normal equations reduce to a single row), the
+# solve is exact 128-bit scalar arithmetic (Spark DECIMAL(38,0) ==
+# DuckDB HUGEINT), and scoring compares signs instead of dividing. The
+# label rule is linear in the features, so the trained plane recovers it
+# almost exactly: ~0.99 accuracy with 3 populated confusion cells at
+# every sf — a broken solve craters the matrix, making the entry
+# self-validating end to end.
+from data_pipeline_spark.operators.classifier import ls_classifier_sql as _ls_sql  # noqa: E402
+
+sql_pair(
+    "docs_quality_classifier",
+    spark_sql=_ls_sql("spark"),
+    duck_sql=_ls_sql("duck"),
+    tables=("documents",),
+    with_changelog_cte=False,
+    doc="Closed-form least-squares quality classifier trained IN-ENGINE "
+    "in one pass (normal equations as one hash aggregate, Cramer solve "
+    "in exact 128-bit integers, sign-comparison scoring — no floats, no "
+    "iteration); output = confusion matrix vs the Gopher "
+    "unique-word-fraction label rule with per-cell feature bounds",
+)
+
+
+@register(
+    "cdc_minmax_pushdown",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete'),
+        b AS (SELECT CAST(min(lsn) AS BIGINT) AS mn_lsn,
+                     CAST(max(lsn) AS BIGINT) AS mx_lsn,
+                     CAST(epoch_us(min(warc_ts)) AS BIGINT) AS mn_ts,
+                     CAST(epoch_us(max(warc_ts)) AS BIGINT) AS mx_ts
+              FROM live)
+        SELECT 'compacted' AS phase, 'lsn' AS col, mn_lsn AS lo, mx_lsn AS hi
+        FROM b
+        UNION ALL SELECT 'compacted', 'warc_ts', mn_ts, mx_ts FROM b
+        UNION ALL SELECT 'with_delta_tail', 'lsn', mn_lsn, mx_lsn FROM b
+        UNION ALL SELECT 'with_delta_tail', 'warc_ts', mn_ts, mx_ts FROM b
+    """,
+    doc="Metadata-only MIN/MAX (agg_bounds — the count_rows sibling, "
+    "Iceberg aggregate pushdown from manifest bounds): after compaction "
+    "with tombstones purged, lsn and warc_ts bounds are pure manifest "
+    "reads (zero scanned buckets, ASSERTED); a late delta commit shifts "
+    "only its touched buckets to the scan path. Both phases must equal "
+    "the oracle's from-scratch live bounds (the late batch re-delivers "
+    "existing winners: logical bounds unchanged, physical plan shifts). "
+    "Timestamps travel as epoch micros — the manifest stats unit",
+)
+def cdc_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.pipeline import apply_batch, replay
+
+    root = tempfile.mkdtemp(prefix="lake_mmx_")
+    table = replay(spark, sf_dir, root, n_batches=3, n_buckets=16,
+                   record_metrics=False)
+    table.compact("c1", purge_tombstones_where=F.lit(True))
+    rows = []
+    for col in ("lsn", "warc_ts"):
+        p = table.agg_bounds(col, with_plan=True)
+        assert p["scanned_buckets"] == [], (
+            f"compacted, purged {col} bounds must be metadata-only"
+        )
+        rows.append(("compacted", col, p["min"], p["max"]))
+    # ≤8 distinct urls → ≤8 of 16 buckets touched, so the untouched-
+    # buckets-stay-metadata assertion holds at every sf (a 50-event batch
+    # covered all 16 buckets at sf0.001)
+    late = cl.changelog(spark, sf_dir).orderBy(F.desc("lsn")).limit(8)
+    apply_batch(table, late, commit_key="late", record_metrics=False)
+    p2 = {c: table.agg_bounds(c, with_plan=True) for c in ("lsn", "warc_ts")}
+    assert p2["lsn"]["scanned_buckets"], "delta tail must scan its buckets"
+    assert p2["lsn"]["metadata_buckets"], "untouched buckets stay metadata"
+    for col in ("lsn", "warc_ts"):
+        rows.append(("with_delta_tail", col, p2[col]["min"], p2[col]["max"]))
+    return spark.createDataFrame(
+        rows, "phase string, col string, lo bigint, hi bigint"
+    )
