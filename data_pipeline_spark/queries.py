@@ -7412,3 +7412,64 @@ def cdc_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "phase string, col string, lo bigint, hi bigint"
     )
+
+
+@register(
+    "cdc_stream_stream_join",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        l AS (SELECT url, lsn, warc_ts, lang FROM changelog),
+        r AS (SELECT url,
+                     warc_ts + (lsn % 7) * INTERVAL 1 MINUTE AS metric_ts,
+                     CAST(200 + (lsn % 5) * 100 AS BIGINT) AS status,
+                     CAST(lsn % 10000 AS BIGINT) AS nbytes
+              FROM changelog)
+        SELECT l.url, l.lsn,
+               {TS_DUCK.format(c='l.warc_ts')} AS warc_ts_s, l.lang,
+               {TS_DUCK.format(c='r.metric_ts')} AS metric_ts_s,
+               r.status, r.nbytes
+        FROM l JOIN r
+          ON r.url = l.url
+         AND r.metric_ts >= l.warc_ts
+         AND r.metric_ts <= l.warc_ts + INTERVAL 600 SECOND
+    """,
+    doc="Stream-stream event-time interval join (streaming/joins.py "
+    "run_join_stream): the page-event WAL joined with a sibling metrics "
+    "feed on url within [warc_ts, warc_ts+600s], landed in an append "
+    "lake table under epoch-key exactly-once (redelivered epochs no-op "
+    "the commit but still evaluate the batch — Spark 4 state-commit "
+    "validation requires the join state to run). Both sides column-"
+    "pruned BEFORE the join so state never holds html; span-covering "
+    "watermark == exact batch-join parity (the oracle); tight-watermark "
+    "eviction and post-commit double-fire pinned in "
+    "tests/test_stream_join.py",
+)
+def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.streaming.joins import (
+        run_join_stream,
+        write_metrics_wal,
+    )
+    from data_pipeline_spark.streaming.pipeline import write_wal
+
+    base = tempfile.mkdtemp(prefix="lake_ssj_")
+    left, right = f"{base}/wal_l", f"{base}/wal_r"
+    write_wal(spark, sf_dir, left, n_files=4)
+    write_metrics_wal(spark, left, right)
+    # 2 files/trigger → 2 epochs: the exactly-once/multi-epoch machinery
+    # is pinned at finer granularity in tests/test_stream_join.py; the
+    # driver entry pays for parity, not epoch count
+    t = run_join_stream(
+        spark, left, right, f"{base}/t", f"{base}/ckpt", interval_s=600,
+        max_files_per_trigger=2,
+    )
+    return t.read(raw=True).select(
+        "url", "lsn",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("warc_ts_s"),
+        "lang",
+        F.date_format("metric_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("metric_ts_s"),
+        "status", "nbytes",
+    )

@@ -178,6 +178,31 @@ def main() -> None:
     assert table.count_rows() == table.read().count()
     assert table.count_rows(with_plan=True)["scanned_buckets"] == []
 
+    # MIN/MAX: manifest-bounds pushdown (agg_bounds — payload columns
+    # answer from metadata even with fenced tombstones; here warc_ts is
+    # raw-mode so base AND delta stats apply) vs the full scan aggregate.
+    results["minmax"] = {
+        "indexed_s": best_of(
+            trials, lambda: table.agg_bounds("warc_ts", raw=True)
+        ),
+        "full_s": best_of(
+            trials,
+            lambda: table.read(raw=True, include_tombstones=True)
+            .agg(F.min("warc_ts"), F.max("warc_ts"))
+            .first(),
+        ),
+    }
+    from data_pipeline_spark.lake.table import _epoch_us as _eus
+
+    _mm = table.agg_bounds("warc_ts", raw=True, with_plan=True)
+    _row = (
+        table.read(raw=True, include_tombstones=True)
+        .agg(F.min("warc_ts"), F.max("warc_ts"))
+        .first()
+    )
+    assert (_mm["min"], _mm["max"]) == (_eus(_row[0]), _eus(_row[1]))
+    assert _mm["scanned_buckets"] == []
+
     # Equality probes: every fast path must return exactly the naive
     # path's rows (a wrong fast path is worse than a slow one).
     for ts_ in term_sets:
