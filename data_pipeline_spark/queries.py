@@ -7473,3 +7473,82 @@ def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("metric_ts_s"),
         "status", "nbytes",
     )
+
+
+# Fuzzy URL matching — crawl-frontier near-duplicate URL detection
+# (the ?utm=/trailing-slash/id-off-by-one family): per-DOMAIN blocking
+# (the classic record-linkage blocking key — the self-join never crosses
+# domains, so the pair space is sum of per-domain squares, not corpus²)
+# with a length prefilter ahead of the levenshtein evaluation. Both
+# engines implement classic full edit distance identically.
+sql_pair(
+    "cdc_fuzzy_url_match",
+    spark_sql="""
+        WITH u AS (
+          SELECT DISTINCT url,
+                 split_part(url, '/', 3) AS domain,
+                 substr(url, length(split_part(url, '/', 3))
+                             + length('https://') + 2) AS path
+          FROM changelog)
+        SELECT a.url AS url_a, b.url AS url_b,
+               CAST(levenshtein(a.path, b.path) AS BIGINT) AS dist
+        FROM u a JOIN u b
+          ON b.domain = a.domain AND a.url < b.url
+        WHERE abs(length(a.path) - length(b.path)) <= 1
+          AND levenshtein(a.path, b.path) <= 1
+    """,
+    duck_sql="""
+        WITH u AS (
+          SELECT DISTINCT url,
+                 split_part(url, '/', 3) AS domain,
+                 substr(url, length(split_part(url, '/', 3))
+                             + length('https://') + 2) AS path
+          FROM changelog)
+        SELECT a.url AS url_a, b.url AS url_b,
+               CAST(levenshtein(a.path, b.path) AS BIGINT) AS dist
+        FROM u a JOIN u b
+          ON b.domain = a.domain AND a.url < b.url
+        WHERE abs(length(a.path) - length(b.path)) <= 1
+          AND levenshtein(a.path, b.path) <= 1
+    """,
+    doc="Fuzzy URL near-dup pairs: domain-blocked self-join (record-"
+    "linkage blocking — pair space is Σ per-domain², never corpus²), "
+    "length prefilter, levenshtein ≤ 1 on the path. The shuffle key is "
+    "the domain; a hot mega-domain is the classic skew case AQE splits",
+)
+
+
+# Cohort retention — the canonical product-analytics matrix expressed
+# over the change feed: cohort = the ISO week a url FIRST appeared,
+# activity = every week it produced any event; cell = distinct urls of
+# cohort week c active in week w. Two hash aggregates and one equi-join;
+# both engines' date_trunc('week') is ISO-Monday.
+sql_pair(
+    "cdc_cohort_retention",
+    spark_sql="""
+        WITH acts AS (
+          SELECT DISTINCT url, date_trunc('week', warc_ts) AS wk
+          FROM changelog),
+        cohorts AS (SELECT url, min(wk) AS cohort_wk FROM acts GROUP BY url)
+        SELECT date_format(c.cohort_wk, 'yyyy-MM-dd') AS cohort_week,
+               date_format(a.wk, 'yyyy-MM-dd') AS active_week,
+               CAST(count(*) AS BIGINT) AS n_urls
+        FROM cohorts c JOIN acts a ON a.url = c.url
+        GROUP BY c.cohort_wk, a.wk
+    """,
+    duck_sql="""
+        WITH acts AS (
+          SELECT DISTINCT url, date_trunc('week', warc_ts) AS wk
+          FROM changelog),
+        cohorts AS (SELECT url, min(wk) AS cohort_wk FROM acts GROUP BY url)
+        SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+               strftime(a.wk, '%Y-%m-%d') AS active_week,
+               CAST(count(*) AS BIGINT) AS n_urls
+        FROM cohorts c JOIN acts a ON a.url = c.url
+        GROUP BY c.cohort_wk, a.wk
+    """,
+    doc="Cohort-retention matrix over the change feed (first-seen ISO "
+    "week × active week × distinct urls): two hash aggregates + one "
+    "equi-join on url — the per-key min is a map-side-combinable "
+    "aggregate, so the plan is two shuffles total at any scale",
+)
