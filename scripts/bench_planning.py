@@ -109,7 +109,12 @@ def main():
             parallelism=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         )
     print(json.dumps({"bench": "scan_planning", "unit": "ms"}))
-    for n in (1_000, 10_000, 100_000):
+    sizes = tuple(
+        int(x) for x in os.environ.get(
+            "SPARK_GRAFT_PLAN_SIZES", "1000,10000,100000"
+        ).split(",")
+    )
+    for n in sizes:
         root = tempfile.mkdtemp(prefix=f"plan_{n}_")
         t = build_table(root, n)
         snap = t.current()
