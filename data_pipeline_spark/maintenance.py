@@ -65,7 +65,9 @@ def delete_where(
 ) -> "MergeStats":
     """Predicate delete (``DELETE FROM t WHERE ...``) as a normal DELTA
     commit: every currently-live row matching ``predicate`` gets a
-    tombstone fenced at the table's high-watermark lsn + 1 — i.e. the
+    tombstone fenced at the table's PHYSICAL high-watermark lsn + 1
+    (``agg_bounds(order, raw=True)`` — a metadata-only manifest read
+    covering tombstone fences and filter-hidden rows too) — i.e. the
     delete happens "as of this snapshot": any event already reflected in
     the table loses the read-time LWW race to the fence, while a genuinely
     NEWER event (lsn above the snapshot's high watermark) still wins and
@@ -97,7 +99,10 @@ def delete_where(
     if commit_key in snap.commits:
         return MergeStats(commit_key, False, snap.version, 0)
     order = snap.order_col
-    fence = table.read(columns=[]).agg(F.max(order)).first()[0]
+    # physical high watermark from manifest stats (agg_bounds raw=True:
+    # metadata-only, includes tombstone fences and rows hidden by row
+    # filters — a live-read max could under-fence under a row filter)
+    fence = table.agg_bounds(order, raw=True)[1]
     if fence is None:
         return MergeStats(commit_key, False, snap.version, 0)
     # maintenance predicates evaluate on physical truth, not masked reads
@@ -128,7 +133,8 @@ def update_where(
     normal DELTA commit: every currently-live row matching ``predicate``
     re-enters with the named columns replaced by their SET expressions
     (ordinary Spark SQL over the row's own columns) and the order column
-    stamped at the table's high-watermark lsn + 1 — "as of this
+    stamped at the table's PHYSICAL high-watermark lsn + 1 (metadata-only,
+    same fence source as :func:`delete_where`) — "as of this
     snapshot", same fencing as :func:`delete_where`: anything already
     reflected loses the read-time LWW race to the rewrite, a genuinely
     newer feed event still wins.
@@ -154,7 +160,10 @@ def update_where(
     unknown = set(set_exprs) - names
     if unknown:
         raise KeyError(f"SET names unknown columns {sorted(unknown)}")
-    fence = table.read(columns=[]).agg(F.max(order)).first()[0]
+    # physical high watermark from manifest stats (agg_bounds raw=True:
+    # metadata-only, includes tombstone fences and rows hidden by row
+    # filters — a live-read max could under-fence under a row filter)
+    fence = table.agg_bounds(order, raw=True)[1]
     if fence is None:
         return MergeStats(commit_key, False, snap.version, 0)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate

@@ -1782,7 +1782,7 @@ def cdc_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
             FROM changelog) WHERE rn = 1),
         live AS (SELECT * FROM latest WHERE op <> 'delete'),
-        fu AS (SELECT max(lsn) AS m FROM live),
+        fu AS (SELECT max(lsn) AS m FROM changelog),
         upd AS (
           SELECT url,
                  CASE WHEN substr(md5(url), 1, 1) < '6'
@@ -1797,9 +1797,12 @@ def cdc_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="SQL UPDATE + DELETE statement texts (sql_merge.dml_sql): "
     "UPDATE compiles onto maintenance.update_where — matching live rows "
-    "re-enter with SET applied, fenced at high-watermark lsn + 1 — and "
-    "DELETE onto delete_where (tombstones at the next fence). Both are "
-    "O(matching rows) merge-on-read delta commits; the oracle replays "
+    "re-enter with SET applied, fenced at the PHYSICAL high watermark "
+    "+ 1 (agg_bounds raw=True: a metadata-only manifest read — "
+    "tombstone lsns count, so the oracle's fence is the changelog max, "
+    "not the live max) — and DELETE onto delete_where (tombstones at "
+    "the next fence). Both are O(matching rows) merge-on-read delta "
+    "commits whose watermark costs zero data IO; the oracle replays "
     "the same two statements arithmetically over the changelog final "
     "state (update touches a deterministic ~37%% of urls, delete a "
     "disjoint-keyed ~19%%)",
