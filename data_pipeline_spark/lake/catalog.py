@@ -327,6 +327,80 @@ class Catalog:
 
     # -- the SQL front door ------------------------------------------------------
 
+    def _metadata_aggregate(self, statement: str):
+        """Route the two classic whole-table aggregates to the metadata
+        plane (the Iceberg count/min-max pushdown a catalog user gets
+        for free): ``SELECT count(*) FROM t`` → :meth:`LakeTable.
+        count_rows` (manifest live_rows sums) and ``SELECT min(c),
+        max(c) FROM t`` (either or both, one column) → :meth:`LakeTable.
+        agg_bounds` (manifest footer bounds). Exact single-table,
+        no-WHERE forms only; anything else — and any table where the
+        metadata plane refuses (merge modes, masks, row filters) or
+        would scan anyway (string columns, delta-bearing fence columns)
+        — falls through to the ordinary snapshot-pinned scan, which
+        returns the identical answer. Result schemas match what
+        ``spark.sql`` would produce (same default aliases and types;
+        timestamps convert back from the stats' epoch-micro unit)."""
+        m = re.match(
+            r"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(?P<a>\w+))?\s*"
+            r"FROM\s+(?P<t>\w+)\s*;?\s*$",
+            statement,
+            re.IGNORECASE,
+        )
+        if m and self.table_exists(m.group("t")):
+            try:
+                n = self.load(m.group("t")).count_rows()
+            except ValueError:
+                return None
+            return self.spark.createDataFrame(
+                [(n,)], f"`{m.group('a') or 'count(1)'}` bigint"
+            )
+        agg = r"(?P<f{i}>MIN|MAX)\s*\(\s*(?P<c{i}>\w+)\s*\)\s*(?:AS\s+(?P<a{i}>\w+))?"
+        m = re.match(
+            r"\s*SELECT\s+" + agg.format(i=1)
+            + r"(?:\s*,\s*" + agg.format(i=2) + r")?"
+            + r"\s*FROM\s+(?P<t>\w+)\s*;?\s*$",
+            statement,
+            re.IGNORECASE,
+        )
+        if not m or not self.table_exists(m.group("t")):
+            return None
+        cols = {m.group("c1")}
+        if m.group("f2"):
+            cols.add(m.group("c2"))
+        if len(cols) != 1:
+            return None
+        (col,) = cols
+        table = self.load(m.group("t"))
+        snap = table.current()
+        fields = dict(table.schema_fields(snap))
+        ddl = fields.get(col, "").lower()
+        if ddl not in ("bigint", "timestamp"):
+            return None  # strings would scan anyway — no metadata win
+        try:
+            plan = table.agg_bounds(col, snap=snap, with_plan=True)
+        except (ValueError, KeyError):
+            return None
+        vals = {"MIN": plan["min"], "MAX": plan["max"]}
+        out_cols, out_vals = [], []
+        for i in (1, 2):
+            if not m.group(f"f{i}"):
+                continue
+            f = m.group(f"f{i}").upper()
+            name = m.group(f"a{i}") or f"{f.lower()}({m.group(f'c{i}')})"
+            out_cols.append(f"`{name}` {'timestamp' if ddl == 'timestamp' else 'bigint'}")
+            v = vals[f]
+            if ddl == "timestamp" and v is not None:
+                import datetime
+
+                v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                    microseconds=v
+                )
+            out_vals.append(v)
+        return self.spark.createDataFrame(
+            [tuple(out_vals)], ", ".join(out_cols)
+        )
+
     def sql(
         self,
         statement: str,
@@ -342,6 +416,9 @@ class Catalog:
         head = re.match(r"\s*(\w+)", statement)
         verb = (head.group(1) if head else "").upper()
         if verb in ("SELECT", "WITH"):
+            fast = self._metadata_aggregate(statement)
+            if fast is not None:
+                return fast
             statement = self._rewrite_reads(statement)
             self.register_views(self._referenced(statement))
             for name, df in (sources or {}).items():
