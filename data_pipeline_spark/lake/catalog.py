@@ -425,6 +425,16 @@ class Catalog:
                 df.createOrReplaceTempView(name)
             return self.spark.sql(statement)
         if verb == "SHOW":
+            mc = re.match(
+                r"\s*SHOW\s+CREATE\s+TABLE\s+(?P<t>\w+)\s*;?\s*$",
+                statement,
+                re.IGNORECASE,
+            )
+            if mc:
+                return self.spark.createDataFrame(
+                    [(self.show_create_table(mc.group("t")),)],
+                    "createtab_stmt string",
+                )
             m = re.match(
                 r"\s*SHOW\s+(?:TABLES|(?:TBLPROPERTIES\s+(?P<t>\w+)))\s*;?\s*$",
                 statement,
@@ -432,7 +442,8 @@ class Catalog:
             )
             if not m:
                 raise ValueError(
-                    "unparseable SHOW — SHOW TABLES | SHOW TBLPROPERTIES <t>"
+                    "unparseable SHOW — SHOW TABLES | SHOW CREATE TABLE "
+                    "<t> | SHOW TBLPROPERTIES <t>"
                 )
             if m.group("t"):
                 props = self.load(m.group("t")).current().props
@@ -484,6 +495,8 @@ class Catalog:
             tables = {n: self.load(n) for n in self._referenced(statement)}
             return dml_sql(statement, commit_key, tables, sources, **kw)
         if verb == "CREATE":
+            if re.search(r"\bAS\s+SELECT\b", statement, re.IGNORECASE):
+                return self._ctas_sql(statement, commit_key, sources)
             return self._create_sql(statement)
         if verb == "DROP":
             m = _DROP.match(statement)
@@ -649,6 +662,115 @@ class Catalog:
         )
 
     # -- DDL ---------------------------------------------------------------------
+
+    def show_create_table(self, name: str) -> str:
+        """Canonical DDL text that would recreate ``name``'s CURRENT
+        shape through this catalog's own grammar (round-trippable by
+        construction — the emitted text parses under ``_create_sql``).
+        Emits columns with the PRIMARY KEY marker, the bucket spec, and
+        TBLPROPERTIES including a non-default ``sequence.field``;
+        internal bookkeeping props stay (they are ordinary properties
+        and recreate fidelity matters more than prettiness)."""
+        table = self.load(name)
+        snap = table.current()
+        cols = ",\n  ".join(
+            f"{c} {d.upper()}" + (" PRIMARY KEY" if c == snap.key else "")
+            for c, d in table.schema_fields(snap)
+        )
+        out = (
+            f"CREATE TABLE {name} (\n  {cols}\n) "
+            f"PARTITIONED BY (BUCKET({snap.n_buckets}, {snap.key}))"
+        )
+        props = dict(snap.props)
+        if snap.order_col != "lsn":
+            props["sequence.field"] = snap.order_col
+        if props:
+            body = ", ".join(
+                f"'{k}'='{v}'" for k, v in sorted(props.items())
+            )
+            out += f"\nTBLPROPERTIES ({body})"
+        return out
+
+    _CTAS = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+"
+        r"PRIMARY\s+KEY\s*\(\s*(?P<key>\w+)\s*\)\s*"
+        r"(?:PARTITIONED\s+BY\s*\(\s*BUCKET\s*\(\s*(?P<nb>\d+)\s*,\s*"
+        r"(?P<bcol>\w+)\s*\)\s*\)\s*)?"
+        r"(?:TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\)\s*)?"
+        r"AS\s+(?P<select>SELECT\b.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _ctas_sql(
+        self,
+        statement: str,
+        commit_key: str | None,
+        sources: dict[str, DataFrame] | None,
+    ) -> LakeTable:
+        """``CREATE TABLE t PRIMARY KEY (k) [PARTITIONED BY (BUCKET(n,
+        k))] [TBLPROPERTIES (...)] AS SELECT ...`` — CTAS with the
+        engine's keyed-table contract made explicit (Delta CTAS has no
+        key; an LWW table cannot infer one, so the clause is required).
+        The schema comes from the SELECT's result; the order column
+        (``sequence.field`` property, default ``lsn``) must be among
+        the projected columns. Needs ``commit_key`` (it commits data).
+
+        Crash-safe and replayable: the table-create commit and the data
+        commit are the engine's ordinary idempotent commits, so a CTAS
+        that died between them RESUMES on re-run (table exists, data
+        key absent → insert only), and a completed CTAS re-run is a
+        recorded no-op — the multi-statement analog of every other
+        exactly-once path here."""
+        m = self._CTAS.match(statement)
+        if not m:
+            raise ValueError(
+                "unparseable CTAS — CREATE TABLE t PRIMARY KEY (k) "
+                "[PARTITIONED BY (BUCKET(n, k))] [TBLPROPERTIES (...)] "
+                "AS SELECT ..."
+            )
+        if commit_key is None:
+            raise ValueError("CREATE TABLE ... AS SELECT needs a commit_key")
+        name, key = m.group("name"), m.group("key")
+        if m.group("bcol") is not None and m.group("bcol") != key:
+            raise ValueError(
+                f"BUCKET column {m.group('bcol')!r} must be the PRIMARY "
+                f"KEY ({key!r}) — the table is key-hash-bucketed"
+            )
+        df = self.sql(m.group("select"), sources=sources)
+        schema = [
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ]
+        cols = {c for c, _ in schema}
+        if key not in cols:
+            raise KeyError(f"PRIMARY KEY {key!r} not in the SELECT output")
+        props = _parse_props(m.group("props"))
+        order_col = props.pop("sequence.field", "lsn")
+        if order_col not in cols:
+            raise ValueError(
+                f"order column {order_col!r} not in the SELECT output — "
+                "project it, or name one via TBLPROPERTIES "
+                "('sequence.field'='...')"
+            )
+        if self.table_exists(name):
+            table = self.load(name)
+            have = [(c, d) for c, d in table.schema_fields(table.current())]
+            if have != schema:
+                raise FileExistsError(
+                    f"table {name!r} already exists with a different schema"
+                )
+        else:
+            table = self.create_table(
+                name, schema, key, int(m.group("nb") or 64),
+                order_col=order_col, props=props,
+            )
+        from pyspark.sql import functions as F
+
+        from data_pipeline_spark.lake.merge import merge_into
+
+        merge_into(
+            table, df.withColumn("op", F.lit("upsert")), f"ctas:{commit_key}"
+        )
+        return table
 
     def _create_sql(self, statement: str) -> LakeTable:
         m = _CREATE.match(statement)
