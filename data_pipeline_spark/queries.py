@@ -7555,3 +7555,53 @@ sql_pair(
     "equi-join on url — the per-key min is a map-side-combinable "
     "aggregate, so the plan is two shuffles total at any scale",
 )
+
+
+@register(
+    "cdc_ctas",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1),
+        live AS (SELECT * FROM latest WHERE op <> 'delete')
+        SELECT url, lsn, lang,
+               CAST(length({extract_text_duckdb('html')}) AS BIGINT)
+                 AS text_len
+        FROM live WHERE lang IN ('en', 'de')
+    """,
+    doc="CREATE TABLE ... AS SELECT through the catalog front door "
+    "(lake/catalog.py _ctas_sql): replay into a catalog table, CTAS a "
+    "derived keyed table (schema inferred from the SELECT, rows landed "
+    "as one idempotent commit — the statement is crash-resumable and "
+    "replay-safe), re-issue the identical statement to prove the no-op, "
+    "then answer from the NEW table. Oracle = the defining SELECT over "
+    "the changelog final state",
+)
+def cdc_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.lake.catalog import Catalog
+    from data_pipeline_spark.pipeline import apply_batch
+
+    log = cl.changelog(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="catalog_ctas_"))
+    cat.sql(
+        """
+        CREATE TABLE pages (
+          url string PRIMARY KEY, lsn bigint, warc_ts timestamp,
+          html binary, text string, lang string
+        ) PARTITIONED BY (BUCKET(16, url))
+        """
+    )
+    apply_batch(cat.load("pages"), log, "cat-replay", record_metrics=False)
+    ctas = (
+        "CREATE TABLE western PRIMARY KEY (url) "
+        "PARTITIONED BY (BUCKET(8, url)) "
+        "AS SELECT url, lsn, lang, length(text) AS text_len "
+        "FROM pages WHERE lang IN ('en', 'de')"
+    )
+    cat.sql(ctas, commit_key="ctas-1")
+    v = cat.load("western").current().version
+    cat.sql(ctas, commit_key="ctas-1")  # full-statement replay: no-op
+    assert cat.load("western").current().version == v
+    return cat.sql("SELECT url, lsn, lang, text_len FROM western")
