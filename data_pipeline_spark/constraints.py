@@ -146,3 +146,117 @@ def enforce(
     bad = flagged.filter(F.col("__reason").isNotNull())
     clean = flagged.filter(F.col("__reason").isNull()).drop("__reason")
     return clean, bad
+
+
+# -- generated columns (Delta GENERATED ALWAYS AS analog) ---------------------
+
+GEN_PREFIX = "generated."
+
+
+def generated_columns(
+    table: LakeTable, snap: Snapshot | None = None
+) -> dict[str, str]:
+    """Declared generated columns: ``{col: sql_expr}`` from
+    ``generated.<col>`` table properties."""
+    snap = snap or table.current()
+    return {
+        k[len(GEN_PREFIX):]: v
+        for k, v in snap.props.items()
+        if k.startswith(GEN_PREFIX)
+    }
+
+
+def add_generated(table: LakeTable, col: str, expr: str) -> Snapshot:
+    """Declare ``col`` as GENERATED ALWAYS AS ``expr`` (Delta generated
+    columns): every future write either omits the column (the funnel
+    computes it) or must supply values equal to the expression (refused
+    otherwise — a generated column is a table-owned derivation, not a
+    suggestion). Declaration refuses when the column is the key/order
+    (the funnel may not synthesize identity or ordering), the expression
+    does not resolve against the OTHER columns, or any EXISTING live row
+    disagrees with it (one table scan — same whole-table contract as
+    add_check; backfill first via maintenance.update_where)."""
+    snap = table.current()
+    fields = dict(table.schema_fields(snap))
+    if col not in fields:
+        raise KeyError(f"no column {col!r}")
+    if col in (snap.key, snap.order_col):
+        raise ValueError(
+            f"{col!r} is the key/order column — not generatable"
+        )
+    if col in generated_columns(table, snap):
+        raise ValueError(f"column {col!r} already generated")
+    current = table.read()
+    try:
+        mismatch = current.filter(
+            ~F.col(col).eqNullSafe(F.expr(expr).cast(fields[col]))
+        )
+    except Exception as e:
+        raise ValueError(
+            f"generated expression {expr!r} does not resolve against "
+            f"table schema {current.columns}: {e}"
+        ) from e
+    n_bad = mismatch.count()
+    if n_bad:
+        raise CheckViolation(
+            f"cannot declare {col!r} generated: {n_bad} existing row(s) "
+            f"disagree with {expr!r} — backfill first"
+        )
+    return table.update_props({GEN_PREFIX + col: expr})
+
+
+def drop_generated(table: LakeTable, col: str) -> Snapshot:
+    snap = table.current()
+    key = GEN_PREFIX + col
+    if key not in snap.props:
+        raise ValueError(f"column {col!r} is not generated")
+    props = {k: v for k, v in snap.props.items() if k != key}
+    new = Snapshot(
+        **{
+            **snap.__dict__,
+            "version": snap.version + 1,
+            "manifests": dict(snap.manifests),
+            "commits": dict(snap.commits),
+            "summary": {"op": "props", "drop_generated": col},
+            "props": props,
+        }
+    )
+    table._write_snapshot(new, expect_parent=snap.version)
+    return new
+
+
+def apply_generated(
+    batch: DataFrame, table: LakeTable, snap: Snapshot
+) -> DataFrame:
+    """Write-funnel pass for generated columns: omitted columns are
+    computed from the expression (delete events keep NULL — tombstones
+    carry no payload); supplied columns are VALIDATED against it, and a
+    disagreeing non-delete row refuses the whole batch pre-commit (the
+    Delta generated-column contract). Tables without declarations pay a
+    dict lookup and nothing else."""
+    gens = generated_columns(table, snap)
+    if not gens:
+        return batch
+    fields = dict(table.schema_fields(snap))
+    is_del = (
+        (F.col("op") == "delete")
+        if "op" in batch.columns
+        else F.lit(False)
+    )
+    for col in sorted(gens):
+        value = F.expr(gens[col]).cast(fields[col])
+        if col in batch.columns:
+            bad = batch.filter(
+                ~is_del & ~F.col(col).eqNullSafe(value)
+            )
+            if bad.take(1):
+                raise CheckViolation(
+                    f"batch supplies values for generated column {col!r} "
+                    f"that disagree with {gens[col]!r} — omit the column "
+                    "or supply the derivation exactly"
+                )
+        else:
+            batch = batch.withColumn(
+                col, F.when(is_del, F.lit(None)).otherwise(value)
+            )
+    return batch

@@ -198,6 +198,14 @@ def merge_into(
         # evolution commit first (idempotent: replay sees no drift).
         if absorb_schema_drift(table, source, f"{commit_key}~evolve"):
             snap = table.current()
+    # Generated columns run on EVERY write path, before constraint
+    # enforcement (a CHECK may reference a generated column): omitted
+    # columns are computed, supplied ones validated, deletes exempt.
+    # No-declaration tables pay one dict lookup.
+    from data_pipeline_spark import constraints as _gen_constraints
+
+    source = _gen_constraints.apply_generated(source, table, snap)
+
     if enforce_checks:
         # Declared CHECK constraints hold on EVERY write path (Delta
         # semantics), not just the streaming apply boundary — a SQL
