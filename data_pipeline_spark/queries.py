@@ -7605,3 +7605,52 @@ def cdc_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.sql(ctas, commit_key="ctas-1")  # full-statement replay: no-op
     assert cat.load("western").current().version == v
     return cat.sql("SELECT url, lsn, lang, text_len FROM western")
+
+
+@register(
+    "cdc_generated_column",
+    f"""
+        WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) rn
+            FROM changelog) WHERE rn = 1)
+        SELECT url, lsn, lang,
+               split_part(url, '/', 3) AS domain,
+               {SHA_DUCK.format(c=extract_text_duckdb('html'))} AS text_sha
+        FROM latest WHERE op <> 'delete'
+    """,
+    doc="Generated column at the write funnel (constraints.add_generated "
+    "+ merge_into's apply_generated pass): the table declares domain "
+    "GENERATED ALWAYS AS split_part(url,'/',3); the replay feed never "
+    "carries the column, the funnel computes it on every batch, deletes "
+    "stay payload-free. Oracle recomputes the derivation over the "
+    "changelog final state — a funnel that skipped a batch or computed "
+    "over the wrong rows breaks parity",
+)
+def cdc_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark import constraints as C
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.pipeline import apply_batch
+
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="lake_gc_"),
+        [("url", "string"), ("lsn", "bigint"), ("warc_ts", "timestamp"),
+         ("html", "binary"), ("text", "string"), ("lang", "string"),
+         ("domain", "string")],
+        "url", 16,
+    )
+    C.add_generated(table, "domain", "split_part(url, '/', 3)")
+    log = cl.changelog(spark, sf_dir)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    cut = lo + (hi - lo) // 2
+    apply_batch(table, log.filter(F.col("lsn") <= cut), "gc-1",
+                record_metrics=False)
+    apply_batch(table, log.filter(F.col("lsn") > cut), "gc-2",
+                record_metrics=False)
+    return table.read().select(
+        "url", "lsn", "lang", "domain",
+        F.sha2("text", 256).alias("text_sha"),
+    )
