@@ -26,6 +26,8 @@ skew the north_star requires the merge stage to survive).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 # Number of cold urls (prime, avoids aliasing with the hot-key modulus).
@@ -125,27 +127,40 @@ def changelog(spark: SparkSession, sf_dir: str, amplify: int = 1) -> DataFrame:
         # repartition the explode-amplified synthesis runs as ONE task.
         par = spark.sparkContext.defaultParallelism
         events = events.repartition(4 * par)
-    events.createOrReplaceTempView("__cl_events")
-    if amplify <= 1:
-        return spark.sql(changelog_spark_sql("__cl_events"))
-    spark.sql(
-        f"""
-        CREATE OR REPLACE TEMP VIEW __cl_events_amp AS
-        SELECT event_id * {amplify} + rep AS event_id,
-               ts + make_interval(0, 0, 0, 0, 0, 0, rep) AS ts,
-               user_id * {amplify} + rep AS user_id,
-               event_type, value, props
-        FROM __cl_events
-        LATERAL VIEW explode(sequence(0, {amplify - 1})) t AS rep
-        """
-    )
-    return spark.sql(
-        _changelog_sql(
-            "__cl_events_amp",
-            binary_cast="encode({expr}, 'utf-8')",
-            cold_mod=N_COLD_URLS * amplify,
+    # Unique per-invocation view names (uuid-suffixed): two concurrent
+    # builds on one session (different sf_dir/amplify) must never read
+    # each other's events relation, and the result DataFrame inlines the
+    # view plan at analysis, so dropping right after keeps the session
+    # namespace residue-free.
+    ev = f"__cl_events_{uuid.uuid4().hex[:12]}"
+    events.createOrReplaceTempView(ev)
+    try:
+        if amplify <= 1:
+            return spark.sql(changelog_spark_sql(ev))
+        amp = f"{ev}_amp"
+        spark.sql(
+            f"""
+            CREATE OR REPLACE TEMP VIEW {amp} AS
+            SELECT event_id * {amplify} + rep AS event_id,
+                   ts + make_interval(0, 0, 0, 0, 0, 0, rep) AS ts,
+                   user_id * {amplify} + rep AS user_id,
+                   event_type, value, props
+            FROM {ev}
+            LATERAL VIEW explode(sequence(0, {amplify - 1})) t AS rep
+            """
         )
-    )
+        try:
+            return spark.sql(
+                _changelog_sql(
+                    amp,
+                    binary_cast="encode({expr}, 'utf-8')",
+                    cold_mod=N_COLD_URLS * amplify,
+                )
+            )
+        finally:
+            spark.catalog.dropTempView(amp)
+    finally:
+        spark.catalog.dropTempView(ev)
 
 
 def changelog_cte(events_parquet: str) -> str:

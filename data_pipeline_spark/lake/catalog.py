@@ -95,7 +95,22 @@ _SET_PROPS = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _RENAME_TBL = re.compile(r"^RENAME\s+TO\s+(?P<new>\w+)$", re.IGNORECASE)
-_PROP_PAIR = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+# Property pairs use standard SQL single-quote escaping ('' = one quote):
+# generated-column and CHECK props store SQL text that routinely contains
+# quotes (split_part(url, '/', 3); lang IN ('en','de')), so both the
+# emitter (show_create_table) and this parser must round-trip them.
+_PROP_PAIR = re.compile(
+    r"'(?P<k>(?:[^']|'')+)'\s*=\s*'(?P<v>(?:[^']|'')*)'"
+)
+
+
+def _q(v: str) -> str:
+    """Quote one property atom for DDL emission."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _unq(v: str) -> str:
+    return v.replace("''", "'")
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -127,7 +142,10 @@ def _split_top_level(s: str) -> list[str]:
 
 def _parse_props(txt: str | None) -> dict[str, str]:
     return (
-        {m.group("k"): m.group("v") for m in _PROP_PAIR.finditer(txt)}
+        {
+            _unq(m.group("k")): _unq(m.group("v"))
+            for m in _PROP_PAIR.finditer(txt)
+        }
         if txt
         else {}
     )
@@ -327,7 +345,9 @@ class Catalog:
 
     # -- the SQL front door ------------------------------------------------------
 
-    def _metadata_aggregate(self, statement: str):
+    def _metadata_aggregate(
+        self, statement: str, sources=None, explain: bool = False
+    ):
         """Route the two classic whole-table aggregates to the metadata
         plane (the Iceberg count/min-max pushdown a catalog user gets
         for free): ``SELECT count(*) FROM t`` → :meth:`LakeTable.
@@ -340,20 +360,38 @@ class Catalog:
         — falls through to the ordinary snapshot-pinned scan, which
         returns the identical answer. Result schemas match what
         ``spark.sql`` would produce (same default aliases and types;
-        timestamps convert back from the stats' epoch-micro unit)."""
+        timestamps convert back from the stats' epoch-micro unit).
+
+        A FROM name present in ``sources`` always falls through: the
+        scan path lets a caller-supplied DataFrame SHADOW a same-named
+        catalog table (sources register last), so the fast path must not
+        answer from the table the statement would not read."""
+
+        def _eligible(name: str) -> bool:
+            return name not in (sources or {}) and self.table_exists(name)
+
         m = re.match(
             r"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(?P<a>\w+))?\s*"
             r"FROM\s+(?P<t>\w+)\s*;?\s*$",
             statement,
             re.IGNORECASE,
         )
-        if m and self.table_exists(m.group("t")):
+        if m and _eligible(m.group("t")):
             try:
-                n = self.load(m.group("t")).count_rows()
+                plan = self.load(m.group("t")).count_rows(with_plan=True)
             except ValueError:
                 return None
+            if explain:
+                return (
+                    "access path: metadata (count) — manifest live_rows "
+                    f"sums over {len(plan['metadata_buckets'])} bucket(s); "
+                    f"delta-tail scan over "
+                    f"{len(plan['scanned_buckets'])} bucket(s) "
+                    f"{plan['scanned_buckets']}"
+                )
             return self.spark.createDataFrame(
-                [(n,)], f"`{m.group('a') or 'count(1)'}` bigint"
+                [(plan["count"],)],
+                f"`{m.group('a') or 'count(1)'}` bigint",
             )
         agg = r"(?P<f{i}>MIN|MAX)\s*\(\s*(?P<c{i}>\w+)\s*\)\s*(?:AS\s+(?P<a{i}>\w+))?"
         m = re.match(
@@ -363,7 +401,7 @@ class Catalog:
             statement,
             re.IGNORECASE,
         )
-        if not m or not self.table_exists(m.group("t")):
+        if not m or not _eligible(m.group("t")):
             return None
         cols = {m.group("c1")}
         if m.group("f2"):
@@ -381,6 +419,14 @@ class Catalog:
             plan = table.agg_bounds(col, snap=snap, with_plan=True)
         except (ValueError, KeyError):
             return None
+        if explain:
+            return (
+                f"access path: metadata (min/max of {col}) — manifest "
+                f"footer bounds over {len(plan['metadata_buckets'])} "
+                f"bucket(s); pruned scan over "
+                f"{len(plan['scanned_buckets'])} bucket(s) "
+                f"{plan['scanned_buckets']}"
+            )
         vals = {"MIN": plan["min"], "MAX": plan["max"]}
         out_cols, out_vals = [], []
         for i in (1, 2):
@@ -416,14 +462,33 @@ class Catalog:
         head = re.match(r"\s*(\w+)", statement)
         verb = (head.group(1) if head else "").upper()
         if verb in ("SELECT", "WITH"):
-            fast = self._metadata_aggregate(statement)
+            fast = self._metadata_aggregate(statement, sources)
             if fast is not None:
                 return fast
-            statement = self._rewrite_reads(statement)
-            self.register_views(self._referenced(statement))
-            for name, df in (sources or {}).items():
-                df.createOrReplaceTempView(name)
-            return self.spark.sql(statement)
+            # Hermetic execution: the statement runs on a CHILD session
+            # (own empty temp-view namespace) where the referenced
+            # catalog tables resolve to snapshot-pinned reads built
+            # DIRECTLY on that session, and caller-supplied ``sources``
+            # are bridged in (shadowing same-named tables, registered
+            # last). Nothing is registered on — and nothing can be
+            # shadowed by — the caller's session, so two interleaved
+            # catalog SELECTs, or a SELECT racing a DML whose sources
+            # reuse a table name, can never read each other's relation
+            # (round-3's cdc_catalog_sql driver mismatch). Reference
+            # analog: per-collection namespace isolation,
+            # run_ingest_register.py:38-48.
+            from data_pipeline_spark.session import (
+                bridge_views,
+                hermetic_session,
+            )
+
+            exec_cat = Catalog(hermetic_session(self.spark), self.root)
+            statement = exec_cat._rewrite_reads(statement)
+            exec_cat.register_views(exec_cat._referenced(statement))
+            bridge_views(exec_cat.spark, sources or {})
+            return exec_cat.spark.sql(statement)
+        if verb == "EXPLAIN":
+            return self._explain_sql(statement, sources)
         if verb == "SHOW":
             mc = re.match(
                 r"\s*SHOW\s+CREATE\s+TABLE\s+(?P<t>\w+)\s*;?\s*$",
@@ -526,7 +591,7 @@ class Catalog:
         if verb == "CALL":
             return self._call_sql(statement, commit_key)
         raise ValueError(
-            f"unsupported statement verb {verb!r} — SELECT/WITH, "
+            f"unsupported statement verb {verb!r} — SELECT/WITH, EXPLAIN, "
             "MERGE/INSERT/UPDATE/DELETE, CREATE/ALTER/DROP TABLE, "
             "SHOW TABLES/TBLPROPERTIES, DESCRIBE, OPTIMIZE, VACUUM, "
             "CALL only"
@@ -661,6 +726,55 @@ class Catalog:
             "rewrite_manifests, rollback_to_version, run_maintenance"
         )
 
+    def _explain_sql(self, statement: str, sources=None) -> DataFrame:
+        """``EXPLAIN <select>`` through the front door: SEE the access
+        path the engine chose, before Spark's own plan. A
+        metadata-routed aggregate reports which buckets answer from
+        manifests vs the delta-tail scan; everything else reports the
+        snapshot-pinned scan fall-through followed by Spark's
+        ``EXPLAIN FORMATTED`` of the exact statement the SELECT path
+        would execute (same rewrites, same hermetic resolution).
+        Returns one row, column ``plan``.
+
+        Reference analog: the explain-your-skips discipline of the
+        migration stamper (operator-tools/_migrate_catalog/migrations/
+        stamp_expires.py:119-142)."""
+        inner = re.sub(
+            r"^\s*EXPLAIN\s+(?:FORMATTED\s+)?", "", statement,
+            flags=re.IGNORECASE,
+        )
+        ihead = re.match(r"\s*(\w+)", inner)
+        iverb = (ihead.group(1) if ihead else "").upper()
+        if iverb not in ("SELECT", "WITH"):
+            raise ValueError(
+                "EXPLAIN supports SELECT/WITH statements only"
+            )
+        fast = self._metadata_aggregate(inner, sources, explain=True)
+        if fast is not None:
+            return self.spark.createDataFrame([(fast,)], "plan string")
+        from data_pipeline_spark.session import (
+            bridge_views,
+            hermetic_session,
+        )
+
+        exec_cat = Catalog(hermetic_session(self.spark), self.root)
+        rewritten = exec_cat._rewrite_reads(inner)
+        names = exec_cat.register_views(exec_cat._referenced(rewritten))
+        bridge_views(exec_cat.spark, sources or {})
+        body = "\n".join(
+            r[0]
+            for r in exec_cat.spark.sql(
+                "EXPLAIN FORMATTED " + rewritten
+            ).collect()
+        )
+        header = (
+            "access path: scan — snapshot-pinned pruned parquet read "
+            f"over catalog table(s) {names}"
+        )
+        return self.spark.createDataFrame(
+            [(header + "\n" + body,)], "plan string"
+        )
+
     # -- DDL ---------------------------------------------------------------------
 
     def show_create_table(self, name: str) -> str:
@@ -686,7 +800,7 @@ class Catalog:
             props["sequence.field"] = snap.order_col
         if props:
             body = ", ".join(
-                f"'{k}'='{v}'" for k, v in sorted(props.items())
+                f"{_q(k)}={_q(v)}" for k, v in sorted(props.items())
             )
             out += f"\nTBLPROPERTIES ({body})"
         return out

@@ -29,7 +29,6 @@ rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from data_pipeline_spark.lake.table import LakeTable
 

@@ -31,7 +31,6 @@ pipeline that wrote it.
 
 from __future__ import annotations
 
-import json
 import os
 
 from data_pipeline_spark.lake.table import (

@@ -249,8 +249,15 @@ def merge_into(
         F.col(OP_COL),
     )
 
+    # The within-batch collapse and the tombstone fence honor the TABLE's
+    # declared order column (``sequence.field``) — hardcoding ``lsn``
+    # here would collapse a custom-ordered table (CTAS with
+    # 'sequence.field') on the wrong column while the read path and
+    # agg_bounds fence on the declared one.
+    order_col = snap.order_col
+
     if not precollapsed:
-        src = lww_collapse(src, key, ORDER_COL, data_cols + [OP_COL])
+        src = lww_collapse(src, key, order_col, data_cols + [OP_COL])
 
     batch_rows = src.count() if with_stats else None
 
@@ -262,7 +269,7 @@ def merge_into(
     # payload columns null. Readers never see them (table.read filters);
     # compaction purges old ones behind the watermark-coupled fence.
     is_del = F.col(OP_COL) == DELETE_OP
-    keep_cols = {ORDER_COL, "warc_ts"}
+    keep_cols = {order_col, "warc_ts"}
     final = src.select(
         key,
         *[

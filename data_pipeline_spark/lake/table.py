@@ -1201,6 +1201,17 @@ class LakeTable:
                 "defined by the read-time merge engine — count the "
                 "collapsed read instead"
             )
+        if not raw and any(
+            k.startswith("rowfilter.") for k in snap.props
+        ):
+            # The agg_bounds guard's sibling: manifest live_rows counts
+            # every live PHYSICAL row, but read() hides the rows the
+            # filter rejects — a metadata answer here would silently
+            # disagree with the scan the same statement takes elsewhere.
+            raise ValueError(
+                "count_rows refuses under row filters: hidden rows are "
+                "inside live_rows — count the filtered read() instead"
+            )
         sel = (
             set(snap.manifests)
             if buckets is None

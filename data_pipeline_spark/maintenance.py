@@ -518,6 +518,24 @@ def compact_append(
     snap = table.current()
     if commit_key in snap.commits:
         return snap
+    if horizon == "auto":
+        # The horizon comes from the STREAM's armed low-watermark
+        # (apply_append_batch(order_lateness=) persists a monotonic
+        # ``stream.low_watermark`` prop on every epoch commit, and the
+        # apply path refuses sub-watermark events from then on) — the
+        # caller no longer owns the "no future event ≤ horizon"
+        # soundness promise by hand. Refuses when nothing is armed: a
+        # guessed horizon would silently fold rows a late patch still
+        # has the right to touch.
+        lw = snap.props.get("stream.low_watermark")
+        if lw is None:
+            raise ValueError(
+                "compact_append(horizon='auto') needs an armed "
+                "stream.low_watermark — run the stream with "
+                "order_lateness= (or pass an explicit horizon you can "
+                "vouch for)"
+            )
+        horizon = int(lw)
     if fold is not None and horizon is None:
         raise ValueError("fold compaction needs a horizon (order value)")
     if fold is None and horizon is not None:
@@ -771,6 +789,13 @@ class MaintenancePolicy:
     # RE-APPLY on replay, so set this above the deepest checkpoint
     # rewind any writer can perform (see LakeTable.expire_commit_keys).
     keep_commit_keys: int | None = None
+    # Append-mode fold horizon. None = files-only rewrite (always
+    # sound). "auto" = fold events at/below the stream-armed
+    # ``stream.low_watermark`` prop when one exists (falling back to
+    # files-only on a not-yet-armed table — a scheduled round must not
+    # crash on a young stream); an int folds at that explicit order
+    # value and is the caller's promise to vouch for.
+    fold_horizon: "str | int | None" = None
 
 
 def plan_maintenance(
@@ -859,11 +884,14 @@ def run_maintenance(
     because compaction already resets the chains it touches.
 
     Mode-aware: LWW tables compact through the whole-row rewrite; append
-    merge-mode tables (patch/aggregate/first-row/event) route to the
-    FILES-ONLY ``compact_append`` — the scheduler never folds events,
-    because a sound fold horizon is a watermark contract the caller
-    owns, not a threshold (pass one explicitly via
-    :func:`compact_append` when you hold it).
+    merge-mode tables (patch/aggregate/first-row/event) route to
+    ``compact_append``. By default that is FILES-ONLY — a sound fold
+    horizon is a watermark contract, not a threshold. With
+    ``policy.fold_horizon="auto"`` the round folds at the STREAM-armed
+    ``stream.low_watermark`` prop (apply_append_batch(order_lateness=)
+    arms and enforces it), falling back to files-only on a
+    not-yet-armed table; an int folds at that explicit order value on
+    the caller's own promise.
 
     Returns the executed plan plus per-step outcomes.
     """
@@ -919,9 +947,15 @@ def run_maintenance(
                     min_files=1,
                     max_buckets=policy.max_compact_buckets,
                 )
+            horizon = policy.fold_horizon
+            if horizon == "auto" and (
+                table.current().props.get("stream.low_watermark") is None
+            ):
+                horizon = None  # not armed yet — files-only this round
             return compact_append(
                 table,
                 f"{commit_key}/compact",
+                horizon=horizon,
                 buckets=buckets,
                 min_files=1,
                 max_buckets=policy.max_compact_buckets,

@@ -44,7 +44,7 @@ operator family.
 
 from __future__ import annotations
 
-from data_pipeline_spark.operators.dedup import DUCK, SPARK
+from data_pipeline_spark.operators.dedup import DUCK, SPARK  # noqa: F401 (DUCK re-exported for oracle callers)
 
 
 def _i128(expr: str, dialect: str) -> str:

@@ -79,8 +79,15 @@ def minhash_near_dup_sql(
     shingle_k: int = 5,
     fast: bool = False,
     min_ppm: int = 0,
+    stats_only: bool = False,
 ) -> str:
     """Verified near-duplicate pairs via MinHash signatures + LSH banding.
+
+    ``stats_only=True`` returns the LSH band-BUCKET distribution
+    (n_buckets/max/p99 bucket size, candidate pairs = Σ C(n,2)) over the
+    SAME sh/sig/bands CTEs instead of the pair output — the quantity
+    whose blowup floods the candidate join at 10^6+ docs, measured by
+    the exact banding the production query uses (bench_docs_scale.py).
 
     Plan shape: shingle explode → n_hashes-way min aggregate (map-side
     combine) → band explode → self equi-join on (band, band_hash) →
@@ -137,6 +144,28 @@ def minhash_near_dup_sql(
             f"SELECT doc_id, n, unnest({band_arr}) AS x FROM sig)"
         )
 
+    if stats_only:
+        p99 = (
+            "CAST(percentile_approx(n, 0.99) AS BIGINT)"
+            if dialect == SPARK
+            else "CAST(quantile_disc(n, 0.99) AS BIGINT)"
+        )
+        return f"""
+        WITH sh AS (
+          SELECT doc_id, {_unnest(shingles('text', shingle_k, dialect), 'sh', dialect)}
+          FROM {docs_rel}
+        ),
+        sig AS (SELECT doc_id, count(*) AS n, {mins} FROM sh GROUP BY doc_id),
+        bands AS ({bands}),
+        buckets AS (
+          SELECT band, bh, count(*) AS n FROM bands GROUP BY band, bh
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(n) AS BIGINT) AS max_bucket,
+               {p99} AS p99_bucket,
+               CAST(sum(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs
+        FROM buckets WHERE n >= 2
+    """
     return f"""
         WITH sh AS (
           SELECT doc_id, {_unnest(shingles('text', shingle_k, dialect), 'sh', dialect)}
@@ -545,7 +574,13 @@ def winnowing_sql(
           FROM grams
         ),
         fps AS (
-          SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE i <= ng - {w}
+          -- greatest(ng - w, 0): a doc with fewer than w grams still
+          -- contributes the min over ALL its grams (the i = 0 window
+          -- covers them), matching classic winnowing — otherwise short
+          -- docs emit no fingerprints and even exact duplicates of them
+          -- are invisible to the pair join.
+          SELECT DISTINCT doc_id, wmin AS fp FROM wm
+          WHERE i <= greatest(ng - {w}, 0)
         ),
         sizes AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id),
         df AS (

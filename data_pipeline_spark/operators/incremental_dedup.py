@@ -114,11 +114,19 @@ class SignatureStore:
             )
 
     def signatures(self, docs: DataFrame, fast: bool = True) -> DataFrame:
-        view = "__inc_dedup_batch"
+        # Unique per-call view name, dropped after the (eager) analysis
+        # of the returned DataFrame inlines it — concurrent batches on
+        # one session never cross, and no namespace residue is left.
+        import uuid
+
+        view = f"__inc_dedup_batch_{uuid.uuid4().hex[:12]}"
         docs.createOrReplaceTempView(view)
-        return self.spark.sql(
-            signature_sql(view, self.n_hashes, self.n_bands, self.k, fast)
-        )
+        try:
+            return self.spark.sql(
+                signature_sql(view, self.n_hashes, self.n_bands, self.k, fast)
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def _bands_long(self, sigs: DataFrame) -> DataFrame:
         """(doc_id, n, band, bh) long form via one stack (no shuffle)."""

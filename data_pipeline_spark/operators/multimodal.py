@@ -211,6 +211,262 @@ def decode_real(
     )
 
 
+# -- stdlib codecs: REAL formats, decoded here, no third-party deps ----------
+#
+# Round-3 gap: with Pillow absent, the only true-codec path (decode_real)
+# never executed in this container. These close it with formats the
+# standard library (or 60 lines of spec-faithful struct code) can decode
+# FOR REAL: 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte row
+# padding, bottom-up rows, BGR channel order — the actual format, parsed
+# from its actual bytes) and PCM16 WAV through the stdlib ``wave``
+# module. Payload content comes from integer formulas so a DuckDB oracle
+# recomputes every decoded value exactly.
+#
+# Reference analog: the per-item raster decode + re-encode,
+# /root/reference/scripts/convert_v1_s2.py:51-181.
+
+WAV_RATE = 8000
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 24, 8 + doc_id % 16
+
+
+def _bmp_pixel(doc_id: int, x: int, y: int) -> int:
+    """Gray value of pixel (x, y) — the generating formula the oracle
+    shares. (x grows rightward, y downward from the TOP row.)"""
+    return (doc_id * 7 + x * 13 + y * 31) % 256
+
+
+def encode_bmp(doc_id: int) -> bytes:
+    """A valid 24-bit uncompressed BMP: gray pixels from ``_bmp_pixel``,
+    rows bottom-up and padded to 4 bytes per the spec."""
+    w, h = _bmp_dims(doc_id)
+    stride = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for file_row in range(h):  # file rows run bottom-up
+        y = h - 1 - file_row
+        row = bytearray()
+        for x in range(w):
+            v = _bmp_pixel(doc_id, x, y)
+            row += bytes((v, v, v))  # BGR (equal channels)
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    header_size = 14 + 40
+    file_size = header_size + len(pix)
+    fileh = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+    infoh = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return fileh + infoh + pix
+
+
+def decode_bmp_thumb(
+    b: bytes, tw: int = 8, th: int = 8
+) -> tuple[int, int, bytes]:
+    """REAL BMP decode: parse both headers, honor the pixel-array
+    offset, 4-byte row padding and bottom-up row order, then produce a
+    ``tw``×``th`` grayscale nearest-neighbor thumbnail (row-major,
+    top-down). Returns (width, height, thumb_bytes)."""
+    magic, _fsize, _r1, _r2, pixoff = struct.unpack_from("<2sIHHI", b, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    ihsize, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if ihsize < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp} comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = bytearray()
+    for y in range(th):
+        sy = y * h // th  # top-down source row
+        file_row = (h - 1 - sy) if bottom_up else sy
+        base = pixoff + file_row * stride
+        for x in range(tw):
+            sx = x * w // tw
+            out.append(b[base + sx * 3])  # blue channel == gray
+    return w, h, bytes(out)
+
+
+def _wav_n(doc_id: int) -> int:
+    return 64 + doc_id % 192
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    return (doc_id * 31 + i * 17) % 2003 - 1001
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """PCM16 mono WAV written by the stdlib ``wave`` module."""
+    import io
+    import wave
+
+    n = _wav_n(doc_id)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(WAV_RATE)
+        wf.writeframes(
+            struct.pack(
+                f"<{n}h", *[_wav_sample(doc_id, i) for i in range(n)]
+            )
+        )
+    return buf.getvalue()
+
+
+STDLIB_MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary"
+)
+
+STDLIB_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def media_table_stdlib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are REAL format bytes: even doc_ids
+    carry a 24-bit BMP, odd ones a PCM16 WAV (both deterministic)."""
+    from data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+
+    @pandas_udf(T.BinaryType())
+    def enc(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_bmp(int(i)) if int(i) % 2 == 0 else encode_wav(int(i))
+                for i in doc_id
+            ]
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        enc("doc_id").alias("payload"),
+    )
+
+
+def decode_stdlib(
+    media: DataFrame, thumb: tuple[int, int] = (8, 8)
+) -> DataFrame:
+    """True codec decode with zero third-party deps, Arrow-batched
+    mapInPandas (narrow — runs on the scan partitioning, no shuffle):
+    BMP payloads through the spec parser above (grayscale
+    nearest-neighbor thumbnail like ``decode_real``), WAV payloads
+    through stdlib ``wave``. ``checksum`` is the thumbnail pixel sum
+    (image) / sum of absolute sample values (audio) — integer-exact and
+    recomputable by the SQL oracle; ``content_md5`` proves the decoded
+    bytes byte-for-byte."""
+    tw, th = thumb
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if kind == "image":
+                    w, h, tb = decode_bmp_thumb(b, tw, th)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "kind": kind,
+                            "width": w,
+                            "height": h,
+                            "n_frames": None,
+                            "rate": None,
+                            "checksum": sum(tb),
+                            "content_md5": hashlib.md5(tb).hexdigest(),
+                        }
+                    )
+                else:
+                    with wave.open(io.BytesIO(b), "rb") as wf:
+                        n, rate = wf.getnframes(), wf.getframerate()
+                        raw = wf.readframes(n)
+                    samples = struct.unpack(f"<{n}h", raw)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "kind": kind,
+                            "width": None,
+                            "height": None,
+                            "n_frames": n,
+                            "rate": rate,
+                            "checksum": sum(abs(s) for s in samples),
+                            "content_md5": hashlib.md5(raw).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in STDLIB_DECODE_SCHEMA]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, STDLIB_DECODE_SCHEMA
+    )
+
+
+def stdlib_decode_oracle_sql(docs_rel: str = "documents") -> str:
+    """DuckDB oracle: every decoded value recomputed from the generating
+    formulas — dims, frame counts, and the integer checksums (thumbnail
+    pixel sum via an 8×8 lateral; |sample| sum via a per-row range).
+    ``content_md5`` is intentionally NOT part of the oracled projection
+    (no portable SQL way to build the pixel/PCM blob); the pytest side
+    pins it against an independent pure-Python recompute instead."""
+    return f"""
+        WITH img AS (
+          SELECT d.doc_id,
+                 CAST(sum(
+                   (d.doc_id * 7
+                    + ((tx.x * (8 + d.doc_id % 24)) // 8) * 13
+                    + ((ty.y * (8 + d.doc_id % 16)) // 8) * 31) % 256
+                 ) AS BIGINT) AS s
+          FROM {docs_rel} d
+          CROSS JOIN range(8) tx(x) CROSS JOIN range(8) ty(y)
+          WHERE d.doc_id % 2 = 0
+          GROUP BY d.doc_id
+        ),
+        aud AS (
+          SELECT d.doc_id,
+                 CAST(sum(abs(
+                   (d.doc_id * 31 + t.i * 17) % 2003 - 1001
+                 )) AS BIGINT) AS s
+          FROM {docs_rel} d CROSS JOIN range(256) t(i)
+          WHERE d.doc_id % 2 = 1 AND t.i < 64 + d.doc_id % 192
+          GROUP BY d.doc_id
+        )
+        SELECT d.doc_id AS media_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN CAST(8 + d.doc_id % 24 AS INT) END AS width,
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN CAST(8 + d.doc_id % 16 AS INT) END AS height,
+               CASE WHEN d.doc_id % 2 = 1
+                    THEN CAST(64 + d.doc_id % 192 AS BIGINT) END AS n_frames,
+               CASE WHEN d.doc_id % 2 = 1 THEN {WAV_RATE} END AS rate,
+               coalesce(img.s, aud.s) AS checksum
+        FROM {docs_rel} d
+        LEFT JOIN img ON img.doc_id = d.doc_id
+        LEFT JOIN aud ON aud.doc_id = d.doc_id
+    """
+
+
 def features_oracle_sql(docs_rel: str = "documents") -> str:
     """DuckDB oracle: recompute every feature from the generating formula.
 

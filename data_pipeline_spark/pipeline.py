@@ -94,10 +94,18 @@ def contract_reason(
     )
 
 
-def _dlq_id() -> F.Column:
+def _dlq_id(df: DataFrame) -> F.Column:
     """Content-hash DLQ key over the event's identifying fields — shared
     by quarantine (insert side) and redrive (delete side) so a resolved
-    event's tombstone always finds its quarantine row."""
+    event's tombstone always finds its quarantine row. Schema-aware on
+    the payload component: feeds without an ``html`` column (patch /
+    aggregate append tables) hash the same null sentinel on both
+    sides."""
+    payload = (
+        F.coalesce(F.sha2(F.col("html"), 256), F.lit("∅"))
+        if "html" in df.columns
+        else F.lit("∅")
+    )
     return F.md5(
         F.concat_ws(
             "|",
@@ -105,7 +113,7 @@ def _dlq_id() -> F.Column:
             F.coalesce(F.col("lsn").cast("string"), F.lit("∅")),
             F.coalesce(F.col("op"), F.lit("∅")),
             F.coalesce(F.col("warc_ts").cast("string"), F.lit("∅")),
-            F.coalesce(F.sha2(F.col("html"), 256), F.lit("∅")),
+            payload,
         )
     )
 
@@ -119,7 +127,7 @@ def quarantine(
     crash, or replayed in a later epoch — collapses to one DLQ row
     (idempotent like every other commit in the engine)."""
     rows = bad.select(
-        _dlq_id().alias("dlq_id"),
+        _dlq_id(bad).alias("dlq_id"),
         F.coalesce(F.col("lsn"), F.lit(-1).cast("bigint")).alias("lsn"),
         F.col("url"),
         F.col("op").alias("event_op"),
@@ -191,7 +199,7 @@ def redrive_dlq(
         # lsn+1 so the delete wins against the stored row and against
         # any future redelivery of the same event content).
         dead = passing.select(
-            _dlq_id().alias("dlq_id"),
+            _dlq_id(passing).alias("dlq_id"),
             (F.col("lsn") + 1).alias("lsn"),
             F.col("url"),
             F.col("op").alias("event_op"),
@@ -432,6 +440,7 @@ def apply_append_batch(
     commit_key: str,
     record_metrics: bool = True,
     dlq: LakeTable | None = None,
+    order_lateness: int | None = None,
 ) -> None:
     """One micro-batch for PATCH / AGGREGATE merge-mode tables: quarantine
     contract violations, then append EVERY event row as a delta commit —
@@ -440,7 +449,17 @@ def apply_append_batch(
     within-batch "losers" here would lose data; the merge semantics run
     at read time (partial_update_collapse / aggregate_collapse) and in
     mode-aware compaction. Idempotent on ``commit_key`` like every other
-    commit (redelivered epochs no-op)."""
+    commit (redelivered epochs no-op).
+
+    ``order_lateness`` (order-column units) ARMS the fold-compaction
+    watermark: each epoch advances a monotonic ``stream.low_watermark``
+    table prop to ``max(batch order) - order_lateness`` on the SAME
+    commit (no extra snapshot), and once armed the apply path ENFORCES
+    it — events at or below the watermark are quarantined to the DLQ
+    (reason ``below_low_watermark``) or refuse the whole batch when no
+    DLQ is wired. ``compact_append(horizon="auto")`` consumes the prop,
+    so the "no future event ≤ horizon" soundness promise is owned by
+    the stream's declared disorder bound, not re-stated by callers."""
     n_quarantined = 0
     if dlq is not None:
         flagged = batch.withColumn(
@@ -457,7 +476,39 @@ def apply_append_batch(
         batch = flagged.filter(F.col("__reason").isNull()).drop("__reason")
     snap = table.current()
     cols = [n for n, _ in table.schema_fields(snap)]
-    table.commit_delta(batch.select(*cols), commit_key)
+    order = snap.order_col
+    low = snap.props.get("stream.low_watermark")
+    n_late = 0
+    if low is not None:
+        late = batch.filter(F.col(order) <= F.lit(int(low)))
+        if bool(late.take(1)):
+            if dlq is None:
+                raise ValueError(
+                    f"batch carries events at/below the armed "
+                    f"stream.low_watermark ({low}) — fold compaction may "
+                    "already own that region; wire a DLQ to quarantine "
+                    "them, or raise order_lateness"
+                )
+            if record_metrics:
+                n_late = late.count()
+            quarantine(
+                dlq,
+                late.withColumn(
+                    "__reason", F.lit("below_low_watermark")
+                ),
+                f"{commit_key}:late",
+            )
+            batch = batch.filter(F.col(order) > F.lit(int(low)))
+    props_update = None
+    if order_lateness is not None:
+        mx = batch.agg(F.max(order)).first()[0]
+        if mx is not None:
+            cand = int(mx) - int(order_lateness)
+            if low is None or cand > int(low):
+                props_update = {"stream.low_watermark": cand}
+    table.commit_delta(
+        batch.select(*cols), commit_key, props_update=props_update
+    )
     if record_metrics:
         n = batch.count()
         metrics_mod.record_commit(
@@ -467,11 +518,11 @@ def apply_append_batch(
             wall_ms=0.0,
             batch_rows=n,
             flow={
-                "events_read": n + n_quarantined,
+                "events_read": n + n_quarantined + n_late,
                 "events_applied": n,
                 "events_deduped": 0,
                 "events_late_dropped": 0,
-                "events_quarantined": n_quarantined,
+                "events_quarantined": n_quarantined + n_late,
                 "deletes": 0,
             },
         )

@@ -63,15 +63,28 @@ SHA_SPARK = "sha2({c}, 256)"
 SHA_DUCK = "sha256({c})"
 
 
-def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+def _views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...]
+) -> SparkSession:
+    """Register the entry's source tables as views on a HERMETIC child
+    session and return it — the caller runs its SQL there.
+
+    Temp views are session-scoped mutable state: with 179 registry
+    entries sharing fixed names (``events``, ``pages``, ``documents``)
+    on one driver session, any interleaving can resolve a name to
+    another entry's relation (round-3's ``cdc_catalog_sql`` driver
+    mismatch). A child session per invocation (``hermetic_session`` —
+    shared SparkContext, private view catalog) makes every entry's
+    resolution independent of what ran before or runs concurrently."""
+    from data_pipeline_spark.session import hermetic_session, ship_package
+
+    ship_package(spark)
+    spark = hermetic_session(spark)
     # The driver runs these queries on ITS OWN SparkSession; timestamp
     # functions over NTZ values (unix_timestamp, to_timestamp) resolve via
     # the session timezone, and the DuckDB oracle is UTC — pin it
     # (the reference's canonical-timestamp lesson, s3_item_cleanup.py:38-42).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    from data_pipeline_spark.session import ship_package
-
-    ship_package(spark)
     import os as _os
 
     for t in tables:
@@ -95,6 +108,7 @@ def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
             "CREATE OR REPLACE TEMP VIEW changelog AS "
             + cl.changelog_spark_sql("events")
         )
+    return spark
 
 
 def sql_pair(
@@ -118,7 +132,7 @@ def sql_pair(
             duck = cte + " " + duck
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _views(spark, sf_dir, tables)
+        spark = _views(spark, sf_dir, tables)
         return spark.sql(spark_sql)
 
     REGISTRY[name] = Q(spark=fn, oracle=duck, doc=doc)
@@ -1148,7 +1162,7 @@ def cdc_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cdc_row_lineage",
+    "cdc_changelog_lineage",
     f"""
         WITH changelog AS ({cl.changelog_duckdb_sql('events')}),
         fenced AS (
@@ -1173,7 +1187,7 @@ def cdc_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioning), no UDFs (operators/lineage.py; item ids stable while "
     "assets churn, register_v1.py:130-155)",
 )
-def cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_changelog_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from data_pipeline_spark.operators.lineage import row_lineage
@@ -2785,7 +2799,7 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_envelope,
     )
 
-    _views(spark, sf_dir, ("events",))
+    spark = _views(spark, sf_dir, ("events",))
     feed = encode_envelope(spark.table("changelog"))
     return decode_envelope(feed).select(
         "url", "lsn", "op", "lang",
@@ -3178,7 +3192,7 @@ def cdc_aggregate_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_spark.lake.table import LakeTable
     from data_pipeline_spark.metrics import publish_aggregate, read_aggregate
 
-    _views(spark, sf_dir, ("events",))
+    spark = _views(spark, sf_dir, ("events",))
     root = tempfile.mkdtemp(prefix="aggpub_")
     table = LakeTable.create(
         spark, root, [("url", "string"), ("lsn", "bigint")], "url", 4
@@ -4824,7 +4838,7 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SignatureStore,
     )
 
-    _views(spark, sf_dir, ("documents",))
+    spark = _views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     hi = docs.agg(F.max("doc_id")).first()[0]
     cuts = [(-1, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi)]
@@ -4879,7 +4893,7 @@ sql_pair(
     "groups, not pairs (trigger_cdse.py:123-141)",
 )
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, ("documents",))
+    spark = _views(spark, sf_dir, ("documents",))
     pairs = spark.sql(_dd.minhash_near_dup_sql(_dd.SPARK))
     return _dd.connected_components(pairs)
 
@@ -4893,7 +4907,7 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursive-CTE oracle as docs_dedup_clusters",
 )
 def docs_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, ("documents",))
+    spark = _views(spark, sf_dir, ("documents",))
     pairs = spark.sql(_dd.minhash_near_dup_sql(_dd.SPARK))
     return _dd.connected_components_star(pairs)
 
@@ -4908,7 +4922,7 @@ def docs_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    _views(spark, sf_dir, ("documents",))
+    spark = _views(spark, sf_dir, ("documents",))
     pairs = spark.sql(_dd.minhash_near_dup_sql(_dd.SPARK))
     clusters = _dd.connected_components(pairs)
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id"))
@@ -5450,7 +5464,7 @@ def _session_windows_duck() -> str:
 def cdc_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    _views(spark, sf_dir, ("events",))
+    spark = _views(spark, sf_dir, ("events",))
     df = spark.table("changelog")
     return (
         df.groupBy("url", F.session_window("warc_ts", "6 hours").alias("w"))
@@ -5486,7 +5500,7 @@ def cdc_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    _views(spark, sf_dir, ("events",))
+    spark = _views(spark, sf_dir, ("events",))
     df = spark.table("changelog")
     return (
         df.groupBy(F.window("warc_ts", "6 hours", "3 hours").alias("w"))
@@ -5541,7 +5555,7 @@ _PIVOT_LANGS = ("de", "en", "es", "fr", "pt")
 def cdc_pivot_daily_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    _views(spark, sf_dir, ("events",))
+    spark = _views(spark, sf_dir, ("events",))
     df = spark.table("changelog").withColumn(
         "day", F.date_format(F.date_trunc("day", F.col("warc_ts")), "yyyy-MM-dd")
     )
@@ -5742,7 +5756,7 @@ def cdc_cobucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
         record_metrics=False,
     )
-    _views(spark, sf_dir, ("events",))
+    spark = _views(spark, sf_dir, ("events",))
     profile_src = spark.sql(
         """
         SELECT url, min(lsn) AS lsn,
@@ -5811,7 +5825,7 @@ def cdc_dlq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_spark.pipeline import ensure_dlq, replay_log
 
-    _views(spark, sf_dir, ("events",))
+    spark = _views(spark, sf_dir, ("events",))
     poisoned = spark.sql(_DLQ_POISON_SPARK)
     dlq = ensure_dlq(spark, tempfile.mkdtemp(prefix="lake_dlq_"))
     replay_log(
@@ -6304,6 +6318,23 @@ from data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.extract_features(_mm.media_table(spark, sf_dir))
+
+
+@register(
+    "media_stdlib_decode",
+    _mm.stdlib_decode_oracle_sql("documents"),
+    doc="Multimodal REAL-codec decode with zero third-party deps "
+    "(closes the r3 'decode_real never runs here' gap): payloads are "
+    "true 24-bit BMPs (spec parser: headers, 4-byte padding, bottom-up "
+    "BGR rows) and PCM16 WAVs (stdlib wave), decoded in Arrow-batched "
+    "mapInPandas; the oracle recomputes dims/frames/checksums from the "
+    "generating formulas (operators/multimodal.py stdlib section). "
+    "Reference analog: per-item raster decode, convert_v1_s2.py:51-181",
+)
+def media_stdlib_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm.decode_stdlib(_mm.media_table_stdlib(spark, sf_dir)).drop(
+        "content_md5"
+    )
 
 
 def entry_df(spark: SparkSession) -> DataFrame:
@@ -7288,7 +7319,7 @@ def docs_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_spark.operators.pagerank import pagerank
 
-    _views(spark, sf_dir, ("documents",))
+    spark = _views(spark, sf_dir, ("documents",))
     nodes = spark.table("documents").select(F.col("doc_id").alias("node"))
     n = nodes.count()  # one driver scalar (graph size), bounded
     ks = spark.range(4).select(F.col("id").alias("k"))

@@ -101,3 +101,75 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# -- hermetic execution ------------------------------------------------------
+#
+# Temp views are SESSION-scoped, and their names are the engine's only
+# shared mutable namespace: two operations that each register a view named
+# ``pages`` for different physical tables can read each other's relation
+# under interleaving (threaded callers, or a harness that runs many engine
+# entries on one session). The reference isolates per-collection
+# namespaces for the same reason (run_ingest_register.py:38-48). The fix
+# is structural, not naming-convention: every statement that must resolve
+# fixed names runs on a CHILD session (``spark.newSession()`` — own temp
+# view catalog, shared SparkContext, shared cached data), so its view
+# bindings are invisible to — and cannot be shadowed by — any other
+# operation. Cost: one lightweight SessionState per invocation, no extra
+# JVM, no extra executors.
+
+# Runtime-set confs do not cross ``newSession()`` (it initializes from the
+# SparkContext conf, i.e. builder-time settings only) — carry the ones
+# that change query SEMANTICS or the plans we assert on.
+_CARRY_CONF = (
+    "spark.sql.session.timeZone",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.ansi.enabled",
+)
+
+
+def hermetic_session(spark: SparkSession) -> "SparkSession":
+    """A child session with an EMPTY, private temp-view namespace.
+
+    Shares the SparkContext (executors, cached RDD/DF data, shipped
+    py-files) but not the view catalog or runtime conf; the confs in
+    ``_CARRY_CONF`` are copied so the child plans and computes exactly
+    like its parent."""
+    child = spark.newSession()
+    for k in _CARRY_CONF:
+        try:
+            v = spark.conf.get(k)
+        except Exception:
+            continue
+        if v is not None:
+            child.conf.set(k, v)
+    return child
+
+
+def bridge_views(child: SparkSession, views: dict) -> None:
+    """Make parent-session DataFrames resolvable BY NAME on ``child``.
+
+    ``createOrReplaceTempView`` registers in the DataFrame's OWN session,
+    so a caller-supplied DataFrame cannot be placed in a child session's
+    catalog directly. Bridge: publish it under a collision-free unique
+    GLOBAL temp view (visible to every session of the context), re-read
+    it AS A DATAFRAME on the child (analysis inlines the global view's
+    plan — SQL ``CREATE VIEW`` would instead store text and re-resolve
+    on every reference), register that child DataFrame under the wanted
+    local name, then drop the global immediately. The global name's
+    lifetime is this function call, leaving zero shared-namespace
+    residue."""
+    import uuid as _uuid
+
+    for name, df in (views or {}).items():
+        g = f"bridge_{_uuid.uuid4().hex}"
+        df.createOrReplaceGlobalTempView(g)
+        try:
+            child.table(f"global_temp.{g}").createOrReplaceTempView(name)
+        finally:
+            df.sparkSession.catalog.dropGlobalTempView(g)

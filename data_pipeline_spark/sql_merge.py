@@ -146,7 +146,9 @@ def merge_sql(
 
     spark = table.spark
     if head.group("sub"):
-        source = spark.sql(head.group("sub"))
+        # Subquery resolution follows the _resolver contract: hermetic
+        # over ``sources`` when supplied, else the caller's own views.
+        source = _resolver(spark, sources).sql(head.group("sub"))
     else:
         sname = head.group("src")
         source = (sources or {}).get(sname)
@@ -343,11 +345,29 @@ _INSERT_HEAD = re.compile(
 )
 
 
+def _resolver(spark, sources):
+    """The session a statement body resolves names on.
+
+    With ``sources`` supplied: a HERMETIC child session holding exactly
+    those names (session.hermetic_session + bridge_views) — the statement
+    sees the caller's DataFrames and nothing else, and registers nothing
+    in any shared namespace (two concurrent DMLs whose sources share a
+    name like ``pages`` can no longer read each other's relation — the
+    round-3 ``cdc_catalog_sql`` hazard). Without ``sources``: the
+    caller's own session, whose temp views the statement may reference.
+    """
+    if not sources:
+        return spark
+    from data_pipeline_spark.session import bridge_views, hermetic_session
+
+    child = hermetic_session(spark)
+    bridge_views(child, sources)
+    return child
+
+
 def _insert_rows(table: LakeTable, m, sources) -> tuple:
     """Resolve an INSERT statement's row source and column list."""
-    spark = table.spark
-    for name, df in (sources or {}).items():
-        df.createOrReplaceTempView(name)
+    spark = _resolver(table.spark, sources)
     snap = table.current()
     fields = table.schema_fields(snap)
     all_cols = [n for n, _ in fields]
@@ -402,8 +422,10 @@ def insert_sql(
     owns the fence: an explicit order column is refused.
 
     Row sources: ``VALUES (...), (...)`` (Spark inline table) or a full
-    ``SELECT`` (provided ``sources`` DataFrames are registered as temp
-    views first, so the statement can name them)."""
+    ``SELECT`` — with ``sources`` supplied the SELECT resolves names
+    hermetically over exactly those DataFrames (child session, nothing
+    registered in the caller's namespace); without it, over the caller
+    session's own temp views."""
     from pyspark.sql import functions as F
 
     from data_pipeline_spark.lake.merge import MergeStats, merge_into

@@ -289,6 +289,7 @@ def run_stream(
     transform=None,
     matview_spec: dict | None = None,
     auto_evolve: bool = False,
+    order_lateness: int | None = None,
 ) -> StreamingQuery:
     """Start the CDC apply stream. ``available_now=True`` processes the
     current WAL backlog then stops (the test/replay mode); ``False`` keeps
@@ -352,10 +353,16 @@ def run_stream(
     (maintenance.compact_append: event multiset preserved verbatim, one
     base file per fragmented bucket) — bounding file counts under a live
     tail without the whole-row LWW fold that would lose patch columns or
-    increments; horizon-folding stays a maintenance decision since only
-    the feed owner can promise no event below the horizon. Append mode
-    still refuses ``watermark_days``: a late patch is a valid
-    contribution, not a drop candidate.
+    increments. ``order_lateness`` (append mode only) declares the
+    feed's disorder bound in order-column units: each epoch then ARMS a
+    monotonic ``stream.low_watermark`` table prop (max seen order −
+    lateness, committed atomically with the epoch), sub-watermark
+    stragglers are DLQ-quarantined instead of silently folded over, and
+    ``maintenance.compact_append(horizon="auto")`` may fold everything
+    at/below it — the horizon soundness contract is owned by the
+    stream's declaration, not re-stated by each maintenance caller.
+    Append mode still refuses ``watermark_days``: a late patch is a
+    valid contribution, not a drop candidate.
 
     ``transform`` (DataFrame -> DataFrame, WAL-schema-preserving) runs
     INSIDE each epoch, after the file re-read and before the quality
@@ -443,6 +450,11 @@ def run_stream(
             "watermark would drop patches/increments that are still "
             "valid contributions — filter the feed upstream instead"
         )
+    if order_lateness is not None and merge_mode != "append":
+        raise ValueError(
+            "order_lateness arms the append-mode fold watermark; the "
+            "lww path's late handling is watermark_days"
+        )
     if mode_props is not None and merge_mode != "append":
         raise ValueError(
             "mode_props declares an APPEND table's merge engine; the "
@@ -523,6 +535,7 @@ def run_stream(
                 commit_key=EPOCH_KEY.format(n=key_n),
                 record_metrics=record_metrics,
                 dlq=dlq,
+                order_lateness=order_lateness,
             )
         else:
             apply_batch(
