@@ -119,6 +119,95 @@ def _bloom_positions(key: str, m: int) -> list[int]:
     ]
 
 
+def _footer_stats_md(md) -> dict[str, list]:
+    """Min/max bounds from an already-read parquet FileMetaData (the
+    body of :meth:`LakeTable._footer_stats`, hoisted to module level so
+    manifest-entry computation can run EXECUTOR-side for wide commits —
+    same reason Iceberg computes file stats in the writer tasks)."""
+    schema = md.schema.to_arrow_schema()
+    out: dict[str, list] = {}
+    for i, field in enumerate(schema):
+        t = field.type
+        is_ts = str(t).startswith("timestamp")
+        is_str = t == "string" or t == "large_string"
+        if not (t == "int64" or is_ts or is_str) or md.num_rows == 0:
+            continue
+        mins, maxs = [], []
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if is_ts:
+                mn, mx = _epoch_us(mn), _epoch_us(mx)
+            elif is_str:
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        ok = False
+                        break
+                # Truncated max stays a sound UPPER bound only if we
+                # bump the last kept char past any truncated suffix.
+                if len(mn) > 64:
+                    mn = mn[:64]
+                if len(mx) > 64:
+                    mx = mx[:63] + chr(ord(mx[63]) + 1)
+            mins.append(mn)
+            maxs.append(mx)
+        if ok and mins:
+            out[field.name] = [min(mins), max(maxs)]
+    return out
+
+
+def _compute_entry(
+    root: str,
+    rel_path: str,
+    schema_version: int,
+    kind: str,
+    bloom: "tuple[str, int] | None" = None,
+) -> dict[str, Any]:
+    """One manifest file entry, as a PURE function of (root, path) —
+    callable on the driver's thread pool for small commits and inside a
+    Spark job for wide fanout commits (see :meth:`LakeTable._entries`).
+    One footer read serves stats and row counts; live rows cost one
+    bit-packed boolean-column read; the optional bloom costs one
+    key-column read."""
+    import pyarrow.parquet as pq
+
+    abs_p = os.path.join(root, rel_path)
+    md = pq.read_metadata(abs_p)
+    e: dict[str, Any] = {
+        "path": rel_path,
+        "schema_version": schema_version,
+        "kind": kind,
+        "bytes": os.path.getsize(abs_p),
+        "stats": _footer_stats_md(md),
+        "rows": md.num_rows,
+    }
+    names = set(md.schema.to_arrow_schema().names)
+    if TOMBSTONE_COL in names and md.num_rows:
+        import pyarrow.compute as pc
+
+        col = pq.read_table(abs_p, columns=[TOMBSTONE_COL]).column(0)
+        e["live_rows"] = md.num_rows - (pc.sum(col).as_py() or 0)
+    else:
+        e["live_rows"] = md.num_rows
+    if bloom is not None:
+        import base64
+
+        key_col, m = bloom
+        bits = bytearray(m // 8)
+        tbl = pq.read_table(abs_p, columns=[key_col])
+        for k in tbl.column(0).to_pylist():
+            for p in _bloom_positions(k, m):
+                bits[p >> 3] |= 1 << (p & 7)
+        e["bloom"] = {"m": m, "b": base64.b64encode(bytes(bits)).decode()}
+    return e
+
+
 def _plan_filter_entries(
     entries: list[dict],
     order_col: str,
@@ -2357,50 +2446,13 @@ class LakeTable:
         stored as epoch micros and strings truncated to 64 chars (Iceberg
         truncate-transform on bounds) so manifests stay plain JSON.
         Footer-only: no data IO; at cluster scale Iceberg computes these
-        executor-side in the writer, here the commit's driver-side file
-        enumeration already touches each footer-sized object once, so
-        cost stays O(files-in-commit). Columns with absent/unusable
+        executor-side in the writer — and for wide fanout commits this
+        engine does too (see ``_entries``). Columns with absent/unusable
         footer stats are simply omitted — readers treat a missing stat
         as "cannot prune"."""
         import pyarrow.parquet as pq
 
-        md = pq.read_metadata(abs_path)
-        schema = md.schema.to_arrow_schema()
-        out: dict[str, list] = {}
-        for i, field in enumerate(schema):
-            t = field.type
-            is_ts = str(t).startswith("timestamp")
-            is_str = t == "string" or t == "large_string"
-            if not (t == "int64" or is_ts or is_str) or md.num_rows == 0:
-                continue
-            mins, maxs = [], []
-            ok = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(i).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                mn, mx = st.min, st.max
-                if is_ts:
-                    mn, mx = _epoch_us(mn), _epoch_us(mx)
-                elif is_str:
-                    if isinstance(mn, bytes):
-                        try:
-                            mn, mx = mn.decode(), mx.decode()
-                        except UnicodeDecodeError:
-                            ok = False
-                            break
-                    # Truncated max stays a sound UPPER bound only if we
-                    # bump the last kept char past any truncated suffix.
-                    if len(mn) > 64:
-                        mn = mn[:64]
-                    if len(mx) > 64:
-                        mx = mx[:63] + chr(ord(mx[63]) + 1)
-                mins.append(mn)
-                maxs.append(mx)
-            if ok and mins:
-                out[field.name] = [min(mins), max(maxs)]
-        return out
+        return _footer_stats_md(pq.read_metadata(abs_path))
 
     def _bloom_conf(self, snap: Snapshot) -> tuple[str, int] | None:
         """(key_col, m_bits) when the table opted into manifest key-blooms
@@ -2429,63 +2481,55 @@ class LakeTable:
         payload (html dominates) and the read rides the same GIL-releasing
         thread pool as the footer stats; at cluster scale the same bitmap
         would be computed executor-side in the writer (the manifest format
-        is the contract, not the compute location)."""
-        abs_p = os.path.join(self.root, rel_path)
-        e = {
-            "path": rel_path,
-            "schema_version": schema_version,
-            "kind": kind,
-            "bytes": os.path.getsize(abs_p),
-            "stats": self._footer_stats(abs_p),
-        }
-        # Row counts for metadata-only aggregation (Iceberg
-        # record_count / count-pushdown shape): total rows come free from
-        # the footer; live rows (tombstones excluded) cost one bit-packed
-        # boolean-column read — a sliver next to the payload, on the same
-        # GIL-releasing thread pool. count_rows() answers COUNT(*) from
-        # these for all-base buckets and scans only delta buckets.
-        import pyarrow.parquet as pq
+        is the contract, not the compute location — and for wide commits
+        this engine's ``_entries`` does exactly that)."""
+        return _compute_entry(
+            self.root, rel_path, schema_version, kind, bloom
+        )
 
-        md = pq.read_metadata(abs_p)
-        e["rows"] = md.num_rows
-        names = set(md.schema.to_arrow_schema().names)
-        if TOMBSTONE_COL in names and md.num_rows:
-            import pyarrow.compute as pc
-
-            col = pq.read_table(abs_p, columns=[TOMBSTONE_COL]).column(0)
-            e["live_rows"] = md.num_rows - (pc.sum(col).as_py() or 0)
-        else:
-            e["live_rows"] = md.num_rows
-        if bloom is not None:
-            import base64
-
-            import pyarrow.parquet as pq
-
-            key_col, m = bloom
-            bits = bytearray(m // 8)
-            tbl = pq.read_table(abs_p, columns=[key_col])
-            for k in tbl.column(0).to_pylist():
-                for p in _bloom_positions(k, m):
-                    bits[p >> 3] |= 1 << (p & 7)
-            e["bloom"] = {"m": m, "b": base64.b64encode(bytes(bits)).decode()}
-        return e
+    # Above this many files, manifest-entry computation moves into a
+    # Spark job (executor-side, Iceberg writer-stats shape) instead of a
+    # driver thread pool. Rationale measured at the 8→32-core scaling
+    # bench: a 32-task fanout replay mints ~2k delta files/commit whose
+    # footer + tombstone-column reads put ~24 s of driver-serial wall in
+    # t_meta_s at 32 cores (vs ~9 s at 8) — a textbook Amdahl tail that
+    # a 16-thread local pool cannot amortize but the executors can.
+    _DISTRIBUTED_ENTRIES_AT = 512
 
     def _entries(
         self, paths: list[str], schema_version: int, kind: str
     ) -> dict[str, dict]:
-        """Manifest entries for many files at once, footers read on a
-        thread pool: the footer read is ~0.3 ms of GIL-releasing file IO,
-        but a wide fanout delta commit can emit thousands of files and
-        the commit path is driver-serial — keeping it off the measured
-        t_meta_s tail preserves the N→4N scaling efficiency."""
+        """Manifest entries for many files at once. Three tiers by
+        commit width: serial (≤4 files), driver thread pool (the
+        footer/column reads are GIL-releasing file IO), and a Spark job
+        for wide fanout commits (> ``_DISTRIBUTED_ENTRIES_AT``) so the
+        commit's metadata tail scales WITH the cluster instead of
+        against it."""
         bloom = self._bloom_conf(self.current())
         if len(paths) <= 4:
             return {
                 p: self._entry(p, schema_version, kind, bloom) for p in paths
             }
+        if len(paths) > self._DISTRIBUTED_ENTRIES_AT:
+            from data_pipeline_spark.session import ship_package
+
+            ship_package(self.spark)
+            sc = self.spark.sparkContext
+            root = self.root
+            slices = max(1, min(sc.defaultParallelism, len(paths) // 16))
+            es = (
+                sc.parallelize(list(paths), slices)
+                .map(
+                    lambda p: _compute_entry(
+                        root, p, schema_version, kind, bloom
+                    )
+                )
+                .collect()
+            )
+            return {e["path"]: e for e in es}
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(16) as ex:
+        with ThreadPoolExecutor(32) as ex:
             es = list(
                 ex.map(
                     lambda p: self._entry(p, schema_version, kind, bloom),

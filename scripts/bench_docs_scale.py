@@ -68,9 +68,18 @@ def amplified_docs(spark, sf_dir: str, amplify: int):
         f"CASE WHEN r % {pw} = 1 THEN r - 1 "
         f"WHEN r % {pw} = 2 THEN r - 2 ELSE r END"
     )
+    # POSITION-salted remap (w, i, r) -> hex8: the synthetic corpus has a
+    # ~40-word vocabulary, so a position-free remap keeps ~160 inside-word
+    # shingles shared corpus-wide per mapping index — minhash signatures
+    # collapse onto them and band buckets grow to ~10^3 (measured:
+    # max_bucket 1233, 7.6M candidate pairs, 469 s verify join at 10^5
+    # docs). Real web corpora have long-tail vocabularies; salting by
+    # position restores that diversity. Planted pairs are unaffected
+    # (identical mapping index = identical positions).
     text = (
         "concat(array_join(transform(split(text, ' '), "
-        f"w -> substr(hex(xxhash64(concat(w, ':', CAST({r_eff} AS STRING)))), 1, 8)"
+        f"(w, i) -> substr(hex(xxhash64(concat(w, ':', CAST(i AS STRING), "
+        f"':', CAST({r_eff} AS STRING)))), 1, 8)"
         f"), ' '), CASE WHEN r % {pw} = 2 THEN ' zznear' ELSE '' END)"
     )
     return base.select(
@@ -123,7 +132,24 @@ def main() -> int:
     results = []
     for amplify in [int(a) for a in args.amplify.split(",")]:
         child = hermetic_session(spark)
+        # 10^6-doc corpora need finer shuffle grain than the 2×cores
+        # default: the shingle/band exchanges carry ~3×10^8 rows, and 32
+        # concurrent hash-agg/join tasks over 64 partitions each hold
+        # ~10 M rows of state — at an 8g local heap that OOMs (measured);
+        # 8×cores partitions bound per-task state, AQE coalesces the
+        # small side back.
+        par = spark.sparkContext.defaultParallelism
+        child.conf.set("spark.sql.shuffle.partitions", str(8 * par))
         docs = amplified_docs(child, args.sf_dir, amplify)
+
+        def _reclaim():
+            # Shuffle files live until the ContextCleaner GCs their RDDs;
+            # three ~25 GB minhash-family passes back-to-back can exhaust
+            # local disk before weak refs clear (measured: "No space left
+            # on device" spill failures at the 10^6-doc level). A JVM GC
+            # after each op lets the cleaner drop dereferenced shuffles.
+            spark.sparkContext._jvm.System.gc()
+
         docs.persist()
         n_docs = docs.count()
         docs.drop("__r").createOrReplaceTempView("documents")
@@ -153,6 +179,7 @@ def main() -> int:
                 **rec,
             }
             pairs.unpersist()
+            _reclaim()
             results.append(row)
             print(json.dumps(row), flush=True)
 
@@ -161,6 +188,7 @@ def main() -> int:
 
             t0 = time.time()
             n = child.sql(SUBSTR_DEDUP_SPARK_SQL).count()
+            _reclaim()
             row = {
                 "op": "substring_dedup",
                 "n_docs": n_docs,
@@ -175,6 +203,7 @@ def main() -> int:
             n = child.sql(
                 dedup.winnowing_sql(dedup.SPARK, "documents")
             ).count()
+            _reclaim()
             row = {
                 "op": "winnowing",
                 "n_docs": n_docs,
@@ -199,6 +228,7 @@ def main() -> int:
             )
             t0 = time.time()
             n = child.sql(q).count()
+            _reclaim()
             row = {
                 "op": "bm25_topk",
                 "n_docs": n_docs,

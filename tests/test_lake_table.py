@@ -252,3 +252,38 @@ def test_write_compression_codec_property(spark):
     md = _pq.read_metadata(f)
     assert md.row_group(0).column(0).compression.lower() == "zstd"
     assert t.read().count() == 1  # reads back fine
+
+
+def test_distributed_entries_match_threadpool(spark, tmp_path):
+    """Wide fanout commits compute manifest entries in a Spark job
+    (executor-side, Iceberg writer-stats shape); the result must be
+    byte-identical to the driver thread-pool path."""
+    from data_pipeline_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "wide"),
+        [("url", "string"), ("lsn", "bigint"), ("v", "string")],
+        "url", 8,
+    )
+    df = spark.createDataFrame(
+        [(f"u{i}", i, f"v{i}") for i in range(400)],
+        "url string, lsn bigint, v string",
+    ).withColumn("op", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("insert"))
+    from data_pipeline_spark.lake.merge import merge_into
+
+    merge_into(t, df, "seed")
+    snap = t.current()
+    paths = [
+        e["path"]
+        for b in snap.manifests
+        for e in t.bucket_entries(snap, b)
+    ]
+    assert len(paths) >= 8
+    local = t._entries(paths, snap.schema_version, "delta")
+    orig = LakeTable._DISTRIBUTED_ENTRIES_AT
+    try:
+        LakeTable._DISTRIBUTED_ENTRIES_AT = 4  # force the Spark-job tier
+        dist = t._entries(paths, snap.schema_version, "delta")
+    finally:
+        LakeTable._DISTRIBUTED_ENTRIES_AT = orig
+    assert dist == local
