@@ -687,6 +687,63 @@ def cdc_fold_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r4_auto_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of ``cdc_auto_horizon_fold`` (registered below via the
+    shared patch oracle)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.maintenance import compact_append
+    from data_pipeline_spark.pipeline import apply_append_batch
+
+    log = cl.changelog(spark, sf_dir)
+    is_upd = F.col("op") == "update"
+    patch = log.select(
+        "url",
+        "lsn",
+        F.col("warc_ts"),
+        "op",
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 0)),
+            F.col("html"),
+        ).alias("html"),
+        F.when(
+            (F.col("op") == "insert") | (is_upd & (F.col("lsn") % 3 != 1)),
+            F.col("lang"),
+        ).alias("lang"),
+    )
+    horizon = int(
+        patch.agg(F.expr("percentile_approx(lsn, 0.5)")).collect()[0][0]
+    )
+    root = tempfile.mkdtemp(prefix="lake_autoq_")
+    table = LakeTable.create(
+        spark,
+        root,
+        [("url", "string"), ("lsn", "bigint"), ("warc_ts", "timestamp"),
+         ("op", "string"), ("html", "binary"), ("lang", "string")],
+        "url",
+        16,
+        props={"merge.mode": "patch", "merge.patch.cols": ["html", "lang"]},
+    )
+    # Two lsn-ordered epochs with a declared disorder bound of 0: epoch 1
+    # arms stream.low_watermark at its max lsn (= the split point), so
+    # the auto fold's horizon is stream-owned, not caller-supplied.
+    apply_append_batch(
+        table, patch.filter(F.col("lsn") <= horizon), "e1",
+        record_metrics=False, order_lateness=0,
+    )
+    apply_append_batch(
+        table, patch.filter(F.col("lsn") > horizon), "e2",
+        record_metrics=False, order_lateness=0,
+    )
+    assert int(table.current().props["stream.low_watermark"]) >= horizon
+    compact_append(table, "fold-auto", horizon="auto", min_files=1)
+    # plain read() routes through the table's declared patch collapse
+    return table.read().select(
+        "url", "lsn", F.octet_length("html").alias("html_len"), "lang"
+    )
+
+
 def _patch_final_duck() -> str:
     """DuckDB oracle for the partial-update final state over the derived
     patch feed — shared by the batch, fold-compaction, and streaming
@@ -712,6 +769,22 @@ def _patch_final_duck() -> str:
               AS html_len,
           arg_max(lang, lsn) FILTER (WHERE lang IS NOT NULL) AS lang
         FROM live GROUP BY url"""
+
+
+REGISTRY["cdc_auto_horizon_fold"] = Q(
+    spark=_r4_auto_horizon,
+    oracle=_patch_final_duck(),
+    doc="Watermark-derived fold horizon end-to-end (round 4): two "
+    "lsn-ordered epochs through apply_append_batch(order_lateness=0) ARM "
+    "a monotonic stream.low_watermark on the epoch commits; "
+    "compact_append(horizon='auto') folds at the stream-armed watermark "
+    "with the kernel derived from the table's declared patch engine; the "
+    "collapsed read must equal the direct collapse of the whole feed — "
+    "the fold-soundness contract owned by the stream's declared disorder "
+    "bound, not restated by the maintenance caller (maintenance.py, "
+    "pipeline.apply_append_batch; Paimon merge-engine-at-compaction "
+    "analog)",
+)
 
 
 @register(
