@@ -62,7 +62,9 @@ def ensure_dlq(spark: SparkSession, root: str, n_buckets: int = 8) -> LakeTable:
 
 
 def contract_reason(
-    batch: DataFrame, allow_null_payload: bool = False
+    batch: DataFrame,
+    allow_null_payload: bool = False,
+    order_col: str = "lsn",
 ) -> F.Column:
     """First violated feed-contract rule per event, NULL when the event is
     clean. The rules protect engine invariants, not taste: a NULL key
@@ -76,10 +78,19 @@ def contract_reason(
     ``allow_null_payload`` drops the payload rule for APPEND merge-mode
     feeds: a patch event legitimately carries NULL in every column it
     does not change, and an aggregate event in every column it does not
-    increment — only the structural rules (key, order, op) apply there."""
+    increment — only the structural rules (key, order, op) apply there.
+
+    ``order_col`` names the ordering column the null-order rule guards —
+    tables created with a custom ``sequence.field`` order by that column,
+    not the literal ``lsn``, and a NULL there is just as fatal to LWW
+    and to watermark enforcement (ADVICE r4: a null-order row matched
+    neither the late filter nor the keep filter and vanished)."""
+    null_order_reason = (
+        "null_lsn" if order_col == "lsn" else f"null_{order_col}"
+    )
     gate = (
         F.when(F.col("url").isNull(), F.lit("null_key"))
-        .when(F.col("lsn").isNull(), F.lit("null_lsn"))
+        .when(F.col(order_col).isNull(), F.lit(null_order_reason))
         .when(
             ~F.col("op").isin("insert", "update", "delete")
             | F.col("op").isNull(),
@@ -94,13 +105,14 @@ def contract_reason(
     )
 
 
-def _dlq_id(df: DataFrame) -> F.Column:
+def _dlq_id(df: DataFrame, order_col: str = "lsn") -> F.Column:
     """Content-hash DLQ key over the event's identifying fields — shared
     by quarantine (insert side) and redrive (delete side) so a resolved
     event's tombstone always finds its quarantine row. Schema-aware on
     the payload component: feeds without an ``html`` column (patch /
     aggregate append tables) hash the same null sentinel on both
-    sides."""
+    sides. ``order_col`` is the feed's ordering column (a custom
+    ``sequence.field`` table has no ``lsn`` at all)."""
     payload = (
         F.coalesce(F.sha2(F.col("html"), 256), F.lit("∅"))
         if "html" in df.columns
@@ -110,7 +122,7 @@ def _dlq_id(df: DataFrame) -> F.Column:
         F.concat_ws(
             "|",
             F.coalesce(F.col("url"), F.lit("∅")),
-            F.coalesce(F.col("lsn").cast("string"), F.lit("∅")),
+            F.coalesce(F.col(order_col).cast("string"), F.lit("∅")),
             F.coalesce(F.col("op"), F.lit("∅")),
             F.coalesce(F.col("warc_ts").cast("string"), F.lit("∅")),
             payload,
@@ -119,16 +131,20 @@ def _dlq_id(df: DataFrame) -> F.Column:
 
 
 def quarantine(
-    dlq: LakeTable, bad: DataFrame, commit_key: str
+    dlq: LakeTable, bad: DataFrame, commit_key: str,
+    order_col: str = "lsn",
 ) -> None:
     """Append contract-violating events (with a ``__reason`` column) to
     the dead-letter table. The key is a content hash over the event's
     identifying fields, so the SAME bad event — redelivered after a
     crash, or replayed in a later epoch — collapses to one DLQ row
-    (idempotent like every other commit in the engine)."""
+    (idempotent like every other commit in the engine). A custom-order
+    feed's ``order_col`` value lands in the DLQ's ``lsn`` forensic
+    slot."""
     rows = bad.select(
-        _dlq_id(bad).alias("dlq_id"),
-        F.coalesce(F.col("lsn"), F.lit(-1).cast("bigint")).alias("lsn"),
+        _dlq_id(bad, order_col).alias("dlq_id"),
+        F.coalesce(F.col(order_col).cast("bigint"),
+                   F.lit(-1).cast("bigint")).alias("lsn"),
         F.col("url"),
         F.col("op").alias("event_op"),
         F.col("__reason").alias("reason"),
@@ -460,10 +476,17 @@ def apply_append_batch(
     DLQ is wired. ``compact_append(horizon="auto")`` consumes the prop,
     so the "no future event ≤ horizon" soundness promise is owned by
     the stream's declared disorder bound, not re-stated by callers."""
+    snap = table.current()
+    cols = [n for n, _ in table.schema_fields(snap)]
+    order = snap.order_col
     n_quarantined = 0
     if dlq is not None:
+        # order_col=snap.order_col (not the literal lsn): a table created
+        # with a custom sequence.field must quarantine null-ORDER rows —
+        # they cannot take part in LWW or watermark enforcement.
         flagged = batch.withColumn(
-            "__reason", contract_reason(batch, allow_null_payload=True)
+            "__reason",
+            contract_reason(batch, allow_null_payload=True, order_col=order),
         )
         bad = flagged.filter(F.col("__reason").isNotNull())
         if record_metrics:
@@ -472,22 +495,27 @@ def apply_append_batch(
         else:
             has_bad = bool(bad.take(1))
         if has_bad:
-            quarantine(dlq, bad, commit_key)
+            quarantine(dlq, bad, commit_key, order_col=order)
         batch = flagged.filter(F.col("__reason").isNull()).drop("__reason")
-    snap = table.current()
-    cols = [n for n, _ in table.schema_fields(snap)]
-    order = snap.order_col
     low = snap.props.get("stream.low_watermark")
     n_late = 0
     if low is not None:
-        late = batch.filter(F.col(order) <= F.lit(int(low)))
+        # NULL-order rows ride the late bucket: they match neither
+        # `order <= low` nor `order > low`, so without this they would
+        # silently vanish between quarantine and commit (ADVICE r4).
+        # With a DLQ the contract gate above already caught them; this
+        # keeps the no-DLQ path loss-free too (refusal, not loss).
+        late = batch.filter(
+            F.col(order).isNull() | (F.col(order) <= F.lit(int(low)))
+        )
         if bool(late.take(1)):
             if dlq is None:
                 raise ValueError(
                     f"batch carries events at/below the armed "
-                    f"stream.low_watermark ({low}) — fold compaction may "
-                    "already own that region; wire a DLQ to quarantine "
-                    "them, or raise order_lateness"
+                    f"stream.low_watermark ({low}) or with a NULL "
+                    f"{order} — fold compaction may already own that "
+                    "region; wire a DLQ to quarantine them, or raise "
+                    "order_lateness"
                 )
             if record_metrics:
                 n_late = late.count()
@@ -497,6 +525,7 @@ def apply_append_batch(
                     "__reason", F.lit("below_low_watermark")
                 ),
                 f"{commit_key}:late",
+                order_col=order,
             )
             batch = batch.filter(F.col(order) > F.lit(int(low)))
     props_update = None

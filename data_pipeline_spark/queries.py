@@ -1755,9 +1755,18 @@ def cdc_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "created and populated entirely through catalog.sql (DDL + INSERT "
     "INTO VALUES), and the answer is one catalog SELECT joining both "
     "tables (auto-registered snapshot-pinned views; the dim side "
-    "broadcasts under AQE). Oracle rebuilds the dim as inline VALUES",
+    "broadcasts under AQE). Oracle rebuilds the dim as inline VALUES. "
+    "r5 forensics (VERDICT r4 #1): the entry materializes the catalog "
+    "answer ONCE, independently recomputes the two family rows from "
+    "the changelog on the CALLER session (no catalog, no temp views), "
+    "raises with both value sets + the hermetic child's _CARRY_CONF "
+    "provenance on any divergence, and returns the pinned verified "
+    "rows — so a driver-side mismatch is attributable from the err "
+    "field, and a silent one is impossible",
 )
 def cdc_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from data_pipeline_spark.lake.catalog import Catalog
     from data_pipeline_spark.pipeline import apply_batch
 
@@ -1782,7 +1791,7 @@ def cdc_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "('es', 'romance'), ('fr', 'romance'), ('pt', 'romance')",
         commit_key="langs-1",
     )
-    return cat.sql(
+    result = cat.sql(
         """
         SELECT family,
                count(*) AS pages,
@@ -1791,6 +1800,47 @@ def cdc_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY family ORDER BY family
         """
     )
+    # Pin the values the driver will hash by collecting ONCE, then verify
+    # them in-entry against a catalog-free recompute from the changelog
+    # (same lang→family map inlined as a CASE — no dim table, no temp
+    # views, no fixed names anywhere). Any divergence raises with both
+    # value sets and the hermetic child's carried confs, so the next red
+    # driver row (if any) is attributable from CORRECTNESS's err field.
+    got = result.collect()
+    fam = (
+        F.when(F.col("lang").isin("en", "de"), F.lit("germanic"))
+        .when(F.col("lang").isin("es", "fr", "pt"), F.lit("romance"))
+    )
+    latest = (
+        log.groupBy("url")
+        .agg(F.max_by(F.struct("lsn", "op", "html", "lang"), "lsn").alias("w"))
+        .select("url", "w.*")
+    )
+    check = (
+        latest.filter(F.col("op") != "delete")
+        .withColumn("family", fam)
+        .filter(F.col("family").isNotNull())
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length(extract_text_sql("html"))).alias("text_chars"),
+        )
+        .orderBy("family")
+    )
+    want = check.collect()
+    if [tuple(r) for r in got] != [tuple(r) for r in want]:
+        from data_pipeline_spark.session import _CARRY_CONF
+
+        confs = {
+            k: spark.conf.get(k, None) for k in _CARRY_CONF
+        }
+        raise AssertionError(
+            "cdc_catalog_sql divergence: catalog SELECT returned "
+            f"{[tuple(r) for r in got]} but the catalog-free changelog "
+            f"recompute returned {[tuple(r) for r in want]}; caller-session "
+            f"carried confs: {confs}"
+        )
+    return spark.createDataFrame(got, result.schema)
 
 
 @register(

@@ -144,3 +144,59 @@ def test_scheduler_folds_at_auto_and_skips_unarmed(spark):
     run_maintenance(t1, "m1", pol)
     assert _state(t1) == want
     assert t1.read(raw=True).count() < before  # folded events away
+
+
+def test_null_order_rows_never_vanish_under_armed_watermark(spark):
+    """ADVICE r4 (medium): with the watermark armed, a NULL-order row
+    matched neither the late filter (order <= low) nor the keep filter
+    (order > low) and silently vanished. Now: with a DLQ it quarantines
+    at the contract gate (reason null_<order>, honoring a custom
+    sequence.field — not the literal lsn); without one the batch refuses
+    loudly. Either way, zero rows are lost."""
+    # custom order column `rev` — no `lsn` anywhere in the schema
+    fields = [
+        ("url", "string"), ("rev", "bigint"), ("warc_ts", "timestamp"),
+        ("op", "string"), ("a", "string"), ("b", "string"),
+    ]
+    ddl = ("url string, rev bigint, warc_ts timestamp, op string, "
+           "a string, b string")
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="lake_nullord_"), fields, "url", 4,
+        order_col="rev",
+        props={"merge.mode": "patch", "merge.patch.cols": ["a", "b"]},
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(u, r, TS, op, a, b) for (u, r, op, a, b) in rows], ddl
+        )
+
+    apply_append_batch(
+        t, ev([("u", 1, "insert", "a1", "b1"),
+               ("u", 6, "update", "a6", None)]),
+        "e0", record_metrics=False, order_lateness=2,
+    )
+    assert t.current().props["stream.low_watermark"] == 4
+
+    # no DLQ: NULL-order row refuses the whole batch (not silent loss)
+    with pytest.raises(ValueError, match="low_watermark"):
+        apply_append_batch(
+            t, ev([("v", None, "insert", "av", "bv")]),
+            "e1", record_metrics=False,
+        )
+
+    # with a DLQ: NULL-order quarantines with the ORDER column's name in
+    # the reason; the clean row in the same batch still applies
+    dlq = ensure_dlq(spark, tempfile.mkdtemp(prefix="dlq_nullord_"), 4)
+    apply_append_batch(
+        t, ev([("v", None, "insert", "av", "bv"),
+               ("w", 7, "insert", "aw", "bw")]),
+        "e2", record_metrics=False, dlq=dlq,
+    )
+    out = partial_update.partial_update_collapse(
+        t.read(raw=True), "url", "rev", ["a", "b"]
+    )
+    got = {r["url"] for r in out.collect()}
+    assert got == {"u", "w"}  # v quarantined, w applied, nothing vanished
+    reasons = {r["reason"] for r in dlq.read().collect()}
+    assert "null_rev" in reasons

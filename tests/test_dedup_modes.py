@@ -16,7 +16,9 @@ SF = "/root/testdata/sf0.01"
 
 
 def _pairs(spark, fast):
-    _views(spark, SF, ("documents",))
+    # _views registers on a hermetic child session and RETURNS it (r4
+    # contract change) — run the SQL there, not on the parent.
+    spark = _views(spark, SF, ("documents",))
     df = spark.sql(
         _dd.minhash_near_dup_sql(
             _dd.SPARK, n_hashes=32, n_bands=8, fast=fast, min_ppm=500_000
