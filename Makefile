@@ -1,9 +1,14 @@
 # Reference CI parity (reference .github/workflows/ci.yml: lint+type+test
 # gates). ruff/mypy run when installed; the stdlib AST lint and the test
-# suite always run.
-.PHONY: check lint type test
+# suite always run. `sweep` is the registry-wide oracle sweep with the
+# vacuousness gate (slow — every entry at sf0.01); `check` stays the
+# fast inner loop.
+.PHONY: check lint type test sweep
 
 check: lint type test
+
+sweep:
+	python scripts/check_correctness.py --assert-nonvacuous
 
 lint:
 	@command -v ruff >/dev/null 2>&1 && ruff check data_pipeline_spark || \

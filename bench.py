@@ -85,11 +85,51 @@ def run_bench() -> None:
     elif extra:
         names += [n for n in extra.split(",") if n in registry and n not in names]
 
+    # Same-hour noise-floor controls IN the bench JSON (VERDICT r4 #6):
+    # the driver's headline trend drifted monotonically across rounds
+    # while same-day solo readings attributed it to co-tenancy — these
+    # two controls let every BENCH_r{N}.json carry its own attribution.
+    # cpu_control: pure-codegen sha2 over a range (no data, no Python) —
+    # its wall moves ONLY with machine contention. data_control: bare
+    # scan+agg of the events parquet — the machine's ceiling for this
+    # data shape. Both warmed best-of-2, fresh plan per trial.
+    from pyspark.sql import functions as F
+
+    def _cpu_ctl(trial: int):
+        return (
+            spark.range(trial, 20_000_000 + trial, 1, 64)
+            .selectExpr("sha2(cast(id as string), 256) h")
+            .selectExpr("max(h)")
+        )
+
+    def _data_ctl(trial: int):
+        return (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .filter(F.col("lsn") % 1000 != (999 - trial))
+            .agg(F.count("html"), F.sum(F.octet_length("html")))
+        )
+
+    def _best2(fn) -> float:
+        fn(99).collect()  # warm
+        walls = []
+        for t in range(2):
+            t0 = time.monotonic()
+            fn(t).collect()
+            walls.append(time.monotonic() - t0)
+        return round(min(walls), 3)
+
+    cpu_control_s = _best2(_cpu_ctl)
+    data_control_s = _best2(_data_ctl)
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()
         _force(registry[name].spark(spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # Post-run control re-read: a large pre/post delta means contention
+    # ARRIVED mid-bench — flags which half of the run to distrust.
+    cpu_control_post_s = _best2(_cpu_ctl)
 
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     replay_s = timings.get("cdc_replay_final_state")
@@ -104,6 +144,9 @@ def run_bench() -> None:
             round(n_events / replay_s, 1) if replay_s else None
         ),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+        "cpu_control_s": cpu_control_s,
+        "cpu_control_post_s": cpu_control_post_s,
+        "data_control_s": data_control_s,
     }
     print(json.dumps(out))
 

@@ -173,7 +173,41 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # One hermetic child session per Catalog, REUSED across SELECT /
+        # EXPLAIN statements (ADVICE r4: a fresh newSession() per SELECT
+        # accumulates JVM SessionState a hot query loop never releases).
+        # Guarded by a lock: concurrent sql() calls on the SAME Catalog
+        # object fall back to a throwaway child instead of racing the
+        # shared namespace.
+        self._hermetic = None
+        import threading
+
+        self._hermetic_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
+
+    def _hermetic_child(self):
+        """The cached hermetic child, with its temp-view namespace wiped
+        and the parent's carried confs refreshed. Safe to reuse between
+        statements because Spark ANALYZES a statement eagerly at sql()
+        time — temp views are inlined into the returned DataFrame's
+        resolved plan, so dropping them before the next statement cannot
+        break a previously returned (even uncollected) result."""
+        from data_pipeline_spark.session import _CARRY_CONF, hermetic_session
+
+        if self._hermetic is None:
+            self._hermetic = hermetic_session(self.spark)
+        else:
+            for t in self._hermetic.catalog.listTables():
+                if t.isTemporary and not t.namespace:
+                    self._hermetic.catalog.dropTempView(t.name)
+            for k in _CARRY_CONF:
+                try:
+                    v = self.spark.conf.get(k)
+                except Exception:
+                    continue
+                if v is not None:
+                    self._hermetic.conf.set(k, v)
+        return self._hermetic
 
     # -- name resolution -----------------------------------------------------
 
@@ -458,7 +492,15 @@ class Catalog:
         (MERGE/INSERT/UPDATE/DELETE via :func:`sql_merge.dml_sql`,
         ``commit_key`` required), or SELECT/WITH (referenced catalog
         tables auto-register as snapshot-pinned views, then
-        ``spark.sql``; returns the DataFrame)."""
+        ``spark.sql``; returns the DataFrame).
+
+        .. note:: breaking change (round 4): SELECT/WITH statements run
+           HERMETICALLY — they resolve catalog tables plus whatever is
+           passed via ``sources``, and NOTHING else. A temp view
+           registered on the caller's own session is no longer visible;
+           pass it as ``sources={"name": df}`` instead. This is what
+           makes two interleaved catalog SELECTs (or a SELECT racing a
+           DML) unable to read each other's relations."""
         head = re.match(r"\s*(\w+)", statement)
         verb = (head.group(1) if head else "").upper()
         if verb in ("SELECT", "WITH"):
@@ -482,6 +524,20 @@ class Catalog:
                 hermetic_session,
             )
 
+            # Reuse ONE child per Catalog (wiped between statements) so a
+            # hot query loop doesn't accumulate JVM SessionState; if
+            # another thread holds the child, fall back to a throwaway
+            # session rather than racing its namespace.
+            if self._hermetic_lock.acquire(blocking=False):
+                try:
+                    child = self._hermetic_child()
+                    exec_cat = Catalog(child, self.root)
+                    statement = exec_cat._rewrite_reads(statement)
+                    exec_cat.register_views(exec_cat._referenced(statement))
+                    bridge_views(child, sources or {})
+                    return child.sql(statement)
+                finally:
+                    self._hermetic_lock.release()
             exec_cat = Catalog(hermetic_session(self.spark), self.root)
             statement = exec_cat._rewrite_reads(statement)
             exec_cat.register_views(exec_cat._referenced(statement))
@@ -739,10 +795,18 @@ class Catalog:
         Reference analog: the explain-your-skips discipline of the
         migration stamper (operator-tools/_migrate_catalog/migrations/
         stamp_expires.py:119-142)."""
-        inner = re.sub(
-            r"^\s*EXPLAIN\s+(?:FORMATTED\s+)?", "", statement,
+        # Strip the EXPLAIN verb + any Spark mode keyword, remembering
+        # the mode so it passes through to the child's EXPLAIN (ADVICE
+        # r4: `EXPLAIN EXTENDED SELECT ...` used to leave EXTENDED as
+        # the inner verb and raise a misleading error).
+        m = re.match(
+            r"^\s*EXPLAIN\s+(?:(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST"
+            r"|ANALYZED)\s+)?",
+            statement,
             flags=re.IGNORECASE,
         )
+        mode = (m.group("mode") or "FORMATTED").upper()
+        inner = statement[m.end():]
         ihead = re.match(r"\s*(\w+)", inner)
         iverb = (ihead.group(1) if ihead else "").upper()
         if iverb not in ("SELECT", "WITH"):
@@ -757,16 +821,26 @@ class Catalog:
             hermetic_session,
         )
 
-        exec_cat = Catalog(hermetic_session(self.spark), self.root)
-        rewritten = exec_cat._rewrite_reads(inner)
-        names = exec_cat.register_views(exec_cat._referenced(rewritten))
-        bridge_views(exec_cat.spark, sources or {})
-        body = "\n".join(
-            r[0]
-            for r in exec_cat.spark.sql(
-                "EXPLAIN FORMATTED " + rewritten
-            ).collect()
-        )
+        if self._hermetic_lock.acquire(blocking=False):
+            release = self._hermetic_lock.release
+            child = self._hermetic_child()
+        else:
+            release = None
+            child = hermetic_session(self.spark)
+        try:
+            exec_cat = Catalog(child, self.root)
+            rewritten = exec_cat._rewrite_reads(inner)
+            names = exec_cat.register_views(exec_cat._referenced(rewritten))
+            bridge_views(child, sources or {})
+            body = "\n".join(
+                r[0]
+                for r in child.sql(
+                    f"EXPLAIN {mode} " + rewritten
+                ).collect()
+            )
+        finally:
+            if release is not None:
+                release()
         header = (
             "access path: scan — snapshot-pinned pruned parquet read "
             f"over catalog table(s) {names}"

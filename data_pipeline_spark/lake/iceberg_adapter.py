@@ -55,6 +55,19 @@ spark-iceberg public behavior, to be re-verified jar-in-hand):
 * ``stats_identical`` floors: Iceberg's count(*) pushdown counts delete
   files separately; this engine's ``count_rows`` refuses under non-LWW
   modes/row filters — both refuse rather than mis-answer.
+* Exactly-once crash window (ADVICE r4): the ``engine.commit-key``
+  property is set by a SEPARATE ALTER TABLE after the MERGE commits, so
+  a crash between the two Iceberg commits replays the MERGE on restart.
+  Re-application is idempotent under the order conditions EXCEPT the
+  ``WHEN NOT MATCHED ... INSERT`` arm, which can resurrect a row deleted
+  by an interleaved later batch — diverging from the engine's CAS-atomic
+  commit-key (one snapshot carries data + key). Mitigation jar-in-hand:
+  write the key into the merge commit's own snapshot summary via
+  ``commit.properties`` / WAP staging so replay can check-and-skip; the
+  two-statement shape here is the honest floor of what plain Spark SQL
+  over Iceberg offers. The divergence is pinned executable-text-level by
+  ``tests/test_iceberg_merge_text.py`` (the generated MERGE replayed
+  twice against the stand-in executor).
 """
 
 from __future__ import annotations
@@ -64,6 +77,39 @@ from pyspark.sql import DataFrame, SparkSession
 from data_pipeline_spark.lake.merge import MergeStats, lww_collapse
 
 _PROBE_CLASS = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+
+
+def merge_sql_text(
+    identifier: str,
+    view: str,
+    columns: list[str],
+    key: str = "url",
+    order_col: str = "lsn",
+    op_col: str = "op",
+) -> str:
+    """The EXACT ``MERGE INTO`` statement the adapter submits — a pure
+    function of the table shape, so the generated text is testable
+    without the Iceberg jar: ``tests/test_iceberg_merge_text.py`` runs
+    this text through a standard-semantics MERGE interpreter whose
+    clause conditions and assignments execute VERBATIM in DuckDB (the
+    stand-in executor this container has), and diffs the outcome
+    against the engine's own ``merge_into`` scenario by scenario."""
+    cols = [c for c in columns if c != op_col]
+    set_cols = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+    ins_cols = ", ".join(cols)
+    ins_vals = ", ".join(f"s.{c}" for c in cols)
+    return f"""
+                MERGE INTO {identifier} t
+                USING {view} s
+                ON t.{key} = s.{key}
+                WHEN MATCHED AND s.{op_col} = 'delete'
+                     AND s.{order_col} > t.{order_col}
+                  THEN DELETE
+                WHEN MATCHED AND s.{order_col} > t.{order_col}
+                  THEN UPDATE SET {set_cols}
+                WHEN NOT MATCHED AND s.{op_col} <> 'delete'
+                  THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+                """
 
 
 def available(spark: SparkSession) -> tuple[bool, str]:
@@ -133,7 +179,6 @@ class IcebergTable:
         """The engine's K1 reactive upsert as a genuine Iceberg MERGE."""
         if self._committed(commit_key):
             return MergeStats(commit_key, False, -1, 0)
-        cols = [c for c in events.columns if c != self.op_col]
         batch = lww_collapse(
             events, self.key, self.order_col,
             [c for c in events.columns if c != self.key],
@@ -143,24 +188,12 @@ class IcebergTable:
         view = f"ice_batch_{uuid.uuid4().hex[:12]}"
         batch.createOrReplaceTempView(view)
         try:
-            set_cols = ", ".join(
-                f"t.{c} = s.{c}" for c in cols if c != self.key
-            )
-            ins_cols = ", ".join(cols)
-            ins_vals = ", ".join(f"s.{c}" for c in cols)
             self.spark.sql(
-                f"""
-                MERGE INTO {self.identifier} t
-                USING {view} s
-                ON t.{self.key} = s.{self.key}
-                WHEN MATCHED AND s.{self.op_col} = 'delete'
-                     AND s.{self.order_col} > t.{self.order_col}
-                  THEN DELETE
-                WHEN MATCHED AND s.{self.order_col} > t.{self.order_col}
-                  THEN UPDATE SET {set_cols}
-                WHEN NOT MATCHED AND s.{self.op_col} <> 'delete'
-                  THEN INSERT ({ins_cols}) VALUES ({ins_vals})
-                """
+                merge_sql_text(
+                    self.identifier, view, events.columns,
+                    key=self.key, order_col=self.order_col,
+                    op_col=self.op_col,
+                )
             )
             self.spark.sql(
                 f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "

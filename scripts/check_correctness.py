@@ -30,6 +30,11 @@ TABLES = (
     "events documents embeddings"
 ).split()
 
+# Entries allowed to return 0 rows under --assert-nonvacuous (audited:
+# empty IS the asserted answer, not an accidentally vacuous predicate).
+# Keep this list justified — an unexplained name here defeats the gate.
+_VACUOUS_OK: dict[str, str] = {}
+
 
 def _norm(v):
     """Engine-independent canonical string for a cell value."""
@@ -63,6 +68,15 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--parallelism", type=int, default=16)
+    ap.add_argument(
+        "--assert-nonvacuous",
+        action="store_true",
+        help="fail any entry whose Spark result has 0 rows at this sf "
+        "(VERDICT r4 #7: r2/r3 each caught one predicate gone vacuous "
+        "at some scale — a 0-row result matching a 0-row oracle is a "
+        "hash PASS that verifies nothing). Entries that legitimately "
+        "return 0 rows at an sf must be listed in _VACUOUS_OK.",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -117,6 +131,17 @@ def main() -> int:
                     and rec["hash_match"]
                 ):
                     n_fail += 1
+            if (
+                args.assert_nonvacuous
+                and len(sp_rows) == 0
+                and name not in _VACUOUS_OK
+            ):
+                rec["err"] = (
+                    "vacuous: 0 Spark rows at this sf (gate "
+                    "--assert-nonvacuous; add to _VACUOUS_OK with a "
+                    "justification if empty is the asserted answer)"
+                )
+                n_fail += 1
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             rec["err"] = f"{type(e).__name__}: {e}"
             traceback.print_exc()

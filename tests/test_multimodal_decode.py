@@ -127,3 +127,59 @@ def test_decode_real_raises_upfront_without_codecs(spark):
     )
     with pytest.raises(NotImplementedError, match="Pillow"):
         mm.decode_real(media)
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """Spec-level PNG: encoder writes rows with filter r%5, so any doc
+    with h >= 5 makes the decoder run None/Sub/Up/Average/Paeth; CRCs
+    are verified per chunk; a tampered byte must raise."""
+    for did in (0, 7, 16, 22, 229, 4093):
+        b = mm.encode_png(did)
+        w, h = mm._png_dims(did)
+        assert h >= 5  # all five filter types present
+        gw, gh, tb = mm.decode_png_thumb(b)
+        assert (gw, gh) == (w, h)
+        exp = bytes(
+            mm._png_pixel(did, x * w // 8, y * h // 8)
+            for y in range(8)
+            for x in range(8)
+        )
+        assert tb == exp
+    # multi-chunk IDAT actually occurs (compressed stream split at 64 B)
+    assert any(
+        mm.encode_png(d).count(b"IDAT") >= 2 for d in range(64)
+    )
+    # CRC tamper detection: flip one IDAT payload bit
+    raw = bytearray(mm.encode_png(5))
+    at = raw.index(b"IDAT") + 6
+    raw[at] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png_thumb(bytes(raw))
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png_thumb(b"BM" + bytes(30))
+
+
+def test_decode_png_runs_in_spark_with_pinned_md5(spark):
+    """Full mapInPandas path over genuine PNG bytes — executes HERE, no
+    optional deps — content_md5 pinned vs an independent pure-Python
+    recompute of the thumbnail from the generating formula."""
+    import hashlib
+
+    from conftest import SF_SMOKE
+
+    out = {
+        r.media_id: r
+        for r in mm.decode_png(mm.png_table(spark, SF_SMOKE)).collect()
+    }
+    assert out, "empty documents table?"
+    for r in list(out.values())[:40]:
+        i = r.media_id
+        w, h = mm._png_dims(i)
+        assert (r.width, r.height) == (w, h)
+        tb = bytes(
+            mm._png_pixel(i, x * w // 8, y * h // 8)
+            for y in range(8)
+            for x in range(8)
+        )
+        assert r.checksum == sum(tb)
+        assert r.content_md5 == hashlib.md5(tb).hexdigest()
