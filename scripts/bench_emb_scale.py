@@ -133,11 +133,11 @@ def ivf_topk(
           FROM {rel}
         ),
         probes AS (
-          SELECT vec_id AS query_id, qe, pr.col.cid AS cid
+          SELECT vec_id AS query_id, qe, pr.cid AS cid
           FROM (
             SELECT vec_id, qe,
-                   posexplode(slice(array_sort(array({structs})),
-                                    1, {n_probe})) AS pr
+                   explode(slice(array_sort(array({structs})),
+                                 1, {n_probe})) AS pr
             FROM {rel} WHERE vec_id IN ({ids})
           )
         )
