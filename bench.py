@@ -103,10 +103,16 @@ def run_bench() -> None:
         )
 
     def _data_ctl(trial: int):
+        # raw driver-testdata events schema (event_id/ts/.../props), not
+        # the synthesized changelog — a bare scan+agg of the same file
+        # the queries start from
         return (
             spark.read.parquet(f"{SF_DIR}/events.parquet")
-            .filter(F.col("lsn") % 1000 != (999 - trial))
-            .agg(F.count("html"), F.sum(F.octet_length("html")))
+            .filter(F.col("event_id") % 1000 != (999 - trial))
+            .agg(
+                F.count("props"),
+                F.sum(F.octet_length(F.col("props").cast("string"))),
+            )
         )
 
     def _best2(fn) -> float:
