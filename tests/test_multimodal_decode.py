@@ -183,3 +183,56 @@ def test_decode_png_runs_in_spark_with_pinned_md5(spark):
         )
         assert r.checksum == sum(tb)
         assert r.content_md5 == hashlib.md5(tb).hexdigest()
+
+
+def test_png_property_roundtrip_arbitrary_rasters():
+    """Property check beyond the doc_id family: ANY gray8 raster (odd
+    dims, 1-pixel edges, all-extremes) survives encode→decode through
+    the five-filter writer. Uses a local encoder over explicit pixel
+    arrays to decouple the property from the generating formula."""
+    import random
+    import struct as _struct
+    import zlib as _zlib
+
+    rng = random.Random(20260821)
+
+    def encode_raw(w, h, pix):  # same wire shape as mm.encode_png
+        prior = bytes(w)
+        raw = bytearray()
+        for y in range(h):
+            row = bytes(pix[y * w:(y + 1) * w])
+            f = y % 5
+            raw.append(f)
+            if f == 0:
+                raw += row
+            elif f == 1:
+                raw += bytes((row[x] - (row[x - 1] if x else 0)) % 256
+                             for x in range(w))
+            elif f == 2:
+                raw += bytes((row[x] - prior[x]) % 256 for x in range(w))
+            elif f == 3:
+                raw += bytes(
+                    (row[x] - ((row[x - 1] if x else 0) + prior[x]) // 2)
+                    % 256 for x in range(w))
+            else:
+                raw += bytes(
+                    (row[x] - mm._paeth(row[x - 1] if x else 0, prior[x],
+                                        prior[x - 1] if x else 0)) % 256
+                    for x in range(w))
+            prior = row
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        comp = _zlib.compress(bytes(raw), 6)
+        out = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+        out += mm._png_chunk(b"IDAT", comp)
+        return out + mm._png_chunk(b"IEND", b"")
+
+    cases = [(1, 1), (1, 7), (9, 1), (2, 2), (17, 5)] + [
+        (rng.randint(1, 40), rng.randint(1, 40)) for _ in range(20)
+    ]
+    for w, h in cases:
+        pix = [rng.randint(0, 255) for _ in range(w * h)]
+        gw, gh, tb = mm.decode_png_thumb(encode_raw(w, h, pix), 8, 8)
+        assert (gw, gh) == (w, h)
+        exp = bytes(pix[(y * h // 8) * w + (x * w // 8)]
+                    for y in range(8) for x in range(8))
+        assert tb == exp, (w, h)
