@@ -2570,11 +2570,15 @@ class LakeTable:
         writer = df.write.partitionBy(BUCKET_COL).mode("overwrite")
         # Iceberg-named codec property; per-write option, so two tables
         # with different codecs never fight over a session conf. zstd is
-        # the at-scale default choice (≈30% smaller than snappy on html
-        # payloads); snappy stays the default here for write-CPU parity.
+        # the default as of r5, from a measured 32-core A/B on the
+        # amplified WAL (BENCH.md §codec A/B): 0.62× snappy's bytes on
+        # html payloads with best-wall parity-or-better at full width —
+        # at the memory-bandwidth-bound write stage, fewer bytes through
+        # the controller beats a cheaper compressor. Override per table
+        # via the property.
         codec = str(
             self.current().props.get(
-                "write.parquet.compression-codec", "snappy"
+                "write.parquet.compression-codec", "zstd"
             )
         )
         writer = writer.option("compression", codec)

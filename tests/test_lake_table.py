@@ -240,18 +240,27 @@ def test_write_compression_codec_property(spark):
     from data_pipeline_spark.lake.merge import merge_into as _mi
     from data_pipeline_spark.pipeline import ensure_table as _ensure
 
+    ddl = ("url string, lsn bigint, warc_ts timestamp, html binary, "
+           "text string, lang string, op string")
+    row = [("u1", 1, None, b"<p>x</p>", "x", "en", "insert")]
+    # default is zstd as of r5 (measured 32-core A/B: 0.62x snappy's
+    # bytes on html payloads, wall parity at full width)
     t = _ensure(spark, _tf.mkdtemp(prefix="codec_"), 2)
-    t.update_props({"write.parquet.compression-codec": "zstd"})
-    _mi(t, spark.createDataFrame(
-        [("u1", 1, None, b"<p>x</p>", "x", "en", "insert")],
-        "url string, lsn bigint, warc_ts timestamp, html binary, "
-        "text string, lang string, op string",
-    ), "c1")
+    _mi(t, spark.createDataFrame(row, ddl), "c1")
     f = _glob.glob(_os.path.join(t.root, "data", "**", "*.parquet"),
                    recursive=True)[0]
     md = _pq.read_metadata(f)
     assert md.row_group(0).column(0).compression.lower() == "zstd"
     assert t.read().count() == 1  # reads back fine
+    # the Iceberg-named property still overrides per table
+    t2 = _ensure(spark, _tf.mkdtemp(prefix="codec_"), 2)
+    t2.update_props({"write.parquet.compression-codec": "snappy"})
+    _mi(t2, spark.createDataFrame(row, ddl), "c1")
+    f2 = _glob.glob(_os.path.join(t2.root, "data", "**", "*.parquet"),
+                    recursive=True)[0]
+    md2 = _pq.read_metadata(f2)
+    assert md2.row_group(0).column(0).compression.lower() == "snappy"
+    assert t2.read().count() == 1
 
 
 def test_distributed_entries_match_threadpool(spark, tmp_path):
